@@ -1,0 +1,111 @@
+"""Sources and sinks with explicit schemas.
+
+The reference reads JSON-lines with schema inference (ExtractCandidates.scala:98)
+and its docs recommend passing an explicit schema so only needed columns are
+parsed (docs/3state_test.md step 0). We make explicit schemas the default:
+for JSON that's the only way to get column pruning; for parquet Catalyst
+prunes automatically.
+
+Dropped on purpose: the reference's Java-serialized objectFile pair handoff
+(ExtractCandidates.scala:171) — pairs are a plain parquet (pk1, pk2) table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Canonical bill record (reference README.md:13-25, dataformat/bills.avsc:1-10).
+BILL_SCHEMA = T.StructType(
+    [
+        T.StructField("primary_key", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("year", T.LongType(), True),
+        T.StructField("state", T.LongType(), True),
+        T.StructField("docid", T.StringType(), True),
+        T.StructField("docversion", T.StringType(), True),
+        T.StructField("length", T.LongType(), True),
+    ]
+)
+
+# Pair relation (reference CartesianPair, ExtractCandidates.scala:177).
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("pk1", T.StringType(), False),
+        T.StructField("pk2", T.StringType(), False),
+    ]
+)
+
+# Scored pair relation (reference ComparedPair, stats/AnalysisUtils.scala:170).
+SCORED_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("pk1", T.StringType(), False),
+        T.StructField("pk2", T.StringType(), False),
+        T.StructField("similarity", T.DoubleType(), True),
+    ]
+)
+
+# Version metadata (reference Metadata, LatestVersionExtracter.scala:105).
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("filePath", T.StringType(), False),
+        T.StructField("versionDate", T.StringType(), True),
+        T.StructField("version", T.StringType(), True),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_bills_json(spark: SparkSession, path: str, schema: T.StructType = BILL_SCHEMA) -> DataFrame:
+    """JSON-lines bill scan with explicit schema (no inference pass).
+
+    Glob paths supported (reference reads ``bills_combined_50_p*.json``)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table from a scale-factor dir.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only
+    reads as a raw long (nanosAsLong); convert to a micros timestamp by
+    integer division — the same truncation DuckDB applies, so oracles agree.
+    """
+    if name == "events":
+        # dynamic SQLConf — works even on a session we didn't build
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """JSON sink; ``single_file`` mirrors the reference's repartition(1) skim
+    output (Postprocessor.scala:31) — only for small post-processed results."""
+    (df.coalesce(1) if single_file else df).write.mode(mode).json(path)

@@ -1,0 +1,117 @@
+"""Candidate-pair generation (blocking) strategies.
+
+The reference's workhorse is ``pairup`` (feature/Utils.scala:46-105): collect
+the whole corpus metadata to the driver, broadcast it, and nested-loop over
+every row. That caps at driver memory and is O(N²) work regardless of
+blocking. Here every strategy is a **self-join the optimizer can plan**:
+
+- optimizationLevel 0  -> theta-only join (pk1 < pk2, state1 != state2)
+- optimizationLevel 1  -> + equi-key on a blocking label (k-means cluster)
+  => hash/sort-merge join, shuffle on the label, no driver state
+- optimizationLevel 2  -> + length-ratio pruning |l1-l2|/sqrt(l1*l2) < t
+  evaluated as a join-condition residual
+- LSH banding          -> posexplode band keys, equi-join on the band value
+  (CustomizedLSH.scala:227-259's plan, single shuffle on bucket keys)
+
+Scale notes (100 TB): the equi-keyed forms shuffle both sides on the blocking
+key — linear, AQE handles skewed buckets. The theta-only form is a cartesian
+product and is gated behind an explicit ``allow_cartesian`` flag; at scale it
+must only ever run per-block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions import text as TX
+
+
+def length_ratio_ok(l1: Column, l2: Column, threshold: float = 0.26) -> Column:
+    """|l1-l2| / sqrt(l1*l2) < threshold (feature/Utils.scala:79,96)."""
+    return F.abs(l1 - l2) / F.sqrt(l1 * l2) < threshold
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str = "primary_key",
+    group_col: str | None = "state",
+    block_col: str | None = None,
+    length_col: str | None = None,
+    length_ratio_threshold: float = 0.26,
+    same_group: bool = False,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Self-join candidate generation -> DataFrame(pk1, pk2, ...).
+
+    - ``group_col``: pairs must differ on it (reference: cross-state only)
+      unless ``same_group`` (reference onlyInOut=false keeps in-state pairs).
+    - ``block_col``: equi-join key (k-means ``prediction``, LSH band, ...).
+      When None the join is a pure cartesian filter — refuse unless
+      ``allow_cartesian`` (the reference's baseline, never viable at scale).
+    - ``length_col``: applies the length-ratio residual predicate.
+
+    Carries every column through with ``1``/``2`` suffixes.
+    """
+    if block_col is None and not allow_cartesian:
+        raise ValueError(
+            "no block_col: this is an O(N^2) cartesian join; pass "
+            "allow_cartesian=True only for small inputs or per-block use"
+        )
+    a = df.alias("a")
+    b = df.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col is not None:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    if group_col is not None and not same_group:
+        cond = cond & (F.col(f"a.{group_col}") != F.col(f"b.{group_col}"))
+    if length_col is not None:
+        cond = cond & length_ratio_ok(
+            F.col(f"a.{length_col}"), F.col(f"b.{length_col}"), length_ratio_threshold
+        )
+    joined = a.join(b, cond, "inner")
+    cols = [F.col(f"a.{c}").alias(f"{c}1") for c in df.columns] + [
+        F.col(f"b.{c}").alias(f"{c}2") for c in df.columns
+    ]
+    out = joined.select(*cols)
+    return out.withColumnRenamed(f"{id_col}1", "pk1").withColumnRenamed(f"{id_col}2", "pk2")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    group_col: str | None = None,
+    same_group: bool = True,
+) -> DataFrame:
+    """MinHash-LSH banded candidate generation -> DataFrame(pk1, pk2).
+
+    Plan shape (mirrors CustomizedLSH.scala:227-259, one job instead of the
+    reference's driver-threaded per-state-pair loop):
+      signature (narrow) -> explode bands (narrow) -> equi-join on band
+      (single shuffle on band keys) -> distinct pairs.
+
+    Pairs colliding in >=1 band survive; caller re-scores with the exact
+    measure. rows_per_band = num_hashes // num_bands controls precision.
+    """
+    rows_per_band = num_hashes // num_bands
+    keep = [id_col] + ([group_col] if group_col else [])
+    sig = df.select(
+        *keep, TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig")
+    )
+    banded = sig.select(
+        *keep, F.explode(TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)).alias("__band")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.__band") == F.col("b.__band")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if group_col is not None and not same_group:
+        cond = cond & (F.col(f"a.{group_col}") != F.col(f"b.{group_col}"))
+    return (
+        a.join(b, cond, "inner")
+        .select(F.col(f"a.{id_col}").alias("pk1"), F.col(f"b.{id_col}").alias("pk2"))
+        .dropDuplicates(["pk1", "pk2"])
+    )

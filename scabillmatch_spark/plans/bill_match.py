@@ -1,0 +1,59 @@
+"""The flagship end-to-end query: find near-duplicate document pairs.
+
+Reference workflow 1+2 (ExtractCandidates -> BillAnalyzer -> postprocess;
+ExtractMinHashLSH) collapsed into ONE lazily-planned DataFrame query:
+
+    read -> clean/tokenize -> MinHash-LSH banding -> band equi-join ->
+    exact set-similarity rescoring -> threshold -> top-N
+
+No objectFile handoffs, no driver collect/broadcast, no per-state driver
+threads (reference ExtractMinHashLSH.scala:114-115) — Catalyst sees the
+whole plan and AQE sizes the shuffles.
+
+Runs against the driver's ``documents`` table (doc_id, text, lang, source,
+n_chars), which plays the bill table's role (text<->content, source<->state,
+n_chars<->length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions import similarity as SIM
+from scabillmatch_spark.functions import text as TX
+from scabillmatch_spark.operators import blocking, pairs
+
+
+def document_match(
+    spark: SparkSession,
+    sf_dir: str,
+    min_chars: int = 40,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    threshold: float = 20.0,
+    top: int = 100,
+) -> DataFrame:
+    """Top near-duplicate document pairs by token-set Jaccard, LSH-blocked.
+
+    Returns (pk1, pk2, similarity) — the reference's ComparedPair shape.
+    """
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars") >= min_chars)
+        .select(
+            F.col("doc_id").cast("string").alias("primary_key"),
+            TX.token_set("text").alias("tokens"),
+            "lang",
+        )
+    )
+    cands = blocking.lsh_candidate_pairs(
+        docs, id_col="primary_key", set_col="tokens",
+        num_hashes=num_hashes, num_bands=num_bands,
+    )
+    scored = pairs.score_pairs(
+        cands, docs, SIM.jaccard, id_col="primary_key", feature_col="tokens"
+    ).filter(F.col("similarity") >= threshold)
+    return pairs.top_n(scored, top).select(
+        "pk1", "pk2", F.round("similarity", 4).alias("similarity")
+    )

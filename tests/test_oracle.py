@@ -1,0 +1,83 @@
+"""Mimics the driver's t2 correctness gate: run every ``queries()`` entry on
+Spark and its ``oracle_sql()`` on DuckDB over the same sf0.01 parquet, then
+compare row count + column names + order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+QUERIES = sorted(entrymod.queries().keys())
+
+
+@pytest.fixture(scope="module")
+def duck_con():
+    con = _duck()
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck_con, name):
+    qfn = entrymod.queries()[name]
+    oracle = entrymod.oracle_sql().get(name)
+    sdf = qfn(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if oracle is None:
+        assert len(srows) >= 0  # rows-only check, mirrors driver's weak gate
+        return
+    orel = duck_con.sql(oracle)
+    ocols = [d[0] for d in orel.description]
+    orows = orel.fetchall()
+    assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} != {len(orows)}"
+    assert sorted(scols) == sorted(ocols), f"{name}: cols {scols} vs {ocols}"
+    ncols, nspark = _normalize(scols, [tuple(r) for r in srows])
+    _, noracle = _normalize(ocols, orows)
+    mism = [i for i, (a, b) in enumerate(zip(nspark, noracle)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"spark={nspark[mism[0]]} oracle={noracle[mism[0]]} cols={ncols}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
