@@ -114,12 +114,14 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core semantics as one plan: tokenize -> blocked
-    self-join (same lang, different source, pk1<pk2) -> token-set Jaccard
-    (SimilarityMeasure.scala:78-95) -> threshold -> deterministic skim."""
+    self-join (same lang, different source, pk1<pk2, length-ratio prune =
+    the reference's optimizationLevel 2, feature/Utils.scala:79,96) ->
+    token-set Jaccard (SimilarityMeasure.scala:78-95) -> threshold -> skim."""
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("primary_key"),
         F.col("lang"),
         F.col("source"),
+        F.col("n_chars"),
         TX.token_set("text").alias("toks"),
     )
     cands = blocking.candidate_pairs(
@@ -127,6 +129,8 @@ def q_doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="pk_num",
         group_col="source",
         block_col="lang",
+        length_col="n_chars",
+        length_ratio_threshold=0.26,
     )
     scored = cands.select(
         F.col("pk1").alias("doc1"),
@@ -167,12 +171,227 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join through region->nation->customer->orders->lineitem->supplier
+    with the supplier-customer co-nation condition (TPC-H Q5 shape)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    return (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: UNION / INTERSECT / EXCEPT with tags."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    u = building.union(big).distinct().withColumn("op", F.lit("union"))
+    i = building.intersect(big).withColumn("op", F.lit("intersect"))
+    e = building.exceptAll(big.distinct()).distinct().withColumn("op", F.lit("except"))
+    return u.union(i).union(e)
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (capability beyond the reference, SURVEY §2.3):
+    customers with >=1 order vs customers with none."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = cust.join(orders, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("kind")
+    )
+    anti = cust.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("kind")
+    )
+    return semi.union(anti)
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: running order-value total per customer over time."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 latest-version extraction as a window (the reference's groupByKey
+    sort-pick-latest, LatestVersionExtracter.scala:50-59,88)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        )
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream (batch form; the
+    streaming variant shares this aggregation — see scabillmatch_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value", "sum_value"))
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap starts a new session (lag +
+    cumulative flag sum). Micro-exact via unix_micros for oracle parity."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    gap = F.col("us") - F.lag("us", 1).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+def q_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 histogram aggregation (Histogrammar Bin -> groupBy on bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 describe(): count/mean/stddev/min/max per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 Pearson correlation (Statistics.corr in the reference,
+    docs/correlations.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F13 scalar layer: string/math/date built-ins (every reference UDF
+    collapsed into Column expressions)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.expr("replace(p_brand, 'Brand#', 'B')").alias("brand_short"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("markup"),
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+def q_doc_5gram_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount.scala:19-67: clean -> tokenize -> 5-gram -> frequency table,
+    top-20 skim with deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(TX.ngrams(TX.tokens("text"), 5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_local_supplier": q_tpch_q5,
         "window_topn_orders_per_customer": q_window_topn,
+        "window_running_sum": q_window_running_sum,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "set_ops_union_intersect_except": q_set_ops,
+        "semi_anti_join": q_semi_anti_join,
         "events_json_agg": q_events_json,
+        "events_tumbling_window": q_events_tumbling,
+        "events_sessionization": q_events_sessionization,
+        "histogram_events_value": q_histogram_events,
+        "descriptive_stats": q_descriptive_stats,
+        "pearson_corr": q_pearson_corr,
+        "scalar_functions": q_scalar_functions,
+        "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_exact_dedup": q_doc_exact_dedup,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -216,6 +435,133 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
         """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+            FROM region
+            JOIN nation   ON r_regionkey = n_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'REGION_0'
+            GROUP BY n_name
+        """,
+        "set_ops_union_intersect_except": """
+            WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+                 big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+            SELECT k, 'union' AS op FROM (SELECT k FROM building UNION SELECT k FROM big)
+            UNION ALL
+            SELECT k, 'intersect' AS op FROM (SELECT k FROM building INTERSECT SELECT k FROM big)
+            UNION ALL
+            SELECT k, 'except' AS op FROM (SELECT k FROM building EXCEPT SELECT k FROM big)
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, 'has_orders' AS kind FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT c_custkey, 'no_orders' AS kind FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey AS latest_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "events_tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sessionization": """
+            WITH ev AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+            ),
+            flagged AS (
+                SELECT user_id, event_id, us,
+                       CASE WHEN us - LAG(us) OVER w IS NULL
+                              OR us - LAG(us) OVER w > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+            ),
+            sess AS (
+                SELECT user_id, us,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY us ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MAX(us) - MIN(us) AS duration_us
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "histogram_events_value": """
+            SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket, COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "descriptive_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_value,
+                   ROUND(stddev_samp(value), 6) AS sd_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "pearson_corr": """
+            SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax
+            FROM lineitem
+        """,
+        "scalar_functions": """
+            SELECT p_partkey,
+                   upper(p_name) AS uname,
+                   length(p_name) AS name_len,
+                   substring(p_name, 1, 4) AS prefix,
+                   concat_ws('-', p_brand, p_type) AS brand_type,
+                   replace(p_brand, 'Brand#', 'B') AS brand_short,
+                   p_size % 7 AS size_mod,
+                   ROUND(p_retailprice * 1.1, 2) AS markup,
+                   CASE WHEN p_size > 25 THEN 'large'
+                        WHEN p_size > 10 THEN 'medium'
+                        ELSE 'small' END AS size_class
+            FROM part
+        """,
+        "doc_5gram_wordcount": """
+            WITH toks AS (
+                SELECT list_filter(string_split(
+                           regexp_replace(lower(text), '[0-9,:;?!.]', '', 'g'), ' '),
+                           x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT unnest(list_transform(range(1, len(t) - 3),
+                              i -> array_to_string(t[i:i+4], ' '))) AS gram
+                FROM toks
+            )
+            SELECT gram, COUNT(*) AS n
+            FROM grams GROUP BY gram
+            ORDER BY n DESC, gram ASC
+            LIMIT 20
+        """,
         "window_topn_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
                 SELECT o_custkey, o_orderkey, o_totalprice,
@@ -234,7 +580,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_near_dup_jaccard": f"""
             WITH toks AS (
-                SELECT doc_id, lang, source, {_DUCK_TOKSET} AS toks
+                SELECT doc_id, lang, source, n_chars, {_DUCK_TOKSET} AS toks
                 FROM documents
             ),
             pairs AS (
@@ -243,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
                        len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
                 FROM toks a JOIN toks b
                   ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.source <> b.source
+                 AND abs(a.n_chars - b.n_chars) / sqrt(a.n_chars * b.n_chars) < 0.26
             )
             SELECT CAST(d1 AS VARCHAR) AS doc1, CAST(d2 AS VARCHAR) AS doc2,
                    ROUND(100.0 * inter / uni, 6) AS similarity

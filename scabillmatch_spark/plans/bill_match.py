@@ -30,8 +30,8 @@ def document_match(
     sf_dir: str,
     min_chars: int = 40,
     num_hashes: int = 16,
-    num_bands: int = 8,
-    threshold: float = 20.0,
+    num_bands: int = 4,
+    threshold: float = 60.0,
     top: int = 100,
 ) -> DataFrame:
     """Top near-duplicate document pairs by token-set Jaccard, LSH-blocked.
