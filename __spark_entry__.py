@@ -122,7 +122,7 @@ def q_doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("source"),
         F.col("n_chars"),
-        TX.token_set("text").alias("toks"),
+        TX.token_id_set("text").alias("toks"),
     )
     cands = blocking.candidate_pairs(
         docs.withColumn("pk_num", F.col("primary_key").cast("long")),
@@ -374,6 +374,79 @@ def q_doc_5gram_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish pieces."""
+    from scabillmatch_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        TS.distinct_token_count("text").alias("n_distinct"),
+        TS.bpe_ish_token_count("text").alias("n_bpe_pieces"),
+    )
+
+
+def q_doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language-ID heuristic per document."""
+    from scabillmatch_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TS.quality_score("text").alias("quality"),
+        TS.predict_lang("text").alias("predicted_lang"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k shingle fingerprint (winnowing analog) per document."""
+    from scabillmatch_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TS.bottom_k_fingerprint("text", 3, 4).alias("fingerprint")
+    )
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational 16-bit SimHash signature per document."""
+    from scabillmatch_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash16(docs, "doc_id", "text")
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (the reference's
+    approxSimilarityJoin plan, CustomizedLSH.scala:227-259, as one job)."""
+    from scabillmatch_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, num_bands=4,
+        jaccard_threshold=70.0,
+    )
+    return out.select(
+        "pk1", "pk2", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def q_emb_vector_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 VectorSum UDAF (UDAFTest.scala:19-51) — element-wise vector sum per
+    group, fully relational: posexplode -> groupBy(label,pos) -> re-collect."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    # (label, pos, elem_sum) rows — scalar shape for robust oracle hashing;
+    # operators/featurize re-collects to array<double> when a vector is needed
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.sum("col"), 6).alias("elem_sum")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -394,7 +467,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_simhash": q_doc_simhash,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
     }
 
 
@@ -405,9 +484,168 @@ _DUCK_TOKSET = (
     " x -> x <> '')))"
 )
 
+# ... and the integer-id variant mirroring text.token_id_set (60-bit md5 ids).
+_DUCK_TOKIDSET = (
+    "list_sort(list_distinct(list_transform(list_filter("
+    "string_split(regexp_replace(lower(text), '[0-9,:;?!.]', '', 'g'), ' '),"
+    " x -> x <> ''),"
+    " t -> CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT)))"
+)
+
+
+def _minhash_sig_sql(ids_expr: str, num_hashes: int = 16) -> str:
+    """DuckDB expression: array of minhash values over a BIGINT-id list,
+    using the same LCG constants as functions.text.MINHASH_AB."""
+    from scabillmatch_spark.functions.text import HASH_PRIME, MINHASH_AB
+
+    exprs = []
+    for i in range(num_hashes):
+        a, b = MINHASH_AB[i]
+        exprs.append(
+            f"coalesce(list_min(list_transform({ids_expr}, "
+            f"x -> ((x % {HASH_PRIME} + 1) * {a} + {b}) % {HASH_PRIME})), {HASH_PRIME})"
+        )
+    return "[" + ", ".join(exprs) + "]"
+
+
+# DuckDB token list (non-distinct, order-preserving) — mirrors text.tokens().
+_DUCK_TOKLIST = (
+    "list_filter(string_split(regexp_replace(lower(text), '[0-9,:;?!.]', '', 'g'),"
+    " ' '), x -> x <> '')"
+)
+
+_EN_SW = "['the','and','of','to','in','is','that','for']"
+_LANG_SW_SQL = {
+    "de": "['der','die','und','das','ein','mit','von','ist']",
+    "en": _EN_SW,
+    "es": "['el','la','de','que','los','en','por','una']",
+    "fr": "['le','la','les','des','une','dans','pour','est']",
+}
+
 
 def oracle_sql() -> dict[str, str]:
+    lang_hits = {
+        lang: f"len(list_filter(t, x -> list_contains({arr}, x)))"
+        for lang, arr in _LANG_SW_SQL.items()
+    }
     return {
+        "doc_token_stats": f"""
+            WITH toks AS (SELECT doc_id, text, {_DUCK_TOKLIST} AS t FROM documents)
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   len(list_distinct(t)) AS n_distinct,
+                   len(regexp_extract_all(lower(text),
+                       '[a-z]{{1,6}}|[0-9]|[^a-z0-9\\s]')) AS n_bpe_pieces
+            FROM toks
+        """,
+        "doc_quality_lang": f"""
+            WITH toks AS (SELECT doc_id, lang, text, {_DUCK_TOKLIST} AS t FROM documents),
+            m AS (
+                SELECT doc_id, lang,
+                       len(t) AS ntok,
+                       len(list_filter(t, x -> list_contains({_EN_SW}, x))) AS sw,
+                       CASE WHEN length(text) > 0 THEN
+                            (length(text) - length(regexp_replace(text, '[,:;?!.]', '', 'g')))::DOUBLE / length(text)
+                            ELSE 0.0 END AS punct,
+                       CASE WHEN length(text) > 0 THEN
+                            (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                            ELSE 0.0 END AS dig,
+                       {lang_hits['de']} AS hde, {lang_hits['en']} AS hen,
+                       {lang_hits['es']} AS hes, {lang_hits['fr']} AS hfr
+                FROM toks
+            )
+            SELECT doc_id, lang,
+                   ROUND(0.4 * least(ntok / 100.0, 1.0)
+                         + 0.4 * least((CASE WHEN ntok > 0 THEN sw::DOUBLE / ntok ELSE 0.0 END) * 5.0, 1.0)
+                         + 0.2 * (1.0 - least((punct + dig) * 5.0, 1.0)), 6) AS quality,
+                   CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
+                        WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
+                        WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
+                        WHEN hes = greatest(hde, hen, hes, hfr) THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM m
+        """,
+        "doc_fingerprint": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS grams
+                FROM toks
+            )
+            SELECT doc_id,
+                   array_to_string(list_sort(list_transform(grams, s -> md5(s)))[1:4], '|')
+                       AS fingerprint
+            FROM sh
+        """,
+        "doc_simhash": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct({_DUCK_TOKLIST})) AS t FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(t), 1, 4)) AS UBIGINT)::INTEGER AS h
+                FROM tok
+            ),
+            bits AS (SELECT doc_id, h, unnest(range(0, 16)) AS bit FROM th),
+            votes AS (
+                SELECT doc_id, bit,
+                       SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM bits GROUP BY doc_id, bit
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN vote > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "minhash_lsh_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+            ids AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list_transform(
+                           list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')),
+                           g -> CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT)::BIGINT
+                       ))) AS s
+                FROM toks
+            ),
+            sigs AS (SELECT doc_id, s, {_minhash_sig_sql('s', 16)} AS sig FROM ids),
+            bands AS (
+                SELECT doc_id, unnest([
+                    concat_ws('|', '0', sig[1], sig[2], sig[3], sig[4]),
+                    concat_ws('|', '1', sig[5], sig[6], sig[7], sig[8]),
+                    concat_ws('|', '2', sig[9], sig[10], sig[11], sig[12]),
+                    concat_ws('|', '3', sig[13], sig[14], sig[15], sig[16])
+                ]) AS band
+                FROM sigs
+            ),
+            cand AS (
+                SELECT a.doc_id AS pk1, b.doc_id AS pk2
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            scored AS (
+                SELECT c.pk1, c.pk2,
+                       len(list_intersect(i1.s, i2.s)) AS inter,
+                       len(i1.s) + len(i2.s) - len(list_intersect(i1.s, i2.s)) AS uni
+                FROM cand c
+                JOIN ids i1 ON i1.doc_id = c.pk1
+                JOIN ids i2 ON i2.doc_id = c.pk2
+            )
+            SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
+            FROM scored
+            WHERE 100.0 * inter / uni >= 70.0
+        """,
+        "emb_vector_sum_by_label": """
+            WITH ex AS (
+                SELECT label,
+                       unnest(embedding::DOUBLE[]) AS val,
+                       generate_subscripts(embedding, 1) - 1 AS pos
+                FROM embeddings
+            )
+            SELECT label, pos, ROUND(SUM(val), 6) AS elem_sum
+            FROM ex GROUP BY label, pos
+        """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
@@ -580,7 +818,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_near_dup_jaccard": f"""
             WITH toks AS (
-                SELECT doc_id, lang, source, n_chars, {_DUCK_TOKSET} AS toks
+                SELECT doc_id, lang, source, n_chars, {_DUCK_TOKIDSET} AS toks
                 FROM documents
             ),
             pairs AS (

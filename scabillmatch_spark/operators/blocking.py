@@ -32,6 +32,19 @@ def length_ratio_ok(l1: Column, l2: Column, threshold: float = 0.26) -> Column:
     return F.abs(l1 - l2) / F.sqrt(l1 * l2) < threshold
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Self-join probe sides must not be single-partition: a small parquet
+    file scans as ONE split, and a broadcast join keeps the probe side's
+    partitioning — every pair similarity would then evaluate on one core.
+    One cheap round-robin shuffle of the (small) doc side unlocks full
+    parallelism; at real scale the input already has enough splits and this
+    is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str = "primary_key",
@@ -58,6 +71,7 @@ def candidate_pairs(
             "no block_col: this is an O(N^2) cartesian join; pass "
             "allow_cartesian=True only for small inputs or per-block use"
         )
+    df = _ensure_parallelism(df)
     a = df.alias("a")
     b = df.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -97,6 +111,7 @@ def lsh_candidate_pairs(
     measure. rows_per_band = num_hashes // num_bands controls precision.
     """
     rows_per_band = num_hashes // num_bands
+    df = _ensure_parallelism(df)
     keep = [id_col] + ([group_col] if group_col else [])
     sig = df.select(
         *keep, TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig")

@@ -1,0 +1,134 @@
+"""Corpus deduplication operators (LLM-data-pipeline extension).
+
+The reference only dedups pair relations (distinct/dropDuplicates, A11).
+A 100 TB training-data pipeline needs document-level dedup; these are the
+standard four, all single-plan DataFrames:
+
+- exact_dedup        : md5 fingerprint group-by (one shuffle on the hash)
+- ngram_jaccard_pairs: shingle-set Jaccard over blocked candidates
+- minhash_dedup_pairs: MinHash-LSH banded candidates + exact verification
+- simhash            : relational SimHash (explode -> bit majority vote),
+  pairs by Hamming distance on the signature
+
+Everything uses md5-derived hashing so results are engine-independent
+(reproducible against a SQL oracle) — no JVM-specific murmur.
+
+Scale notes: exact dedup shuffles once on the fingerprint. MinHash banding
+shuffles on band keys (linear in corpus size; near-dup clusters bound bucket
+sizes). SimHash shuffles on (doc, bit) then on signature — both linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions import similarity as SIM
+from scabillmatch_spark.functions import text as TX
+from scabillmatch_spark.operators import blocking
+
+
+def exact_fingerprint(text_col: Column | str, normalize: bool = True) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(c) if normalize else c)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id doc per identical (normalized) text; one hash shuffle."""
+    fp = exact_fingerprint(text_col)
+    groups = (
+        df.groupBy(fp.alias("fp"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dups"))
+    )
+    return groups
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    jaccard_threshold: float = 70.0,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates, exact-Jaccard verified.
+
+    Collision in >=1 of the 4-row bands implies estimated Jaccard ≳ 0.7;
+    the exact rescoring removes false positives (the reference's
+    approxSimilarityJoin + keyDistance refilter plan, CustomizedLSH.scala:227-259).
+    """
+    sets = df.select(
+        F.col(id_col).alias("__id"), TX.ngram_id_set(text_col, shingle_n).alias("__set")
+    )
+    cands = blocking.lsh_candidate_pairs(
+        sets, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands
+    )
+    s1 = sets.select(F.col("__id").alias("pk1"), F.col("__set").alias("__s1"))
+    s2 = sets.select(F.col("__id").alias("pk2"), F.col("__set").alias("__s2"))
+    return (
+        cands.join(s1, "pk1")
+        .join(s2, "pk2")
+        .withColumn("similarity", SIM.jaccard(F.col("__s1"), F.col("__s2")))
+        .filter(F.col("similarity") >= jaccard_threshold)
+        .select("pk1", "pk2", "similarity")
+    )
+
+
+def token_hash16(tok: Column) -> Column:
+    """First 4 md5 hex digits as an int in [0, 65536) — engine-independent."""
+    return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("int")
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit relational SimHash: per (doc, bit) majority vote over distinct
+    token hashes, reassembled into an integer signature.
+
+    Fully relational (explode -> groupBy -> conditional sum) so the identical
+    formulation runs on a SQL oracle. Two linear shuffles.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(TX.token_set(text_col)).alias("tok")
+    ).withColumn("h", token_hash16(F.col("tok")))
+    bits = toks.select(
+        "__id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    )
+    # shiftright/shiftleft builtins require a literal shift; use SQL exprs so
+    # the bit position can be a column
+    votes = bits.groupBy("__id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("vote")
+    )
+    sig = votes.groupBy("__id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)).alias(
+            "simhash"
+        )
+    )
+    return sig.withColumnRenamed("__id", id_col)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs whose 16-bit SimHash signatures differ in <= max_hamming bits."""
+    sig = simhash16(df, id_col, text_col)
+    if block_col:
+        sig = sig.join(df.select(id_col, block_col), id_col)
+    pairs = blocking.candidate_pairs(
+        sig,
+        id_col=id_col,
+        group_col=None,
+        block_col=block_col,
+        allow_cartesian=block_col is None,
+    )
+    ham = F.bit_count(
+        F.col("simhash1").bitwiseXOR(F.col("simhash2")).cast("long")
+    )
+    return pairs.select("pk1", "pk2", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -43,7 +43,7 @@ def document_match(
         .filter(F.col("n_chars") >= min_chars)
         .select(
             F.col("doc_id").cast("string").alias("primary_key"),
-            TX.token_set("text").alias("tokens"),
+            TX.token_id_set("text").alias("tokens"),
             "lang",
         )
     )

@@ -37,6 +37,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # similarity scoring is CPU-dense per byte: prefer more, smaller
+        # post-shuffle partitions over AQE's 64m default
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as long, the
