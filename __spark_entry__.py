@@ -447,6 +447,166 @@ def q_emb_vector_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_edges(spark: SparkSession, sf_dir: str, threshold: float = 95.0) -> DataFrame:
+    """Similarity graph edges: near-exact-dup pairs (Jaccard >= threshold) — the
+    reference's scored-pair relation feeding GraphUtils (GraphUtils.scala:16-22)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("primary_key"),
+        "lang",
+        "source",
+        "n_chars",
+        TX.token_id_set("text").alias("toks"),
+    )
+    cands = blocking.candidate_pairs(
+        docs, id_col="primary_key", group_col="source", block_col="lang",
+        length_col="n_chars", length_ratio_threshold=0.26,
+    )
+    return (
+        cands.withColumn("sim", SIM.jaccard(F.col("toks1"), F.col("toks2")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("pk1").alias("src"), F.col("pk2").alias("dst"))
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations) on the undirected similarity graph
+    (GraphUtils.scala:24-31)."""
+    from scabillmatch_spark.operators import graph
+
+    edges = _doc_edges(spark, sf_dir)
+    pr = graph.pagerank(edges, reset_prob=0.15, max_iter=3)
+    return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (GraphUtils.scala:38-41)."""
+    from scabillmatch_spark.operators import graph
+
+    edges = _doc_edges(spark, sf_dir)
+    return graph.triangle_count_per_vertex(edges)
+
+
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the smallest vertex id (GraphUtils.scala:33-36),
+    bounded depth 6."""
+    from scabillmatch_spark.operators import graph
+
+    edges = _doc_edges(spark, sf_dir).cache()
+    landmark = edges.agg(F.min("src")).first()[0]
+    return graph.shortest_paths(edges, landmark, max_depth=6)
+
+
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling window (Trigger.AvailableNow + memory
+    sink) — must equal the batch form, so it shares the batch oracle."""
+    from scabillmatch_spark.streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    return SE.run_available_now(SE.tumbling_counts(stream))
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's workhorse: TF-IDF weighting + cosine similarity over
+    blocked candidate pairs (feature/Utils.scala:181-242 featurization +
+    SimilarityMeasure.scala:23-38 cosine), expressed relationally: explode
+    terms -> tf -> df -> idf -> inverted-index join on term -> dot/norms.
+
+    Scale shape: shuffles on term (bounded by vocabulary), never
+    materializes a dense vector; the blocked pair condition rides the
+    term join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", TX.tokens("text").alias("toks")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    terms = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    w = (
+        terms.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("weight", F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("dfq") + 1.0)))
+        .select("doc_id", "term", "weight")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm"))
+    meta = docs.select("doc_id", "lang", "source", "n_chars")
+    w1 = w.join(meta, "doc_id").join(norms, "doc_id")
+    w2 = (
+        w.select(F.col("doc_id").alias("doc_id2"), F.col("term").alias("term2"),
+                 F.col("weight").alias("weight2"))
+        .join(meta.select(F.col("doc_id").alias("doc_id2"), F.col("lang").alias("lang2"),
+                          F.col("source").alias("source2"), F.col("n_chars").alias("n_chars2")), "doc_id2")
+        .join(norms.select(F.col("doc_id").alias("doc_id2"), F.col("norm").alias("norm2")), "doc_id2")
+    )
+    joined = w1.join(
+        w2,
+        (F.col("term") == F.col("term2"))
+        & (F.col("doc_id") < F.col("doc_id2"))
+        & (F.col("lang") == F.col("lang2"))
+        & (F.col("source") != F.col("source2"))
+        & (F.abs(F.col("n_chars") - F.col("n_chars2")) / F.sqrt(F.col("n_chars") * F.col("n_chars2")) < 0.26),
+    )
+    dots = joined.groupBy("doc_id", "doc_id2", "norm", "norm2").agg(
+        F.sum(F.col("weight") * F.col("weight2")).alias("dot")
+    )
+    cos = dots.withColumn("cosine100", 100.0 * F.col("dot") / (F.col("norm") * F.col("norm2")))
+    return cos.filter(F.col("cosine100") >= 60.0).select(
+        F.col("doc_id").alias("d1"),
+        F.col("doc_id2").alias("d2"),
+        F.round("cosine100", 6).alias("cosine100"),
+    )
+
+
+def _hyperplanes(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits — literal constants shared
+    by the Spark plan and the SQL oracle."""
+    import hashlib
+
+    planes = []
+    for j in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}:{i}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing (8-bit signature),
+    same-bucket candidate join, exact cosine rescoring, top-3 per query.
+    The brute-force twin is emb_cosine_topk; this is the 100 TB formulation
+    (bucket equi-join instead of cross join)."""
+    planes = _hyperplanes()
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = None
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bit = F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    hashed = emb.withColumn("bucket", bucket)
+    q = hashed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = hashed.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(SIM.cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -474,6 +634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangle_count": q_graph_triangles,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "events_stream_tumbling": q_events_stream_tumbling,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "emb_lsh_ann": q_emb_lsh_ann,
     }
 
 
@@ -523,7 +689,76 @@ _LANG_SW_SQL = {
 }
 
 
+# Shared DuckDB CTE prefix: the similarity-graph edge list (Jaccard >= 50,
+# same blocking as doc_near_dup_jaccard).
+_DUCK_EDGE_CTE = """
+    toks AS (SELECT doc_id, lang, source, n_chars, {tokset} AS toks FROM documents),
+    ed AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.source <> b.source
+         AND abs(a.n_chars - b.n_chars) / sqrt(a.n_chars * b.n_chars) < 0.26
+         AND 100.0 * len(list_intersect(a.toks, b.toks))
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 95.0
+    ),
+    und AS (SELECT d1 AS s, d2 AS d FROM ed UNION ALL SELECT d2, d1 FROM ed),
+    verts AS (SELECT DISTINCT s AS id FROM und)
+"""
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    cte = _DUCK_EDGE_CTE.format(tokset=_DUCK_TOKIDSET)
+    sql = f"""
+    WITH {cte},
+    nn AS (SELECT COUNT(*) AS n FROM verts),
+    deg AS (SELECT s, COUNT(*) AS outdeg FROM und GROUP BY s),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT v.id,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.insum, 0.0) AS rank
+        FROM verts v LEFT JOIN (
+            SELECT u.d AS id, SUM(r.rank / dg.outdeg) AS insum
+            FROM und u JOIN {prev} r ON u.s = r.id JOIN deg dg ON dg.s = u.s
+            GROUP BY u.d
+        ) c ON v.id = c.id
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT id, ROUND(rank, 6) AS pagerank FROM {prev}"""
+    return sql
+
+
+def _emb_lsh_ann_oracle() -> str:
+    planes = _hyperplanes()
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane}) > 0 THEN {2**j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, ({terms}) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
+        cand AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(q.qv, b.v)
+                         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cos_sim
+            FROM b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM cand
+        ) WHERE rk <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    edge_cte = _DUCK_EDGE_CTE.format(tokset=_DUCK_TOKIDSET)
     lang_hits = {
         lang: f"len(list_filter(t, x -> list_contains({arr}, x)))"
         for lang, arr in _LANG_SW_SQL.items()
@@ -635,6 +870,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
             FROM scored
             WHERE 100.0 * inter / uni >= 70.0
+        """,
+        "events_stream_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "tfidf_cosine_pairs": f"""
+            WITH docs AS (SELECT doc_id, lang, source, n_chars, {_DUCK_TOKLIST} AS toks FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM docs),
+            terms AS (
+                SELECT doc_id, unnest(toks) AS term FROM docs
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+            dfq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term),
+            w AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * ln((nn.n + 1.0) / (dfq.dfq + 1.0)) AS weight
+                FROM tf JOIN dfq USING (term) CROSS JOIN nn
+            ),
+            norms AS (SELECT doc_id, sqrt(SUM(weight * weight)) AS norm FROM w GROUP BY doc_id),
+            meta AS (SELECT doc_id, lang, source, n_chars FROM docs),
+            dots AS (
+                SELECT w1.doc_id AS d1, w2.doc_id AS d2,
+                       SUM(w1.weight * w2.weight) AS dot
+                FROM w w1
+                JOIN meta m1 ON m1.doc_id = w1.doc_id
+                JOIN w w2 ON w1.term = w2.term AND w1.doc_id < w2.doc_id
+                JOIN meta m2 ON m2.doc_id = w2.doc_id
+                WHERE m1.lang = m2.lang AND m1.source <> m2.source
+                  AND abs(m1.n_chars - m2.n_chars) / sqrt(m1.n_chars * m2.n_chars) < 0.26
+                GROUP BY w1.doc_id, w2.doc_id
+            )
+            SELECT d1, d2, ROUND(100.0 * dot / (n1.norm * n2.norm), 6) AS cosine100
+            FROM dots JOIN norms n1 ON n1.doc_id = d1 JOIN norms n2 ON n2.doc_id = d2
+            WHERE 100.0 * dot / (n1.norm * n2.norm) >= 60.0
+        """,
+        "emb_lsh_ann": _emb_lsh_ann_oracle(),
+        "graph_pagerank": _pagerank_oracle(3),
+        "graph_triangle_count": f"""
+            WITH {edge_cte},
+            tri AS (
+                SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+                FROM ed e1 JOIN ed e2 ON e1.d2 = e2.d1
+                JOIN ed e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+            ),
+            tv AS (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            SELECT id, COUNT(*) AS count FROM tv GROUP BY id
+        """,
+        "graph_shortest_paths": f"""
+            WITH RECURSIVE {edge_cte},
+            lm AS (SELECT MIN(d1) AS l FROM ed),
+            bfs(id, d) AS (
+                SELECT l, 0 FROM lm
+                UNION
+                SELECT u.d, b.d + 1
+                FROM bfs b JOIN und u ON u.s = b.id
+                WHERE b.d < 6
+            )
+            SELECT id, MIN(d) AS distance FROM bfs GROUP BY id
         """,
         "emb_vector_sum_by_label": """
             WITH ex AS (

@@ -1,0 +1,132 @@
+"""LSH similarity joins on ml feature vectors.
+
+Wraps stock ``pyspark.ml.feature.MinHashLSH`` / ``BucketedRandomProjectionLSH``
+for the hashing + bucket-join plan (the same posexplode -> equi-join ->
+distinct shape as CustomizedLSH.scala:227-259), then **recomputes the
+distance column ourselves**: the reference's fork replaced Jaccard distance
+with min-one-sided Jaccard distance
+
+    keyDistance(x, y) = min(1 - |x∩y|/|x|, 1 - |x∩y|/|y|)
+
+(CustomizedMinHashLSH.scala:46-58) — stock Spark only gives plain Jaccard,
+so the *distance*, not the join, is what's custom (SURVEY §7 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+import pandas as pd
+
+
+@pandas_udf(DoubleType())
+def _min_one_sided_jaccard_dist(a: pd.Series, b: pd.Series) -> pd.Series:
+    from scabillmatch_spark.ml.kernels import _records, _to_index_values
+
+    out = []
+    for v1, v2 in zip(_records(a), _records(b)):
+        s1 = set(map(int, _to_index_values(v1)[0]))
+        s2 = set(map(int, _to_index_values(v2)[0]))
+        if not s1 or not s2:
+            out.append(1.0)
+            continue
+        inter = len(s1 & s2)
+        out.append(min(1.0 - inter / len(s1), 1.0 - inter / len(s2)))
+    return pd.Series(out, dtype="float64")
+
+
+def minhash_similarity_join(
+    df_a: DataFrame,
+    df_b: DataFrame | None,
+    id_col: str,
+    features_col: str = "features",
+    num_hash_tables: int = 100,
+    seed: int = 12345,
+    dist_threshold: float = 0.99,
+    use_reference_distance: bool = True,
+) -> DataFrame:
+    """Approximate similarity self/AB-join -> (pk1, pk2, distCol, similarity).
+
+    numHashTables=100, seed=12345, threshold 0.99 are the reference's
+    production settings (ExtractMinHashLSH.scala:108-111, workflow2.conf).
+    similarity = 100 - 100*dist (the reference's scaler,
+    ExtractMinHashLSH.scala:25).
+    """
+    mh = (
+        MinHashLSH()
+        .setInputCol(features_col)
+        .setOutputCol("__hashes")
+        .setNumHashTables(num_hash_tables)
+        .setSeed(seed)
+    )
+    model = mh.fit(df_a)
+    other = df_b if df_b is not None else df_a
+    joined = model.approxSimilarityJoin(df_a, other, 1.0, distCol="__jaccard_dist")
+    pairs = joined.select(
+        F.col(f"datasetA.{id_col}").alias("pk1"),
+        F.col(f"datasetB.{id_col}").alias("pk2"),
+        F.col(f"datasetA.{features_col}").alias("__f1"),
+        F.col(f"datasetB.{features_col}").alias("__f2"),
+        "__jaccard_dist",
+    ).filter(F.col("pk1") < F.col("pk2"))
+    dist = (
+        _min_one_sided_jaccard_dist(F.col("__f1"), F.col("__f2"))
+        if use_reference_distance
+        else F.col("__jaccard_dist")
+    )
+    return (
+        pairs.withColumn("dist", dist)
+        .filter(F.col("dist") < dist_threshold)
+        .withColumn("similarity", 100.0 - 100.0 * F.col("dist"))
+        .select("pk1", "pk2", "dist", "similarity")
+    )
+
+
+def brp_similarity_join(
+    df_a: DataFrame,
+    df_b: DataFrame | None,
+    id_col: str,
+    features_col: str = "features",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    dist_threshold: float = 15.0,
+    seed: int = 12345,
+) -> DataFrame:
+    """Euclidean LSH join (BucketedRandomProjectionLSHExample.scala:106-116:
+    bucketLength 2.0, 3 tables, threshold 15). One job — no per-state-pair
+    driver loop."""
+    brp = (
+        BucketedRandomProjectionLSH()
+        .setInputCol(features_col)
+        .setOutputCol("__hashes")
+        .setBucketLength(bucket_length)
+        .setNumHashTables(num_hash_tables)
+        .setSeed(seed)
+    )
+    model = brp.fit(df_a)
+    other = df_b if df_b is not None else df_a
+    joined = model.approxSimilarityJoin(df_a, other, dist_threshold, distCol="dist")
+    return joined.select(
+        F.col(f"datasetA.{id_col}").alias("pk1"),
+        F.col(f"datasetB.{id_col}").alias("pk2"),
+        "dist",
+    ).filter(F.col("pk1") < F.col("pk2"))
+
+
+def dimsum_column_similarities(df: DataFrame, features_col: str = "features", threshold: float = 1.0) -> DataFrame:
+    """DIMSUM sampled all-pairs column cosine similarity
+    (feature/Utils.scala:123-127, DIMSUM.scala:102-108) ->
+    (i, j, similarity)."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    rows = df.select(features_col).rdd.map(lambda r: OldVectors.fromML(r[0]))
+    mat = RowMatrix(rows)
+    sims = mat.columnSimilarities(threshold)
+    return sims.entries.map(lambda e: (int(e.i), int(e.j), float(e.value))).toDF(
+        ["i", "j", "similarity"]
+    )

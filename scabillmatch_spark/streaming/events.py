@@ -1,0 +1,114 @@
+"""Structured Streaming over the events table (north-star extension; the
+reference is batch-only — SURVEY §2.12).
+
+Design rule: every streaming aggregation is a plain function over a
+DataFrame, applied identically to ``spark.read`` and ``spark.readStream``
+inputs — batch and stream share operator code, and the batch form is the
+DuckDB-oracle-checkable twin of the streaming form.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) -> long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (explicit schema — file
+    streams can't infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory: point at the sf dir and glob the
+    # events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return _normalize_ts(raw)
+
+
+# --- shared batch/stream transformations -----------------------------------
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + value sums per event_type (F.window)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window average value per event_type."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (F.session_window — the streaming-native
+    form of the batch lag/cumsum sessionization in __spark_entry__)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup by event_id with watermarked state eviction."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+# --- runner -----------------------------------------------------------------
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (Trigger.AvailableNow) into a memory sink; return the result as a batch
+    DataFrame. Gives deterministic, oracle-checkable streaming results."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    result = spark.table(name)
+    return result

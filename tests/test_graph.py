@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.operators import graph
+
+
+@pytest.fixture(scope="module")
+def square_graph(spark):
+    # square 1-2-3-4 plus diagonal 1-3 => triangles (1,2,3) and (1,3,4)
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["src", "dst"]
+    )
+
+
+def test_triangles(square_graph):
+    rows = {r.id: r["count"] for r in graph.triangle_count_per_vertex(square_graph).collect()}
+    assert rows == {1: 2, 2: 1, 3: 2, 4: 1}
+    assert graph.triangle_count(square_graph).first().n_triangles == 2
+
+
+def test_shortest_paths(square_graph):
+    d = {r.id: r.distance for r in graph.shortest_paths(square_graph, 2).collect()}
+    assert d == {2: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_pagerank_sums_to_one(square_graph):
+    pr = graph.pagerank(square_graph, max_iter=10).collect()
+    total = sum(r.pagerank for r in pr)
+    assert abs(total - 1.0) < 1e-6
+    by_id = {r.id: r.pagerank for r in pr}
+    # degree-3 vertices (1 and 3) must outrank degree-2 (2 and 4)
+    assert by_id[1] > by_id[2] and by_id[3] > by_id[4]
+    assert abs(by_id[1] - by_id[3]) < 1e-9 and abs(by_id[2] - by_id[4]) < 1e-9
