@@ -362,7 +362,11 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_5gram_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordCount.scala:19-67: clean -> tokenize -> 5-gram -> frequency table,
     top-20 skim with deterministic tie-break."""
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: a single-file scan is one split; n-gram explode + count is
+    # CPU-dense and must fan out across cores
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = docs.select(
         F.explode(TX.ngrams(TX.tokens("text"), 5)).alias("gram")
     )
@@ -494,6 +498,35 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _doc_edges(spark, sf_dir).cache()
     landmark = edges.agg(F.min("src")).first()[0]
     return graph.shortest_paths(edges, landmark, max_depth=6)
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical agg: ROLLUP(status, priority) — subtotals + grand total
+    (capability beyond the reference; SURVEY §2.4 grouping sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("o_totalprice", "total"))
+    )
+
+
+def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 key-contains probe + P5 IN-list predicate + A2 countDistinct:
+    the reference's 'find my probe bill's matches' pattern
+    (docs/example1.md k1 contains 'NJ'; feature/Utils.scala:284-305 in-list)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    probe = cust.filter(
+        F.col("c_name").contains("42") & F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    )
+    return (
+        probe.join(orders, probe.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            F.countDistinct(F.col("o_orderstatus")).alias("n_statuses"),
+        )
+    )
 
 
 def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_triangle_count": q_graph_triangles,
         "graph_shortest_paths": q_graph_shortest_paths,
+        "orders_rollup": q_orders_rollup,
+        "probe_search": q_probe_search,
         "events_stream_tumbling": q_events_stream_tumbling,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -870,6 +905,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
             FROM scored
             WHERE 100.0 * inter / uni >= 70.0
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "probe_search": """
+            SELECT c_custkey, c_name,
+                   COUNT(o_orderkey) AS n_orders,
+                   COUNT(DISTINCT o_orderstatus) AS n_statuses
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            WHERE c_name LIKE '%42%' AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+            GROUP BY c_custkey, c_name
         """,
         "events_stream_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

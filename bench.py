@@ -26,6 +26,15 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("bench")
 
+    # Warmup: JVM + codegen + one scan of each table, so per-query timings
+    # reflect steady-state throughput rather than first-action startup cost.
+    from scabillmatch_spark.io.sources import TESTDATA_TABLES, read_table
+
+    t0 = time.perf_counter()
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).count()
+    print(f"# warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
 
     def run(name, fn):

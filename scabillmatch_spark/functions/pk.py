@@ -31,6 +31,26 @@ def make_pk(state: Column, year: Column, docid: Column, docversion: Column) -> C
     return F.concat_ws("_", state, year.cast("string"), docid, docversion)
 
 
+def in_list(col: Column | str, ids: list[str], negate: bool = False) -> Column:
+    """P5 dynamic IN-list / NOT-IN predicate. The reference built SQL strings
+    from a bill-id file and re-parsed them (feature/Utils.scala:284-305);
+    a Column isin handles any list size and stays in codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    pred = c.isin(ids)
+    return ~pred if negate else pred
+
+
+def flatten_struct(df: DataFrame, struct_col: str, prefix: str = "") -> DataFrame:
+    """P9 nested-struct flatten (the reference's children/child helpers after
+    joinWith, LatestVersionExtracter.scala:61-72): expand struct fields to
+    top-level columns."""
+    fields = [f.name for f in df.schema[struct_col].dataType.fields]
+    cols = [c for c in df.columns if c != struct_col] + [
+        F.col(f"{struct_col}.{f}").alias(f"{prefix}{f}") for f in fields
+    ]
+    return df.select(*cols)
+
+
 def canonical_pair(df: DataFrame, k1: str = "pk1", k2: str = "pk2") -> DataFrame:
     """Reorder pair columns so the smaller key is first
     (imposeTemporalOrder, AnalysisUtils.scala:159-167 — no UDF, no shuffle)."""

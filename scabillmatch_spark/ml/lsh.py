@@ -117,6 +117,30 @@ def brp_similarity_join(
     ).filter(F.col("pk1") < F.col("pk2"))
 
 
+def approx_nearest_neighbors(
+    df: DataFrame,
+    key_vector,
+    n: int,
+    id_col: str,
+    features_col: str = "features",
+    num_hash_tables: int = 10,
+    seed: int = 12345,
+) -> DataFrame:
+    """M14 k-NN probe (CustomizedLSH.scala:92-170's single-probe /
+    hash-distance-sorted search) via stock MinHashLSH approxNearestNeighbors."""
+    mh = (
+        MinHashLSH()
+        .setInputCol(features_col)
+        .setOutputCol("__hashes")
+        .setNumHashTables(num_hash_tables)
+        .setSeed(seed)
+    )
+    model = mh.fit(df)
+    return model.approxNearestNeighbors(df, key_vector, n).select(
+        id_col, F.col("distCol").alias("dist")
+    )
+
+
 def dimsum_column_similarities(df: DataFrame, features_col: str = "features", threshold: float = 1.0) -> DataFrame:
     """DIMSUM sampled all-pairs column cosine similarity
     (feature/Utils.scala:123-127, DIMSUM.scala:102-108) ->

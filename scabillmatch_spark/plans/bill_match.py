@@ -29,9 +29,9 @@ def document_match(
     spark: SparkSession,
     sf_dir: str,
     min_chars: int = 40,
-    num_hashes: int = 16,
+    num_hashes: int = 32,
     num_bands: int = 4,
-    threshold: float = 60.0,
+    threshold: float = 90.0,
     top: int = 100,
 ) -> DataFrame:
     """Top near-duplicate document pairs by token-set Jaccard, LSH-blocked.

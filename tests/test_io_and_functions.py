@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.ml.linalg import Vectors
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions import pk as PK
+from scabillmatch_spark.io import sources
+from scabillmatch_spark.operators import pairs
+
+
+@pytest.fixture(scope="module")
+def bills(spark):
+    rows = [
+        ("FL_2005_SB436_Introduced", "stand your ground " * 40, 2005, 9, "SB436", "Introduced"),
+        ("MI_2005_SB1046_Introduced", "stand your ground " * 39, 2005, 22, "SB1046", "Introduced"),
+        ("NJ_2006_HB11_Enacted", "completely different topic " * 30, 2006, 30, "HB11", "Enacted"),
+    ]
+    return spark.createDataFrame(
+        [(pk, c, y, s, d, v, len(c)) for pk, c, y, s, d, v in rows],
+        ["primary_key", "content", "year", "state", "docid", "docversion", "length"],
+    )
+
+
+def test_jsonl_roundtrip(spark, bills, tmp_path):
+    path = str(tmp_path / "bills_json")
+    sources.write_json(bills, path)
+    back = sources.read_bills_json(spark, path)
+    assert back.count() == 3
+    # JSON reads force nullable=true; compare names+types
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in sources.BILL_SCHEMA
+    ]
+    assert {r.primary_key for r in back.collect()} == {r.primary_key for r in bills.collect()}
+
+
+def test_parquet_roundtrip_partitioned(spark, bills, tmp_path):
+    path = str(tmp_path / "bills_parquet")
+    sources.write_parquet(bills, path, partition_by=["state"])
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # partition pruning: reading one state touches one partition dir
+    one = back.filter(F.col("state") == 9)
+    assert one.count() == 1
+
+
+def test_pk_helpers(spark, bills):
+    parsed = bills.select(
+        PK.pk_state("primary_key").alias("st"),
+        PK.pk_year("primary_key").alias("yr"),
+        PK.make_pk(F.lit("FL"), F.lit(2005), F.lit("SB436"), F.lit("Introduced")).alias("mk"),
+    ).first()
+    assert parsed.st == "FL" and parsed.yr == 2005
+    assert parsed.mk == "FL_2005_SB436_Introduced"
+
+
+def test_in_list_and_canonical(spark, bills):
+    keep = ["FL_2005_SB436_Introduced"]
+    assert bills.filter(PK.in_list("primary_key", keep)).count() == 1
+    assert bills.filter(PK.in_list("primary_key", keep, negate=True)).count() == 2
+    prs = spark.createDataFrame([("b", "a", 1.0), ("c", "d", 2.0)], ["pk1", "pk2", "similarity"])
+    out = {(r.pk1, r.pk2) for r in PK.canonical_pair(prs).collect()}
+    assert out == {("a", "b"), ("c", "d")}
+
+
+def test_flatten_struct(spark):
+    df = spark.createDataFrame([(1, (10, "x"))], "id int, s struct<a:int,b:string>")
+    flat = PK.flatten_struct(df, "s")
+    assert set(flat.columns) == {"id", "a", "b"}
+    assert flat.first().a == 10
+
+
+def test_sample_n(spark, sf_med):
+    scored = spark.createDataFrame(
+        [(str(i), str(i + 1), float(i % 100)) for i in range(10_000)],
+        ["pk1", "pk2", "similarity"],
+    )
+    out = pairs.sample_n(scored, 500, threshold=50.0, seed=7)
+    n = out.count()
+    assert 300 <= n <= 700  # Bernoulli around the target
+    assert out.filter(F.col("similarity") <= 50.0).count() == 0
+
+
+def test_skim_and_light(spark):
+    scored = spark.createDataFrame([("b", "a", 90.0)], ["pk1", "pk2", "similarity"])
+    docs = spark.createDataFrame([("a", "text a"), ("b", "text b")], ["primary_key", "content"])
+    enriched = pairs.enrich_pairs(scored, docs)
+    skim = pairs.make_skim(enriched).first()
+    assert skim.pk1_smaller == "a" and skim.content1_smaller == "text a"
+    light = pairs.make_light(scored).first()
+    assert (light.pk1_smaller, light.pk2_larger) == ("a", "b")
+
+
+def test_approx_nearest_neighbors(spark):
+    from scabillmatch_spark.ml import lsh
+
+    df = spark.createDataFrame(
+        [(i, Vectors.sparse(100, [i, i + 1, i + 2], [1.0, 1.0, 1.0])) for i in range(50)],
+        ["id", "features"],
+    )
+    key = Vectors.sparse(100, [10, 11, 12], [1.0, 1.0, 1.0])
+    nn = lsh.approx_nearest_neighbors(df, key, 3, "id")
+    rows = nn.collect()
+    assert len(rows) == 3
+    assert rows[0].id == 10 and rows[0].dist == 0.0
