@@ -1,0 +1,224 @@
+"""Command-line entry points — the reference's app-per-conf workflow
+(wrapper scripts rewriting HOCON and re-running sbt assembly per run,
+wrapper_workflow1.py:16-18) replaced by one argparse CLI with runtime config.
+
+    python -m scabillmatch_spark.cli featurize --input bills.json --output feats/
+    python -m scabillmatch_spark.cli candidates --input feats/ --output pairs/ --strategy kmeans --k 150
+    python -m scabillmatch_spark.cli score --pairs pairs/ --features feats/ --measure jaccard --output scored/
+    python -m scabillmatch_spark.cli lsh-join --input bills.json --output scored/
+    python -m scabillmatch_spark.cli postprocess --scored scored/ --docs bills.json --output out/ --top 100
+    python -m scabillmatch_spark.cli wordcount --input bills.json --output counts/ --ngram 5
+    python -m scabillmatch_spark.cli graph --scored scored/ --algo pagerank --output pr/
+
+Each subcommand is one lazily-planned Spark job (workflow 1's two processes +
+objectFile handoff collapse into `candidates`+`score`, or a single `lsh-join`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from scabillmatch_spark.session import get_spark
+
+    return get_spark(f"scabillmatch-{args.cmd}")
+
+
+def _read_docs(spark, path: str):
+    from scabillmatch_spark.io.sources import BILL_SCHEMA, read_bills_json
+
+    if path.endswith((".json", ".jsonl")) or "*" in path:
+        return read_bills_json(spark, path)
+    return spark.read.parquet(path)
+
+
+def cmd_featurize(args) -> None:
+    from scabillmatch_spark.ml.cluster import kmeans_labels
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+
+    spark = _spark(args)
+    docs = _read_docs(spark, args.input)
+    if args.docversion:
+        docs = docs.filter(F.col("docversion") == args.docversion)
+    if args.min_length:
+        docs = docs.filter(F.length("content") >= args.min_length)
+    cfg = FeatureConfig(
+        num_features=args.num_features,
+        use_idf=not args.no_idf,
+        ngram=args.ngram,
+        stem=args.stem,
+    )
+    out, _ = extract_features(docs, cfg)
+    if args.kmeans_k:
+        out, cost = kmeans_labels(out, k=args.kmeans_k, max_iter=args.kmeans_iters)
+        print(f"kmeans training cost (WSSSE analog): {cost}", file=sys.stderr)
+    else:
+        out = out.withColumn("prediction", F.lit(-1))
+    out.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_candidates(args) -> None:
+    from scabillmatch_spark.operators.blocking import candidate_pairs
+
+    spark = _spark(args)
+    feats = spark.read.parquet(args.input)
+    pairs = candidate_pairs(
+        feats.select("primary_key", "state", "prediction", "length"),
+        id_col="primary_key",
+        group_col=None if args.keep_in_state else "state",
+        block_col="prediction" if args.strategy == "kmeans" else None,
+        length_col="length" if args.length_ratio else None,
+        allow_cartesian=args.strategy == "all-pairs",
+    )
+    pairs.select("pk1", "pk2").write.mode("overwrite").parquet(args.output)
+
+
+def cmd_score(args) -> None:
+    from scabillmatch_spark.ml.kernels import vector_similarity
+    from scabillmatch_spark.operators.pairs import score_pairs
+
+    spark = _spark(args)
+    pairs = spark.read.parquet(args.pairs)
+    feats = spark.read.parquet(args.features)
+    measure = vector_similarity(args.measure)
+    scored = score_pairs(pairs, feats, lambda a, b: measure(a, b))
+    scored.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_lsh_join(args) -> None:
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+    from scabillmatch_spark.ml.lsh import minhash_similarity_join
+
+    spark = _spark(args)
+    docs = _read_docs(spark, args.input)
+    cfg = FeatureConfig(num_features=args.num_features, use_idf=False, ngram=args.ngram)
+    feats, _ = extract_features(docs, cfg)
+    scored = minhash_similarity_join(
+        feats, None, "primary_key",
+        num_hash_tables=args.hash_tables, dist_threshold=args.threshold,
+    )
+    scored.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_postprocess(args) -> None:
+    from scabillmatch_spark.operators.pairs import enrich_pairs, make_light, make_skim, top_n
+
+    spark = _spark(args)
+    scored = spark.read.parquet(args.scored)
+    skimmed = top_n(scored, args.top, ascending=args.ascending)
+    make_light(skimmed).write.mode("overwrite").json(f"{args.output}/light")
+    if args.docs:
+        docs = _read_docs(spark, args.docs)
+        make_skim(enrich_pairs(skimmed, docs)).coalesce(1).write.mode("overwrite").json(
+            f"{args.output}/skim"
+        )
+
+
+def cmd_wordcount(args) -> None:
+    from scabillmatch_spark.functions import text as TX
+
+    spark = _spark(args)
+    docs = _read_docs(spark, args.input)
+    toks = TX.tokens("content")
+    grams = F.explode(TX.ngrams(toks, args.ngram) if args.ngram > 1 else toks).alias("ngram")
+    counts = (
+        docs.select(grams)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("ngram"))
+    )
+    counts.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_graph(args) -> None:
+    from scabillmatch_spark.operators import graph
+
+    spark = _spark(args)
+    scored = spark.read.parquet(args.scored)
+    edges = scored.select(F.col("pk1").alias("src"), F.col("pk2").alias("dst"))
+    if args.algo == "pagerank":
+        out = graph.pagerank(edges, reset_prob=args.reset_prob, max_iter=args.iters)
+    elif args.algo == "triangles":
+        out = graph.triangle_count_per_vertex(edges)
+    else:
+        out = graph.shortest_paths(edges, args.landmark, max_depth=args.iters)
+    out.write.mode("overwrite").parquet(args.output)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="scabillmatch_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("featurize", help="clean/tokenize/TF-IDF [+kmeans labels]")
+    f.add_argument("--input", required=True)
+    f.add_argument("--output", required=True)
+    f.add_argument("--docversion", default=None)
+    f.add_argument("--min-length", type=int, default=0)
+    f.add_argument("--num-features", type=int, default=2**14)
+    f.add_argument("--no-idf", action="store_true")
+    f.add_argument("--ngram", type=int, default=None)
+    f.add_argument("--stem", action="store_true")
+    f.add_argument("--kmeans-k", type=int, default=0)
+    f.add_argument("--kmeans-iters", type=int, default=40)
+    f.set_defaults(fn=cmd_featurize)
+
+    c = sub.add_parser("candidates", help="blocked candidate pair generation")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--strategy", choices=["all-pairs", "kmeans"], default="kmeans")
+    c.add_argument("--keep-in-state", action="store_true")
+    c.add_argument("--length-ratio", action="store_true")
+    c.set_defaults(fn=cmd_candidates)
+
+    s = sub.add_parser("score", help="similarity-score candidate pairs")
+    s.add_argument("--pairs", required=True)
+    s.add_argument("--features", required=True)
+    s.add_argument("--measure", default="jaccard")
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_score)
+
+    l = sub.add_parser("lsh-join", help="single-plan MinHash LSH similarity join")
+    l.add_argument("--input", required=True)
+    l.add_argument("--output", required=True)
+    l.add_argument("--num-features", type=int, default=2**14)
+    l.add_argument("--ngram", type=int, default=5)
+    l.add_argument("--hash-tables", type=int, default=100)
+    l.add_argument("--threshold", type=float, default=0.99)
+    l.set_defaults(fn=cmd_lsh_join)
+
+    pp = sub.add_parser("postprocess", help="top-N skim/light outputs")
+    pp.add_argument("--scored", required=True)
+    pp.add_argument("--docs", default=None)
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--top", type=int, default=100)
+    pp.add_argument("--ascending", action="store_true")
+    pp.set_defaults(fn=cmd_postprocess)
+
+    w = sub.add_parser("wordcount", help="n-gram frequency table")
+    w.add_argument("--input", required=True)
+    w.add_argument("--output", required=True)
+    w.add_argument("--ngram", type=int, default=5)
+    w.set_defaults(fn=cmd_wordcount)
+
+    g = sub.add_parser("graph", help="graph analytics over scored pairs")
+    g.add_argument("--scored", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--algo", choices=["pagerank", "triangles", "bfs"], default="pagerank")
+    g.add_argument("--reset-prob", type=float, default=0.15)
+    g.add_argument("--iters", type=int, default=10)
+    g.add_argument("--landmark", default=None)
+    g.set_defaults(fn=cmd_graph)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

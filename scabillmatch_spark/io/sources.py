@@ -98,6 +98,19 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def read_whole_text(spark: SparkSession, path: str) -> DataFrame:
+    """S6 wholeTextFiles analog: one row per file (value = full content,
+    file = source path). Replaces the reference's collect+PrintWriter
+    anti-pattern (utils/MetadataConverter.scala:37-41)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(path, wholetext=True)
+        .withColumn("file", F.input_file_name())
+        .select("file", "value")
+    )
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     w = df.write.mode(mode)
     if partition_by:

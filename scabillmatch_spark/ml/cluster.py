@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.ml.clustering import LDA, KMeans
+from pyspark.ml.clustering import LDA, BisectingKMeans, KMeans
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +40,27 @@ def kmeans_labels(
     )
     model = km.fit(df)
     return model.transform(df), float(model.summary.trainingCost)
+
+
+def bisecting_kmeans_labels(
+    df: DataFrame,
+    features_col: str = "features",
+    k: int = 40,
+    max_iter: int = 20,
+    seed: int = 12345,
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """M9 BisectingKMeans — the reference's commented-out alternative blocking
+    (feature/Utils.scala:138)."""
+    bkm = (
+        BisectingKMeans()
+        .setK(k)
+        .setMaxIter(max_iter)
+        .setSeed(seed)
+        .setFeaturesCol(features_col)
+        .setPredictionCol(prediction_col)
+    )
+    return bkm.fit(df).transform(df)
 
 
 def lda_topics(

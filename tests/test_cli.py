@@ -1,0 +1,75 @@
+"""End-to-end CLI workflow: featurize -> candidates -> score -> postprocess
+(the reference's workflow 1 shape) on a small JSONL corpus."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from scabillmatch_spark import cli
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    f = d / "bills.jsonl"
+    rows = []
+    base = "concerning the authorization of force in self defense situations "
+    other = "an act relating to agricultural water rights and irrigation "
+    for i, (state, text) in enumerate(
+        [(9, base * 20), (22, base * 20 + "amended "), (30, other * 20), (44, other * 21)]
+    ):
+        content = text
+        rows.append(
+            {
+                "primary_key": f"ST{state}_2005_B{i}_Introduced",
+                "content": content,
+                "year": 2005,
+                "state": state,
+                "docid": f"B{i}",
+                "docversion": "Introduced",
+                "length": len(content),
+            }
+        )
+    f.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(f)
+
+
+def test_cli_workflow1(spark, corpus, tmp_path):
+    feats = str(tmp_path / "feats")
+    pairs = str(tmp_path / "pairs")
+    scored = str(tmp_path / "scored")
+    out = str(tmp_path / "post")
+
+    cli.main(["featurize", "--input", corpus, "--output", feats,
+              "--docversion", "Introduced", "--kmeans-k", "2", "--kmeans-iters", "5"])
+    cli.main(["candidates", "--input", feats, "--output", pairs, "--strategy", "kmeans"])
+    cli.main(["score", "--pairs", pairs, "--features", feats,
+              "--measure", "jaccard", "--output", scored])
+    cli.main(["postprocess", "--scored", scored, "--docs", corpus,
+              "--output", out, "--top", "10"])
+
+    scored_df = spark.read.parquet(scored)
+    rows = {(r.pk1, r.pk2): r.similarity for r in scored_df.collect()}
+    assert rows, "no scored pairs"
+    # the two within-topic pairs must outrank any cross-topic pair
+    light = spark.read.json(f"{out}/light")
+    ranked = light.orderBy(F.desc("similarity")).collect()
+    top2 = {frozenset((r.pk1_smaller, r.pk2_larger)) for r in ranked[:2]}
+    assert top2 == {
+        frozenset(("ST9_2005_B0_Introduced", "ST22_2005_B1_Introduced")),
+        frozenset(("ST30_2005_B2_Introduced", "ST44_2005_B3_Introduced")),
+    }
+    assert all(r.similarity < 50 for r in ranked[2:])
+    skim = spark.read.json(f"{out}/skim")
+    assert {"content1_smaller", "content2_larger", "pk1_smaller", "pk2_larger", "similarity"} <= set(skim.columns)
+
+
+def test_cli_wordcount(spark, corpus, tmp_path):
+    out = str(tmp_path / "wc")
+    cli.main(["wordcount", "--input", corpus, "--output", out, "--ngram", "2"])
+    counts = spark.read.parquet(out)
+    top = counts.first()
+    assert top["count"] >= 20  # repeated base phrases dominate

@@ -105,3 +105,47 @@ def test_approx_nearest_neighbors(spark):
     rows = nn.collect()
     assert len(rows) == 3
     assert rows[0].id == 10 and rows[0].dist == 0.0
+
+def test_whole_text(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("line1\nline2")
+    (tmp_path / "b.txt").write_text("other")
+    out = sources.read_whole_text(spark, str(tmp_path))
+    rows = {r.file.rsplit("/", 1)[-1]: r.value for r in out.collect()}
+    assert rows == {"a.txt": "line1\nline2", "b.txt": "other"}
+
+
+def test_stemmer_column(spark):
+    from scabillmatch_spark.ml.featurize import _stem_column
+
+    df = spark.createDataFrame(
+        [("running matched nations quickly",)], ["content"]
+    )
+    out = df.select(_stem_column(F.col("content")).alias("s")).first().s
+    assert "running" not in out and "run" in out
+    assert "matched" not in out
+    assert "nations" not in out
+
+
+def test_brp_similarity_join(spark):
+    from scabillmatch_spark.ml import lsh
+
+    df = spark.createDataFrame(
+        [(i, Vectors.dense([float(i), float(i)])) for i in range(20)],
+        ["id", "features"],
+    )
+    pairs_out = lsh.brp_similarity_join(df, None, "id", dist_threshold=2.0)
+    rows = pairs_out.collect()
+    assert all(abs(r.pk1 - r.pk2) <= 1 for r in rows)  # only adjacent points within dist 2
+    assert len(rows) > 0
+
+
+def test_bisecting_kmeans(spark):
+    from scabillmatch_spark.ml import cluster
+
+    df = spark.createDataFrame(
+        [(i, Vectors.dense([float(i % 2) * 10, 0.0])) for i in range(40)],
+        ["id", "features"],
+    )
+    out = cluster.bisecting_kmeans_labels(df, k=2, max_iter=5)
+    groups = out.groupBy("prediction").count().collect()
+    assert len(groups) == 2 and all(g["count"] == 20 for g in groups)

@@ -53,3 +53,16 @@ def test_resize_and_frames(spark, sf_small):
     frames = multimodal.sample_video_frames(media, every_n=10)
     assert frames.count() >= 50  # at least one frame per doc
     assert frames.groupBy("media_id").count().filter("count < 1").count() == 0
+
+def test_stateful_running_totals(spark, sf_small):
+    stream = SE.read_events_stream(spark, sf_small)
+    out = SE.run_available_now(SE.running_user_totals(stream), output_mode="update")
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    batch = read_table(spark, sf_small, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("t")
+    )
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
