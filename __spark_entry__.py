@@ -451,9 +451,20 @@ def q_emb_vector_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGE_CACHE: dict[tuple[str, float], DataFrame] = {}
+
+
 def _doc_edges(spark: SparkSession, sf_dir: str, threshold: float = 95.0) -> DataFrame:
     """Similarity graph edges: near-exact-dup pairs (Jaccard >= threshold) — the
-    reference's scored-pair relation feeding GraphUtils (GraphUtils.scala:16-22)."""
+    reference's scored-pair relation feeding GraphUtils (GraphUtils.scala:16-22).
+
+    Cached per (sf_dir, threshold): the three graph queries share one edge
+    materialization (38k rows at sf0.1) instead of re-running the blocked
+    similarity join each."""
+    key = (sf_dir, threshold)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("primary_key"),
         "lang",
@@ -465,11 +476,14 @@ def _doc_edges(spark: SparkSession, sf_dir: str, threshold: float = 95.0) -> Dat
         docs, id_col="primary_key", group_col="source", block_col="lang",
         length_col="n_chars", length_ratio_threshold=0.26,
     )
-    return (
+    edges = (
         cands.withColumn("sim", SIM.jaccard(F.col("toks1"), F.col("toks2")))
         .filter(F.col("sim") >= threshold)
         .select(F.col("pk1").alias("src"), F.col("pk2").alias("dst"))
+        .persist()
     )
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,7 +509,7 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded depth 6."""
     from scabillmatch_spark.operators import graph
 
-    edges = _doc_edges(spark, sf_dir).cache()
+    edges = _doc_edges(spark, sf_dir)
     landmark = edges.agg(F.min("src")).first()[0]
     return graph.shortest_paths(edges, landmark, max_depth=6)
 

@@ -118,6 +118,27 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed external table: co-locates rows by hash(bucket_col) at write
+    time so later equi-joins/aggs on that key skip the shuffle entirely —
+    the storage-layout lever for repeated 100 TB joins (pairs ⋈ features on
+    the doc key). Read back with ``spark.table(table)``."""
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
     """JSON sink; ``single_file`` mirrors the reference's repartition(1) skim
     output (Postprocessor.scala:31) — only for small post-processed results."""

@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the physical plans the engine is designed to
+produce (SURVEY §4). A correctness-passing query with the wrong plan is a
+scale bug — these assertions keep pushdown/broadcast/pruning locked in."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = entrymod.queries()["tpch_q1_pricing_summary"](spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: content columns absent, only the 6 needed
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_shipdate" in read
+
+
+def test_q3_broadcast_joins(spark):
+    df = entrymod.queries()["tpch_q3_shipping_priority"](spark, SF)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_no_cartesian(spark):
+    from scabillmatch_spark.plans.bill_match import document_match
+
+    plan = _formatted(document_match(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_band_join_is_hash_join(spark):
+    df = entrymod.queries()["doc_near_dup_jaccard"](spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_blocking_refuses_unblocked_cartesian(spark):
+    from scabillmatch_spark.operators import blocking
+
+    docs = spark.range(10).withColumnRenamed("id", "pk")
+    with pytest.raises(ValueError, match="cartesian"):
+        blocking.candidate_pairs(docs, id_col="pk", group_col=None, block_col=None)
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key eliminates the Exchange — the
+    co-located join layout for repeated joins at scale."""
+    from scabillmatch_spark.io import sources
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    sources.write_bucketed(li, "li_bucketed", str(tmp_path / "li"), "l_orderkey", 8)
+    sources.write_bucketed(orders, "ord_bucketed", str(tmp_path / "ord"), "o_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            spark.table("li_bucketed").l_orderkey == spark.table("ord_bucketed").o_orderkey,
+        )
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 6000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
