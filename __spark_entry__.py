@@ -543,6 +543,14 @@ def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window, 30min slide) — batch form of the
+    streaming sliding_avg; each event lands in exactly two windows."""
+    from scabillmatch_spark.streaming import events as SE
+
+    return SE.sliding_avg(_t(spark, sf_dir, "events"))
+
+
 def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling window (Trigger.AvailableNow + memory
     sink) — must equal the batch form, so it shares the batch oracle."""
@@ -686,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": q_graph_shortest_paths,
         "orders_rollup": q_orders_rollup,
         "probe_search": q_probe_search,
+        "events_sliding_window": q_events_sliding_window,
         "events_stream_tumbling": q_events_stream_tumbling,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -933,6 +942,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             WHERE c_name LIKE '%42%' AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
             GROUP BY c_custkey, c_name
+        """,
+        "events_sliding_window": """
+            WITH g AS (
+                SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s1,
+                       event_type, value
+                FROM events
+            ),
+            w AS (
+                SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS ws, event_type, value
+                FROM g
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM w GROUP BY ws, event_type
         """,
         "events_stream_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -91,6 +91,46 @@ def candidate_pairs(
     return out.withColumnRenamed(f"{id_col}1", "pk1").withColumnRenamed(f"{id_col}2", "pk2")
 
 
+def salted_two_phase_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt_n: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-resistant aggregation: pre-aggregate on (key, salt) then finalize
+    on key. Exact for algebraic aggregates (count/sum/min/max).
+
+    AQE's skew-join splitting handles joins; for a groupBy on a hot key the
+    two-phase form spreads the hot key over ``salt_n`` reducers first.
+    ``aggs``: {column: 'count'|'sum'|'min'|'max'}.
+    """
+    salt = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(salt_n))
+        if salt_source
+        else F.floor(F.rand(seed=42) * salt_n)
+    )
+    partial_aggs, final_aggs = [], []
+    for col, fn in aggs.items():
+        p = f"__p_{col}_{fn}"
+        if fn == "count":
+            partial_aggs.append(F.count(F.lit(1)).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{col}_{fn}"))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(col).alias(p))
+            final_aggs.append(F.sum(p).alias(f"{col}_{fn}"))
+        elif fn == "min":
+            partial_aggs.append(F.min(col).alias(p))
+            final_aggs.append(F.min(p).alias(f"{col}_{fn}"))
+        elif fn == "max":
+            partial_aggs.append(F.max(col).alias(p))
+            final_aggs.append(F.max(p).alias(f"{col}_{fn}"))
+        else:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+    partial = df.groupBy(*key_cols, salt.alias("__salt")).agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,65 @@
+"""Hypothesis property tests for the set-similarity Column expressions —
+the engine's hottest inner loop (SURVEY §5 item 2)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions import similarity as SIM
+from scabillmatch_spark.operators import blocking
+
+token_sets = st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=40)
+
+
+def _eval_pairs(spark, rows):
+    df = spark.createDataFrame(rows, "a array<long>, b array<long>")
+    out = df.select(
+        F.array_distinct("a").alias("a"), F.array_distinct("b").alias("b")
+    ).select(
+        SIM.jaccard(F.col("a"), F.col("b")).alias("j"),
+        SIM.jaccard(F.col("b"), F.col("a")).alias("j_sym"),
+        SIM.max_asym_jaccard(F.col("a"), F.col("b")).alias("o"),
+        SIM.left_jaccard(F.col("a"), F.col("b")).alias("l"),
+        SIM.right_jaccard(F.col("a"), F.col("b")).alias("r"),
+    )
+    return out.collect()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(token_sets, token_sets), min_size=1, max_size=8))
+def test_similarity_properties(spark, pairs):
+    for row in _eval_pairs(spark, pairs):
+        # bounds
+        for v in (row.j, row.o, row.l, row.r):
+            assert 0.0 <= v <= 100.0
+        # symmetry of jaccard
+        assert row.j == row.j_sym
+        # jaccard <= overlap coefficient <= 100
+        assert row.j <= row.o + 1e-9
+        # overlap = max(left, right)... actually overlap >= both one-sided
+        assert row.o >= row.l - 1e-9 and row.o >= row.r - 1e-9
+
+
+def test_identical_sets_score_100(spark):
+    rows = [([1, 2, 3], [1, 2, 3])]
+    r = _eval_pairs(spark, rows)[0]
+    assert r.j == 100.0 and r.o == 100.0 and r.l == 100.0 and r.r == 100.0
+
+
+def test_disjoint_sets_score_0(spark):
+    r = _eval_pairs(spark, [([1, 2], [3, 4])])[0]
+    assert r.j == 0.0 and r.o == 0.0
+
+
+def test_salted_two_phase_agg_exact(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(1000)], ["k", "v"]
+    )
+    out = blocking.salted_two_phase_agg(df, ["k"], {"v": "sum", "k": "count"}, salt_n=8)
+    got = {r.k: (r.v_sum, r.k_count) for r in out.collect()}
+    want = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want
