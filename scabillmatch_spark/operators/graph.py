@@ -122,6 +122,49 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
 
 
+def weighted_shortest_paths(
+    edges: DataFrame,
+    landmark,
+    weight_col: str = "weight",
+    max_iter: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """Min-cost path distances by bounded Bellman-Ford relaxation ->
+    (id, distance). The reference README mentions Dijkstra min-cost paths
+    (README.md:163) but never implements them; this is the DataFrame-native
+    equivalent: each iteration relaxes all edges (one shuffle on dst).
+    """
+    e = edges.select("src", "dst", weight_col)
+    if undirected:
+        e = e.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col(weight_col)
+            )
+        )
+    e = e.cache()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(landmark, 0.0)], ["id", "distance"])
+    for i in range(max_iter):
+        relaxed = (
+            dist.join(e, dist.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("distance") + F.col(weight_col)).alias("distance"))
+        )
+        new_dist = (
+            dist.union(relaxed)
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+        )
+        new_dist = new_dist.localCheckpoint()
+        # converged when no distance improved
+        if new_dist.join(
+            dist.withColumnRenamed("distance", "old"), "id", "left"
+        ).filter(F.col("old").isNull() | (F.col("distance") < F.col("old"))).isEmpty():
+            dist = new_dist
+            break
+        dist = new_dist
+    return dist
+
+
 def shortest_paths(
     edges: DataFrame,
     landmark,

@@ -33,3 +33,12 @@ def test_pagerank_sums_to_one(square_graph):
     # degree-3 vertices (1 and 3) must outrank degree-2 (2 and 4)
     assert by_id[1] > by_id[2] and by_id[3] > by_id[4]
     assert abs(by_id[1] - by_id[3]) < 1e-9 and abs(by_id[2] - by_id[4]) < 1e-9
+
+def test_weighted_shortest_paths(spark):
+    # 1 -2.0- 2 -2.0- 3 ; direct 1-3 costs 5.0 => best dist(3)=4.0 via 2
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 2.0), (1, 3, 5.0), (3, 4, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    d = {r.id: r.distance for r in graph.weighted_shortest_paths(edges, 1).collect()}
+    assert d == {1: 0.0, 2: 2.0, 3: 4.0, 4: 5.0}

@@ -149,3 +149,20 @@ def test_bisecting_kmeans(spark):
     out = cluster.bisecting_kmeans_labels(df, k=2, max_iter=5)
     groups = out.groupBy("prediction").count().collect()
     assert len(groups) == 2 and all(g["count"] == 20 for g in groups)
+
+
+def test_sql_surface(spark, sf_small):
+    from scabillmatch_spark import sql as engine_sql
+
+    engine_sql.register(spark, sf_small)
+    row = spark.sql("SELECT sim_jaccard(array(1,2,3), array(2,3,4)) AS j").first()
+    assert abs(row.j - 50.0) < 1e-9
+    n = spark.sql("SELECT count(*) AS n FROM documents").first().n
+    assert n == 500
+    v = spark.sql("""
+        SELECT sim_v_cosine(
+            struct(0 AS type, 3 AS size, array(0,1) AS indices, array(1.0,1.0) AS values),
+            struct(0 AS type, 3 AS size, array(0,1) AS indices, array(1.0,1.0) AS values)
+        ) AS c
+    """).first().c
+    assert abs(v - 100.0) < 1e-6
