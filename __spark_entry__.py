@@ -662,6 +662,92 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
+def _featured_docs(spark: SparkSession, sf_dir: str):
+    """documents -> ml TF-IDF features (shared by the ML queries)."""
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.col("text").alias("content"),
+        "lang",
+        "n_chars",
+    )
+    out, _ = extract_features(docs, FeatureConfig(num_features=2**14))
+    return out
+
+
+def q_ml_kmeans_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference workflow 1 at full fidelity: TF-IDF -> KMeans labels ->
+    label-blocked candidate self-join -> cosine kernel -> threshold.
+    No SQL oracle (ml KMeans isn't reproducible in DuckDB) — rows-only check."""
+    from scabillmatch_spark.ml.cluster import kmeans_labels
+    from scabillmatch_spark.ml.kernels import vector_similarity
+    from scabillmatch_spark.operators.blocking import candidate_pairs
+    from scabillmatch_spark.operators.pairs import score_pairs, top_n
+
+    feats = _featured_docs(spark, sf_dir)
+    labeled, _ = kmeans_labels(feats, k=20, max_iter=10)
+    cands = candidate_pairs(
+        labeled.select("primary_key", "lang", "prediction", "n_chars")
+        .withColumn("pk_num", F.col("primary_key").cast("long")),
+        id_col="pk_num",
+        group_col=None,
+        block_col="prediction",
+        length_col="n_chars",
+    ).select(F.col("pk1").cast("string").alias("pk1"), F.col("pk2").cast("string").alias("pk2"))
+    scored = score_pairs(cands, labeled, vector_similarity("cosine"), "primary_key")
+    return top_n(scored.filter(F.col("similarity") >= 80.0), 500)
+
+
+def q_ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDAAnalyzer analog: CountVectorizer features -> LDA -> topic table."""
+    from scabillmatch_spark.ml.cluster import lda_topics
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.col("text").alias("content"),
+    )
+    out, _ = extract_features(
+        docs, FeatureConfig(use_count_vectorizer=True, use_idf=False, vocab_size=2**12)
+    )
+    _, topics, _ = lda_topics(out, k=5, max_iter=5)
+    return topics.select(
+        "topic", F.col("termIndices").cast("array<long>").alias("termIndices")
+    )
+
+
+def q_ml_lsa_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-SVD document projection with explicit id alignment."""
+    from scabillmatch_spark.ml.cluster import lsa_project
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.col("text").alias("content"),
+    )
+    feats, _ = extract_features(docs, FeatureConfig(num_features=2**10))
+    proj = lsa_project(feats, "primary_key", num_concepts=8)
+    return proj.select("primary_key", F.size("concept_features").alias("n_concepts"))
+
+
+def q_ml_minhash_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractMinHashLSH analog: unweighted HashingTF -> MinHashLSH join ->
+    the reference's min-one-sided-Jaccard distance + 100-100*d scaler."""
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+    from scabillmatch_spark.ml.lsh import minhash_similarity_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.col("text").alias("content"),
+    )
+    feats, _ = extract_features(docs, FeatureConfig(num_features=2**14, use_idf=False))
+    out = minhash_similarity_join(
+        feats, None, "primary_key", num_hash_tables=10, dist_threshold=0.1
+    )
+    return out.select("pk1", "pk2").orderBy("pk1", "pk2")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -698,6 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tumbling": q_events_stream_tumbling,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
+        # ML-pipeline queries: no SQL oracle possible (ml models aren't
+        # reproducible in DuckDB) -> driver records rows-only checks
+        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
+        "ml_lda_topics": q_ml_lda_topics,
+        "ml_lsa_projection": q_ml_lsa_projection,
+        "ml_minhash_reference_join": q_ml_minhash_reference_join,
     }
 
 

@@ -44,9 +44,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
+    # ml model-fitting queries are in the correctness gate but not the bench
+    # headline set (model fits dominate wall time without exercising new
+    # engine plan shapes); ml_kmeans_blocked_pairs stays as the workflow-1
+    # representative.
+    SKIP = {"ml_lda_topics", "ml_lsa_projection", "ml_minhash_reference_join"}
+
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
     run("flagship_doc_match", lambda: document_match(spark, sf_dir, top=1000))
     for name, q in entrymod.queries().items():
+        if name in SKIP:
+            continue
         run(name, lambda q=q: q(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)

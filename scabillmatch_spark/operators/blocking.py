@@ -91,6 +91,59 @@ def candidate_pairs(
     return out.withColumnRenamed(f"{id_col}1", "pk1").withColumnRenamed(f"{id_col}2", "pk2")
 
 
+def within_group_pairs_pandas(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    set_col: str,
+    threshold: float = 70.0,
+) -> DataFrame:
+    """A5/A6 'group-local all-pairs join as an aggregate'
+    (AggregatorTest2.scala:20-31 typed Aggregator / AggregatorTest3
+    aggregateByKey): per blocking group, enumerate pairs and score in one
+    applyInPandas pass.
+
+    This is the applyInPandas escape hatch for semantics the join form can't
+    express (imperative per-group logic). For plain similarity the equi-key
+    self-join (candidate_pairs) is preferred — same result, codegen'd. Kept
+    as the documented custom-operator pattern + used when groups are small
+    and the pair predicate is arbitrary Python.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("pk1", df.schema[id_col].dataType),
+            StructField("pk2", df.schema[id_col].dataType),
+            StructField("similarity", DoubleType()),
+        ]
+    )
+
+    def score_group(pdf):
+        import pandas as pd
+
+        ids = pdf[id_col].tolist()
+        sets = [set(s) for s in pdf[set_col]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sets[i], sets[j]
+                union = len(a | b)
+                sim = 100.0 * len(a & b) / union if union else 0.0
+                if sim >= threshold:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    rows.append((lo, hi, sim))
+        return pd.DataFrame(rows, columns=["pk1", "pk2", "similarity"])
+
+    return df.select(group_col, id_col, set_col).groupBy(group_col).applyInPandas(
+        score_group, out_schema
+    )
+
+
 def salted_two_phase_agg(
     df: DataFrame,
     key_cols: list[str],

@@ -1,0 +1,61 @@
+"""SURVEY §5 item 3: LSH-blocked results ⊆ brute-force results at the same
+threshold, with recall above a bound; plus the applyInPandas group-local
+pair operator agreeing with the join form."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions import similarity as SIM
+from scabillmatch_spark.functions import text as TX
+from scabillmatch_spark.operators import blocking, dedup
+
+
+@pytest.fixture(scope="module")
+def doc_sets(spark, sf_small):
+    return (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.lit(1).alias("grp"),
+            TX.ngram_id_set("text", 3).alias("s"),
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def brute_pairs(doc_sets):
+    cands = blocking.candidate_pairs(
+        doc_sets, id_col="id", group_col=None, block_col="grp", same_group=True
+    )
+    scored = cands.select(
+        F.col("pk1"), F.col("pk2"), SIM.jaccard(F.col("s1"), F.col("s2")).alias("sim")
+    ).filter(F.col("sim") >= 70.0)
+    return {(r.pk1, r.pk2) for r in scored.collect()}
+
+
+def test_lsh_subset_and_recall(spark, sf_small, brute_pairs):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    lsh_pairs = {
+        (r.pk1, r.pk2)
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", shingle_n=3, num_hashes=16, num_bands=4
+        ).collect()
+    }
+    assert lsh_pairs <= brute_pairs  # exact rescoring kills false positives
+    recall = len(lsh_pairs) / max(len(brute_pairs), 1)
+    # 4 bands x 4 rows: P(candidate | j=0.7) = 1-(1-0.7^4)^4 ~ 0.67; the
+    # population skews to j~1.0 (planted dups) where recall -> 1
+    assert recall >= 0.6, f"recall {recall} over {len(brute_pairs)} true pairs"
+
+
+def test_apply_in_pandas_matches_join_form(doc_sets, brute_pairs):
+    got = {
+        (r.pk1, r.pk2)
+        for r in blocking.within_group_pairs_pandas(
+            doc_sets, "grp", "id", "s", threshold=70.0
+        ).collect()
+    }
+    assert got == brute_pairs
