@@ -685,8 +685,16 @@ def q_ml_kmeans_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.operators.blocking import candidate_pairs
     from scabillmatch_spark.operators.pairs import score_pairs, top_n
 
-    feats = _featured_docs(spark, sf_dir)
-    labeled, _ = kmeans_labels(feats, k=20, max_iter=10)
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.col("text").alias("content"),
+        "lang",
+        "n_chars",
+    )
+    feats, _ = extract_features(docs, FeatureConfig(num_features=2**12))
+    labeled, _ = kmeans_labels(feats, k=10, max_iter=5)
     cands = candidate_pairs(
         labeled.select("primary_key", "lang", "prediction", "n_chars")
         .withColumn("pk_num", F.col("primary_key").cast("long")),

@@ -45,10 +45,15 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     # ml model-fitting queries are in the correctness gate but not the bench
-    # headline set (model fits dominate wall time without exercising new
-    # engine plan shapes); ml_kmeans_blocked_pairs stays as the workflow-1
-    # representative.
-    SKIP = {"ml_lda_topics", "ml_lsa_projection", "ml_minhash_reference_join"}
+    # headline set: model fits + pandas-UDF kernels dominate wall time
+    # without exercising new engine plan shapes (the flagship LSH pipeline is
+    # the workflow-1 bench representative).
+    SKIP = {
+        "ml_kmeans_blocked_pairs",
+        "ml_lda_topics",
+        "ml_lsa_projection",
+        "ml_minhash_reference_join",
+    }
 
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
     run("flagship_doc_match", lambda: document_match(spark, sf_dir, top=1000))
