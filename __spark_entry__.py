@@ -458,10 +458,11 @@ def _doc_edges(spark: SparkSession, sf_dir: str, threshold: float = 95.0) -> Dat
     """Similarity graph edges: near-exact-dup pairs (Jaccard >= threshold) — the
     reference's scored-pair relation feeding GraphUtils (GraphUtils.scala:16-22).
 
-    Cached per (sf_dir, threshold): the three graph queries share one edge
-    materialization (38k rows at sf0.1) instead of re-running the blocked
-    similarity join each."""
-    key = (sf_dir, threshold)
+    Cached per (session, sf_dir, threshold): the three graph queries share
+    one edge materialization (38k rows at sf0.1) instead of re-running the
+    blocked similarity join each. Keyed by applicationId so a recreated
+    SparkSession never sees a stale DataFrame."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -84,8 +84,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer division — the same truncation DuckDB applies, so oracles agree.
     """
     if name == "events":
-        # dynamic SQLConf — works even on a session we didn't build
+        # dynamic SQLConfs — work even on a session we didn't build.
+        # Session TZ pinned to UTC so hour-bucketing of the (instant-typed)
+        # ts column matches the naive-UTC oracle regardless of host TZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
