@@ -544,6 +544,22 @@ def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sectioned documents (dataformat/secformat_for_df.py: per-section rows
+    with compound pk "{j}_{pk}"); here sections = 'the'-delimited chunks of
+    the synthetic text (the corpus has no SECTION markers)."""
+    from scabillmatch_spark.operators.sections import split_sections
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_sections(docs, "doc_id", "text", pattern=r" the ", min_chars=5)
+    return out.select(
+        "section_pk",
+        "section_idx",
+        "doc_id",
+        F.length("section_text").alias("section_len"),
+    )
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h window, 30min slide) — batch form of the
     streaming sliding_avg; each event lands in exactly two windows."""
@@ -789,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": q_graph_shortest_paths,
         "orders_rollup": q_orders_rollup,
         "probe_search": q_probe_search,
+        "doc_sections": q_doc_sections,
         "events_sliding_window": q_events_sliding_window,
         "events_stream_tumbling": q_events_stream_tumbling,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -1043,6 +1060,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             WHERE c_name LIKE '%42%' AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
             GROUP BY c_custkey, c_name
+        """,
+        "doc_sections": """
+            WITH s AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, ' the ')) AS section_text,
+                       generate_subscripts(string_split_regex(text, ' the '), 1) - 1
+                           AS section_idx
+                FROM documents
+            )
+            SELECT concat_ws('_', CAST(section_idx AS VARCHAR), CAST(doc_id AS VARCHAR))
+                       AS section_pk,
+                   section_idx, doc_id,
+                   length(section_text) AS section_len
+            FROM s
+            WHERE length(trim(section_text)) >= 5
         """,
         "events_sliding_window": """
             WITH g AS (

@@ -46,6 +46,9 @@ def document_match(
             TX.token_id_set("text").alias("tokens"),
             "lang",
         )
+        # tokenization feeds the band join (both sides) and both score joins;
+        # persist once instead of recomputing regexp+md5 four times
+        .persist()
     )
     cands = blocking.lsh_candidate_pairs(
         docs, id_col="primary_key", set_col="tokens",

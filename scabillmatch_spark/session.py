@@ -45,7 +45,9 @@ def get_spark(
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as long, the
         # reader converts to a micros timestamp (matches DuckDB's truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM is the whole cluster; 16g gives the
+        # 32 executor threads spill headroom without long-full-GC risk
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -138,6 +138,28 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 # --- runner -----------------------------------------------------------------
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+) -> None:
+    """Production sink pattern: foreachBatch -> parquet append with exactly-
+    once batch ids tracked in the checkpoint. Runs over currently-available
+    input (AvailableNow) and returns when drained."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode if batch_id == 0 else "append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query over all currently-available input
     (Trigger.AvailableNow) into a memory sink; return the result as a batch

@@ -66,3 +66,12 @@ def test_stateful_running_totals(spark, sf_small):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_stream_to_parquet_sink(spark, sf_small, tmp_path):
+    stream = SE.read_events_stream(spark, sf_small)
+    out = str(tmp_path / "sink")
+    SE.stream_to_parquet(SE.dedup_events(stream), out, str(tmp_path / "ckpt"))
+    written = spark.read.parquet(out)
+    assert written.count() == read_table(spark, sf_small, "events").count()
+    assert "event_id" in written.columns
