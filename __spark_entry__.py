@@ -87,6 +87,87 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelation (TPC-H Q4 shape): orders with >=1 returned
+    lineitem (our lineitem lacks commit/receipt dates; returnflag plays the
+    lateness role)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q12 shape): CASE WHEN inside SUM."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(1 - high).alias("low_line_count"),
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below 50% of
+    their part's average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    # decimal-exact avg so the 0.5*avg comparison is bit-identical cross-engine
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("aq")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _dec_sum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + IN-subquery (TPC-H Q18 shape): customers with any order whose
+    total quantity exceeds 150."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum("l_quantity", "qty"))
+        .filter(F.col("qty") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "qty")
+    )
+    return (
+        orders.join(big, "o_orderkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "qty",
+        )
+    )
+
+
 def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 window: top-3 orders per customer by totalprice (row_number)."""
     orders = _t(spark, sf_dir, "orders")
@@ -544,6 +625,21 @@ def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted min-cost paths (bounded Bellman-Ford, <=6 edges) from the
+    smallest vertex — the Dijkstra capability the reference README mentions
+    (README.md:163) without implementing. Integer edge costs derived from
+    the endpoint ids keep the oracle math exact."""
+    from scabillmatch_spark.operators import graph
+
+    edges = _doc_edges(spark, sf_dir).withColumn(
+        "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
+    )
+    landmark = edges.agg(F.min("src")).first()[0]
+    out = graph.weighted_shortest_paths(edges, landmark, max_iter=6)
+    return out.select("id", F.col("distance").cast("long").alias("distance"))
+
+
 def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sectioned documents (dataformat/secformat_for_df.py: per-section rows
     with compound pk "{j}_{pk}"); here sections = 'the'-delimited chunks of
@@ -777,7 +873,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_exists": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q12_case_agg": q_tpch_q12,
+        "tpch_q17_correlated_avg": q_tpch_q17,
+        "tpch_q18_having_in": q_tpch_q18,
         "window_topn_orders_per_customer": q_window_topn,
         "window_running_sum": q_window_running_sum,
         "latest_order_per_customer": q_latest_order_per_customer,
@@ -805,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": q_graph_shortest_paths,
         "orders_rollup": q_orders_rollup,
         "probe_search": q_probe_search,
+        "graph_weighted_paths": q_graph_weighted_paths,
         "doc_sections": q_doc_sections,
         "events_sliding_window": q_events_sliding_window,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -931,6 +1032,33 @@ def _emb_lsh_ann_oracle() -> str:
             FROM cand
         ) WHERE rk <= 3
     """
+
+
+def _weighted_paths_oracle(rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford relaxation rounds (exactly the Spark operator's
+    bounded iteration — a recursive path-enumeration CTE would blow up on
+    dense near-dup cliques)."""
+    cte = _DUCK_EDGE_CTE.format(tokset=_DUCK_TOKIDSET)
+    sql = f"""
+    WITH {cte},
+    wund AS (SELECT s, d, CAST((s + d) % 7 + 1 AS BIGINT) AS w FROM und),
+    lm AS (SELECT MIN(d1) AS l FROM ed),
+    d0 AS (SELECT l AS id, CAST(0 AS BIGINT) AS dist FROM lm)"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM {prev}
+            UNION ALL
+            SELECT u.d AS id, p.dist + u.w AS dist
+            FROM {prev} p JOIN wund u ON u.s = p.id
+        ) GROUP BY id
+    )"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT id, dist AS distance FROM {prev}"""
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1061,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_name LIKE '%42%' AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
             GROUP BY c_custkey, c_name
         """,
+        "graph_weighted_paths": _weighted_paths_oracle(6),
         "doc_sections": """
             WITH s AS (
                 SELECT doc_id,
@@ -1191,6 +1320,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q4_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q12_case_agg": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        "tpch_q17_correlated_avg": """
+            WITH pa AS (
+                SELECT l_partkey AS pk,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                           / COUNT(*) AS aq
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT COUNT(*) AS n_small,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_price
+            FROM lineitem JOIN pa ON l_partkey = pa.pk
+            WHERE l_quantity < 0.5 * aq
+        """,
+        "tpch_q18_having_in": """
+            WITH big AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 150
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, qty
+            FROM orders JOIN big USING (o_orderkey)
+            JOIN customer ON o_custkey = c_custkey
         """,
         "tpch_q5_local_supplier": """
             SELECT n_name,
