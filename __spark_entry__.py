@@ -606,6 +606,19 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: returnflag x linestatus quantity matrix (df.pivot lowers to
+    conditional aggregation — the oracle states that form explicitly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    )
+
+
 def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 key-contains probe + P5 IN-list predicate + A2 countDistinct:
     the reference's 'find my probe bill's matches' pattern
@@ -904,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_count": q_graph_triangles,
         "graph_shortest_paths": q_graph_shortest_paths,
         "orders_rollup": q_orders_rollup,
+        "pivot_lineitem": q_pivot_lineitem,
         "probe_search": q_probe_search,
         "graph_weighted_paths": q_graph_weighted_paths,
         "doc_sections": q_doc_sections,
@@ -1180,6 +1194,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_lineitem": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                        FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_open,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                        FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_finished
+            FROM lineitem GROUP BY l_returnflag
         """,
         "probe_search": """
             SELECT c_custkey, c_name,

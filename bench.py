@@ -33,6 +33,10 @@ def main() -> None:
     t0 = time.perf_counter()
     for t in TESTDATA_TABLES:
         read_table(spark, sf_dir, t).count()
+    # JIT the md5/array/LSH codegen paths on the tiny sf before timing
+    small = "/root/testdata/sf0.001"
+    if os.path.isdir(small):
+        document_match(spark, small, top=10).collect()
     print(f"# warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
