@@ -638,6 +638,35 @@ def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark builtin — union + window carry-forward
+    composition): for each error event, the latest click by the same user
+    at or before it. Oracle: DuckDB's native ASOF JOIN."""
+    from scabillmatch_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(errors, clicks, key="user_id", time_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("err_us"),
+        F.unix_micros("ts_asof").alias("click_us"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join (bucketed formulation of an interval theta-join):
+    same-user event pairs within 2 minutes."""
+    from scabillmatch_spark.operators.asof import range_self_join
+
+    ev = _t(spark, sf_dir, "events")
+    return range_self_join(ev, "user_id", "ts", "event_id", 120_000_000)
+
+
 def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted min-cost paths (bounded Bellman-Ford, <=6 edges) from the
     smallest vertex — the Dijkstra capability the reference README mentions
@@ -919,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "pivot_lineitem": q_pivot_lineitem,
         "probe_search": q_probe_search,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "graph_weighted_paths": q_graph_weighted_paths,
         "doc_sections": q_doc_sections,
         "events_sliding_window": q_events_sliding_window,
@@ -1210,6 +1241,22 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             WHERE c_name LIKE '%42%' AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
             GROUP BY c_custkey, c_name
+        """,
+        "events_asof_join": """
+            SELECT e.event_id, e.user_id,
+                   epoch_us(e.ts) AS err_us,
+                   epoch_us(c.ts) AS click_us
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND c.ts <= e.ts
+        """,
+        "events_range_join": """
+            SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch_us(b.ts) > epoch_us(a.ts)
+             AND epoch_us(b.ts) - epoch_us(a.ts) <= 120000000
         """,
         "graph_weighted_paths": _weighted_paths_oracle(6),
         "doc_sections": """

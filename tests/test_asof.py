@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.operators.asof import asof_join, range_self_join
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_semantics(spark):
+    probe = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(30)), (3, 2, _ts(5)), (4, 3, _ts(10))],
+        ["event_id", "user_id", "ts"],
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(20)), (2, _ts(7))], ["user_id", "ts"]
+    )
+    out = {r.event_id: r.ts_asof for r in asof_join(probe, build, "user_id").collect()}
+    assert out[1] == _ts(10)   # tie: build at same ts matches (<=)
+    assert out[2] == _ts(20)   # latest earlier build row
+    assert out[3] is None      # build only after probe -> no match
+    assert out[4] is None      # key with no build rows
+
+
+def test_range_self_join_window(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(1)), (3, 1, _ts(3)), (4, 2, _ts(0))],
+        ["event_id", "user_id", "ts"],
+    )
+    pairs = {
+        (r.id1, r.id2): r.gap_us
+        for r in range_self_join(df, "user_id", "ts", "event_id", 2 * 60_000_000).collect()
+    }
+    # within 2 min: (1,2) 1min, (2,3) 2min; NOT (1,3) 3min; never cross-user
+    assert set(pairs) == {(1, 2), (2, 3)}
+    assert pairs[(1, 2)] == 60_000_000
