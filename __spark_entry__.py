@@ -638,6 +638,18 @@ def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, nprobe cells, exact rescoring) —
+    the third ANN tier next to brute force and hyperplane LSH. Rows-only
+    check (KMeans isn't SQL-reproducible)."""
+    from scabillmatch_spark.operators import ann
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ann.ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, n_cells=8, nprobe=4)
+    return out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no Spark builtin — union + window carry-forward
     composition): for each error event, the latest click by the same user
@@ -948,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "pivot_lineitem": q_pivot_lineitem,
         "probe_search": q_probe_search,
+        "emb_ivf_ann": q_emb_ivf_ann,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "graph_weighted_paths": q_graph_weighted_paths,

@@ -57,6 +57,7 @@ def main() -> None:
         "ml_lda_topics",
         "ml_lsa_projection",
         "ml_minhash_reference_join",
+        "emb_ivf_ann",
     }
 
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
