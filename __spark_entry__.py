@@ -193,34 +193,70 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's core semantics as one plan: tokenize -> blocked
-    self-join (same lang, different source, pk1<pk2, length-ratio prune =
-    the reference's optimizationLevel 2, feature/Utils.scala:79,96) ->
-    token-set Jaccard (SimilarityMeasure.scala:78-95) -> threshold -> skim."""
+def _banded_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe candidate pairs over documents: MinHash-LSH banded blocking
+    (16 hashes, 2 bands of 8 — high-precision bands for this dense corpus)
+    with the reference's residual predicates (same lang, different source,
+    length-ratio prune = optimizationLevel 2, feature/Utils.scala:79,96)
+    applied after the band equi-join, then exact token-set Jaccard.
+
+    The band key replaces the round-1 ``lang`` blocking key (cardinality 4 —
+    a quasi-cartesian at scale); every equi-join key here is a band value
+    with corpus-size cardinality. Deterministic LCG MinHash means the DuckDB
+    oracle reproduces the exact same candidate set (see the shared band CTE).
+    """
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("primary_key"),
-        F.col("lang"),
-        F.col("source"),
-        F.col("n_chars"),
+        F.col("doc_id").alias("doc"),
+        "lang",
+        "source",
+        "n_chars",
         TX.token_id_set("text").alias("toks"),
     )
-    cands = blocking.candidate_pairs(
-        docs.withColumn("pk_num", F.col("primary_key").cast("long")),
-        id_col="pk_num",
-        group_col="source",
-        block_col="lang",
-        length_col="n_chars",
-        length_ratio_threshold=0.26,
+    cands = blocking.lsh_candidate_pairs(
+        docs.select("doc", "toks"), "doc", "toks", num_hashes=16, num_bands=2
     )
-    scored = cands.select(
-        F.col("pk1").alias("doc1"),
-        F.col("pk2").alias("doc2"),
-        SIM.jaccard(F.col("toks1"), F.col("toks2")).alias("similarity"),
-    ).filter(F.col("similarity") >= 15.0)
-    return scored.orderBy(F.desc("similarity"), F.asc("doc1"), F.asc("doc2")).limit(
-        200
-    ).select("doc1", "doc2", F.round("similarity", 6).alias("similarity"))
+    m1 = docs.select(
+        F.col("doc").alias("pk1"),
+        F.col("lang").alias("lang1"),
+        F.col("source").alias("source1"),
+        F.col("n_chars").alias("nc1"),
+        F.col("toks").alias("toks1"),
+    )
+    m2 = docs.select(
+        F.col("doc").alias("pk2"),
+        F.col("lang").alias("lang2"),
+        F.col("source").alias("source2"),
+        F.col("n_chars").alias("nc2"),
+        F.col("toks").alias("toks2"),
+    )
+    return (
+        cands.join(m1, "pk1")
+        .join(m2, "pk2")
+        .filter(
+            (F.col("lang1") == F.col("lang2"))
+            & (F.col("source1") != F.col("source2"))
+            & blocking.length_ratio_ok(F.col("nc1"), F.col("nc2"), 0.26)
+        )
+        .withColumn("similarity", SIM.jaccard(F.col("toks1"), F.col("toks2")))
+    )
+
+
+def q_doc_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core semantics as one plan: tokenize -> LSH-banded
+    candidate self-join (CustomizedLSH.scala:227-259 plan; residuals = same
+    lang, different source, length-ratio prune) -> exact token-set Jaccard
+    (SimilarityMeasure.scala:78-95) -> threshold -> skim."""
+    scored = _banded_doc_pairs(spark, sf_dir).filter(F.col("similarity") >= 90.0)
+    return (
+        scored.select(
+            F.col("pk1").alias("doc1"),
+            F.col("pk2").alias("doc2"),
+            F.col("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("doc1"), F.asc("doc2"))
+        .limit(200)
+        .select("doc1", "doc2", F.round("similarity", 6).alias("similarity"))
+    )
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,11 +479,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_5gram_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordCount.scala:19-67: clean -> tokenize -> 5-gram -> frequency table,
     top-20 skim with deterministic tie-break."""
-    # repartition: a single-file scan is one split; n-gram explode + count is
-    # CPU-dense and must fan out across cores
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # conditional fan-out: a single-file local scan is one split and the
+    # n-gram explode is CPU-dense; on real multi-split input this is a no-op
+    docs = blocking.ensure_parallelism(_t(spark, sf_dir, "documents"))
     grams = docs.select(
         F.explode(TX.ngrams(TX.tokens("text"), 5)).alias("gram")
     )
@@ -547,20 +581,9 @@ def _doc_edges(spark: SparkSession, sf_dir: str, threshold: float = 95.0) -> Dat
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("primary_key"),
-        "lang",
-        "source",
-        "n_chars",
-        TX.token_id_set("text").alias("toks"),
-    )
-    cands = blocking.candidate_pairs(
-        docs, id_col="primary_key", group_col="source", block_col="lang",
-        length_col="n_chars", length_ratio_threshold=0.26,
-    )
     edges = (
-        cands.withColumn("sim", SIM.jaccard(F.col("toks1"), F.col("toks2")))
-        .filter(F.col("sim") >= threshold)
+        _banded_doc_pairs(spark, sf_dir)
+        .filter(F.col("similarity") >= threshold)
         .select(F.col("pk1").alias("src"), F.col("pk2").alias("dst"))
         .persist()
     )
@@ -745,10 +768,18 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    # max-df pruning: drop terms present in >10% of docs (integer-exact
+    # predicate 10*df <= N so the oracle agrees bit-for-bit). Without it a
+    # stopword-frequency term key fans out df^2 join rows — O(N^2) on one
+    # skewed key at scale — for a weight that idf sends to ~0 anyway.
+    dfreq = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfq"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(10 * F.col("dfq") <= F.col("n"))
+    )
     w = (
         terms.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
         .withColumn("weight", F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("dfq") + 1.0)))
         .select("doc_id", "term", "weight")
     )
@@ -887,8 +918,13 @@ def q_ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, FeatureConfig(use_count_vectorizer=True, use_idf=False, vocab_size=2**12)
     )
     _, topics, _ = lda_topics(out, k=5, max_iter=5)
+    # scalar encoding of the term-index array: the driver's canonicalizer
+    # sorts on every column and list cells are unhashable in pandas
     return topics.select(
-        "topic", F.col("termIndices").cast("array<long>").alias("termIndices")
+        "topic",
+        F.array_join(F.col("termIndices").cast("array<string>"), ",").alias(
+            "term_indices"
+        ),
     )
 
 
@@ -1024,25 +1060,60 @@ _LANG_SW_SQL = {
 }
 
 
-# Shared DuckDB CTE prefix: the similarity-graph edge list (Jaccard >= 50,
-# same blocking as doc_near_dup_jaccard).
-_DUCK_EDGE_CTE = """
+def _band_sql(sig_expr: str, num_hashes: int, num_bands: int) -> str:
+    """DuckDB list expression of LSH band keys — mirrors text.minhash_bands
+    ('bandIdx|h1|h2|...' strings)."""
+    rows = num_hashes // num_bands
+    items = []
+    for b in range(num_bands):
+        parts = [f"'{b}'"] + [f"{sig_expr}[{b * rows + r + 1}]" for r in range(rows)]
+        items.append(f"concat_ws('|', {', '.join(parts)})")
+    return "[" + ", ".join(items) + "]"
+
+
+def _banded_pairs_cte(tokset: str, num_hashes: int = 16, num_bands: int = 2) -> str:
+    """Shared DuckDB CTE chain mirroring _banded_doc_pairs: token-id sets ->
+    LCG MinHash signature -> band explode -> band self-join -> residual
+    predicates -> exact-Jaccard 'scored(d1, d2, inter, uni)'."""
+    from scabillmatch_spark.functions.text import MINHASH_AB  # noqa: F401 (doc pointer)
+
+    sig = _minhash_sig_sql("toks", num_hashes)
+    bands = _band_sql("sig", num_hashes, num_bands)
+    return f"""
     toks AS (SELECT doc_id, lang, source, n_chars, {tokset} AS toks FROM documents),
-    ed AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2
-        FROM toks a JOIN toks b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.source <> b.source
-         AND abs(a.n_chars - b.n_chars) / sqrt(a.n_chars * b.n_chars) < 0.26
-         AND 100.0 * len(list_intersect(a.toks, b.toks))
-             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 95.0
+    sigs AS (SELECT doc_id, {sig} AS sig FROM toks),
+    bands AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
+    cand AS (
+        SELECT a.doc_id AS pk1, b.doc_id AS pk2
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     ),
+    scored AS (
+        SELECT c.pk1 AS d1, c.pk2 AS d2,
+               len(list_intersect(t1.toks, t2.toks)) AS inter,
+               len(t1.toks) + len(t2.toks) - len(list_intersect(t1.toks, t2.toks)) AS uni
+        FROM cand c
+        JOIN toks t1 ON t1.doc_id = c.pk1
+        JOIN toks t2 ON t2.doc_id = c.pk2
+        WHERE t1.lang = t2.lang AND t1.source <> t2.source
+          AND abs(t1.n_chars - t2.n_chars) / sqrt(t1.n_chars * t2.n_chars) < 0.26
+    )"""
+
+
+# Shared DuckDB CTE prefix: the similarity-graph edge list (exact Jaccard >=
+# 95 over LSH-banded candidates — identical banding to the Spark plan).
+_DUCK_EDGE_CTE = (
+    "{banded},"
+    """
+    ed AS (SELECT d1, d2 FROM scored WHERE 100.0 * inter / uni >= 95.0),
     und AS (SELECT d1 AS s, d2 AS d FROM ed UNION ALL SELECT d2, d1 FROM ed),
     verts AS (SELECT DISTINCT s AS id FROM und)
 """
+)
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
-    cte = _DUCK_EDGE_CTE.format(tokset=_DUCK_TOKIDSET)
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
     sql = f"""
     WITH {cte},
     nn AS (SELECT COUNT(*) AS n FROM verts),
@@ -1096,7 +1167,7 @@ def _weighted_paths_oracle(rounds: int = 6) -> str:
     """Unrolled Bellman-Ford relaxation rounds (exactly the Spark operator's
     bounded iteration — a recursive path-enumeration CTE would blow up on
     dense near-dup cliques)."""
-    cte = _DUCK_EDGE_CTE.format(tokset=_DUCK_TOKIDSET)
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
     sql = f"""
     WITH {cte},
     wund AS (SELECT s, d, CAST((s + d) % 7 + 1 AS BIGINT) AS w FROM und),
@@ -1120,7 +1191,7 @@ def _weighted_paths_oracle(rounds: int = 6) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    edge_cte = _DUCK_EDGE_CTE.format(tokset=_DUCK_TOKIDSET)
+    edge_cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
     lang_hits = {
         lang: f"len(list_filter(t, x -> list_contains({arr}, x)))"
         for lang, arr in _LANG_SW_SQL.items()
@@ -1315,11 +1386,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(toks) AS term FROM docs
             ),
             tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
-            dfq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term),
+            dfq AS (
+                SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term
+            ),
             w AS (
                 SELECT tf.doc_id, tf.term,
                        tf.tf * ln((nn.n + 1.0) / (dfq.dfq + 1.0)) AS weight
                 FROM tf JOIN dfq USING (term) CROSS JOIN nn
+                WHERE 10 * dfq.dfq <= nn.n
             ),
             norms AS (SELECT doc_id, sqrt(SUM(weight * weight)) AS norm FROM w GROUP BY doc_id),
             meta AS (SELECT doc_id, lang, source, n_chars FROM docs),
@@ -1414,10 +1488,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q12_case_agg": """
             SELECT l_returnflag,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -1517,10 +1591,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
                 SELECT user_id, us,
-                       SUM(new_sess) OVER (PARTITION BY user_id
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
                                            ORDER BY us ASC, event_id ASC
                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS session_id
+                           AS BIGINT) AS session_id
                 FROM flagged
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1587,27 +1661,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
             FROM events
             GROUP BY event_type
         """,
         "doc_near_dup_jaccard": f"""
-            WITH toks AS (
-                SELECT doc_id, lang, source, n_chars, {_DUCK_TOKIDSET} AS toks
-                FROM documents
-            ),
-            pairs AS (
-                SELECT a.doc_id AS d1, b.doc_id AS d2,
-                       len(list_intersect(a.toks, b.toks)) AS inter,
-                       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
-                FROM toks a JOIN toks b
-                  ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.source <> b.source
-                 AND abs(a.n_chars - b.n_chars) / sqrt(a.n_chars * b.n_chars) < 0.26
-            )
-            SELECT CAST(d1 AS VARCHAR) AS doc1, CAST(d2 AS VARCHAR) AS doc2,
+            WITH {_banded_pairs_cte(_DUCK_TOKIDSET)}
+            SELECT d1 AS doc1, d2 AS doc2,
                    ROUND(100.0 * inter / uni, 6) AS similarity
-            FROM pairs
-            WHERE 100.0 * inter / uni >= 15.0
+            FROM scored
+            WHERE 100.0 * inter / uni >= 90.0
             ORDER BY 100.0 * inter / uni DESC, d1 ASC, d2 ASC
             LIMIT 200
         """,

@@ -45,6 +45,9 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+ensure_parallelism = _ensure_parallelism  # public alias for callers outside the module
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str = "primary_key",
