@@ -610,13 +610,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BFS hop distances from the smallest vertex id (GraphUtils.scala:33-36),
-    bounded depth 6."""
+    """BFS hop distances from a 2-landmark set — the reference's actual
+    semantics (GraphUtils.scala:33-36 takes {from, to} and explodes the
+    distances map), bounded depth 6. One multi-source BFS, not one per
+    landmark."""
     from scabillmatch_spark.operators import graph
 
     edges = _doc_edges(spark, sf_dir)
-    landmark = edges.agg(F.min("src")).first()[0]
-    return graph.shortest_paths(edges, landmark, max_depth=6)
+    lms = [r[0] for r in edges.select("src").distinct().orderBy("src").limit(2).collect()]
+    return graph.shortest_paths(edges, lms, max_depth=6)
 
 
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,15 +1432,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_shortest_paths": f"""
             WITH RECURSIVE {edge_cte},
-            lm AS (SELECT MIN(d1) AS l FROM ed),
-            bfs(id, d) AS (
-                SELECT l, 0 FROM lm
+            lms AS (SELECT DISTINCT d1 AS l FROM ed ORDER BY d1 LIMIT 2),
+            bfs(id, landmark, d) AS (
+                SELECT l, l, 0 FROM lms
                 UNION
-                SELECT u.d, b.d + 1
+                SELECT u.d, b.landmark, b.d + 1
                 FROM bfs b JOIN und u ON u.s = b.id
                 WHERE b.d < 6
             )
-            SELECT id, MIN(d) AS distance FROM bfs GROUP BY id
+            SELECT id, landmark, MIN(d) AS distance
+            FROM bfs GROUP BY id, landmark
         """,
         "emb_vector_sum_by_label": """
             WITH ex AS (

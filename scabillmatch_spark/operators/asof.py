@@ -26,35 +26,57 @@ def asof_join(
     time_col: str = "ts",
     suffix: str = "_asof",
 ) -> DataFrame:
-    """Left as-of join: probe rows + the build row with the greatest
-    ``time_col`` <= probe's time for the same ``key`` (NULLs when none).
+    """Left as-of join: each probe row + the build row with the greatest
+    ``time_col`` <= probe's time for the same ``key`` (NULL build columns
+    when none). Matches DuckDB ``ASOF LEFT JOIN`` semantics, including:
 
-    Plan: tag both sides, union, window sorted by (time, tag) per key,
-    carry the last build time forward with last_value(ignorenulls). Build
-    columns other than key/time are re-attached by (key, time) equi-join.
+    - exactly ONE output row per probe row — duplicate (key, time) probe
+      rows each keep their identity (no re-attach join to fan out on);
+    - probe rows with NULL time are kept and get NULL build columns
+      (they sort nulls-first, before any build row);
+    - build payload columns (all but key/time) are attached as
+      ``<col><suffix>`` next to ``<time_col><suffix>``.
+
+    Plan: tag both sides, union by name (probe payload rides along; build
+    payload packed into one struct), per-key window sorted by (time, tag)
+    carries the last build struct forward with last(ignorenulls) — ties at
+    equal time see the build row (build sorts first). One shuffle on key,
+    no UDF, no join back. If several build rows share (key, time) the
+    carried one is the last in window order (unspecified among ties, as in
+    DuckDB).
     """
-    b = build.select(
-        F.col(key), F.col(time_col).alias("__bt"), F.lit(0).alias("__tag")
+    bpayload = [c for c in build.columns if c not in (key, time_col)]
+    bstruct = F.struct(
+        F.col(time_col).alias("__bt"), *[F.col(c) for c in bpayload]
     )
-    p = probe.withColumn("__tag", F.lit(1)).withColumn("__bt", F.lit(None).cast(b.schema["__bt"].dataType))
-    merged = p.select(key, F.col(time_col).alias("__pt"), "__tag", "__bt").unionByName(
-        b.select(key, F.col("__bt").alias("__pt"), "__tag", "__bt")
+    # a NULL build time can never satisfy build.t <= probe.t
+    b = build.filter(F.col(time_col).isNotNull()).select(
+        F.col(key),
+        F.col(time_col).alias("__t"),
+        bstruct.alias("__b"),
+        F.lit(0).alias("__tag"),
     )
+    probe_cols = probe.columns
+    p = probe.select(
+        *probe_cols,
+        F.col(time_col).alias("__t"),
+        F.lit(None).cast(b.schema["__b"].dataType).alias("__b"),
+        F.lit(1).alias("__tag"),
+    )
+    merged = p.unionByName(b, allowMissingColumns=True)
     w = (
         W.partitionBy(key)
-        .orderBy(F.asc("__pt"), F.asc("__tag"))
+        .orderBy(F.asc_nulls_first("__t"), F.asc("__tag"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = merged.withColumn(
-        "__last_bt", F.last("__bt", ignorenulls=True).over(w)
+        "__last", F.last("__b", ignorenulls=True).over(w)
     ).filter(F.col("__tag") == 1)
-    out = probe.join(
-        carried.select(
-            F.col(key).alias("__k"), F.col("__pt"), F.col("__last_bt")
-        ),
-        (F.col(key) == F.col("__k")) & (F.col(time_col) == F.col("__pt")),
-    ).drop("__k", "__pt")
-    return out.withColumnRenamed("__last_bt", f"{time_col}{suffix}")
+    return carried.select(
+        *probe_cols,
+        F.col("__last.__bt").alias(f"{time_col}{suffix}"),
+        *[F.col(f"__last.{c}").alias(f"{c}{suffix}") for c in bpayload],
+    )
 
 
 def range_self_join(

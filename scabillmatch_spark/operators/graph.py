@@ -128,11 +128,20 @@ def weighted_shortest_paths(
     weight_col: str = "weight",
     max_iter: int = 10,
     undirected: bool = True,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
-    """Min-cost path distances by bounded Bellman-Ford relaxation ->
+    """Min-cost path distances by bounded frontier Bellman-Ford relaxation ->
     (id, distance). The reference README mentions Dijkstra min-cost paths
     (README.md:163) but never implements them; this is the DataFrame-native
-    equivalent: each iteration relaxes all edges (one shuffle on dst).
+    equivalent.
+
+    Per round only the **frontier** (vertices whose distance improved last
+    round) is relaxed — identical per-round distances to full Bellman-Ford
+    (a path of <= i edges always has an improved prefix), a fraction of the
+    join work. One driver action per round at most: the frontier is
+    localCheckpoint'd every ``checkpoint_every`` rounds (lineage truncation),
+    and the early-stop emptiness test rides that materialization — no
+    separate convergence join/isEmpty pass.
     """
     e = edges.select("src", "dst", weight_col)
     if undirected:
@@ -144,52 +153,75 @@ def weighted_shortest_paths(
     e = e.cache()
     spark = edges.sparkSession
     dist = spark.createDataFrame([(landmark, 0.0)], ["id", "distance"])
+    frontier = dist
     for i in range(max_iter):
         relaxed = (
-            dist.join(e, dist.id == e.src)
-            .select(F.col("dst").alias("id"), (F.col("distance") + F.col(weight_col)).alias("distance"))
-        )
-        new_dist = (
-            dist.union(relaxed)
+            frontier.join(e, frontier.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("distance") + F.col(weight_col)).alias("distance"),
+            )
             .groupBy("id")
             .agg(F.min("distance").alias("distance"))
         )
-        new_dist = new_dist.localCheckpoint()
-        # converged when no distance improved
-        if new_dist.join(
-            dist.withColumnRenamed("distance", "old"), "id", "left"
-        ).filter(F.col("old").isNull() | (F.col("distance") < F.col("old"))).isEmpty():
-            dist = new_dist
-            break
-        dist = new_dist
+        improved = (
+            relaxed.join(dist.withColumnRenamed("distance", "old"), "id", "left")
+            .filter(F.col("old").isNull() | (F.col("distance") < F.col("old")))
+            .select("id", "distance")
+        )
+        checkpointed = (i + 1) % checkpoint_every == 0 or i == max_iter - 1
+        if checkpointed:
+            improved = improved.localCheckpoint()
+            if improved.isEmpty():  # rides the materialization — near-free
+                break
+        dist = (
+            dist.union(improved).groupBy("id").agg(F.min("distance").alias("distance"))
+        )
+        if checkpointed:
+            dist = dist.localCheckpoint()
+        frontier = improved
     return dist
 
 
 def shortest_paths(
     edges: DataFrame,
-    landmark,
+    landmarks,
     max_depth: int = 6,
     undirected: bool = True,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
-    """BFS hop distance from one landmark -> (id, distance), bounded depth.
+    """BFS hop distances from a landmark set, bounded depth.
 
-    (GraphUtils.scala:33-36 runs GraphFrames shortestPaths to landmark set;
-    bounded-iteration frontier BFS is the DataFrame-native equivalent.)
-    """
+    The reference takes a landmark *set* and explodes the distances map
+    (GraphUtils.scala:33-36): pass a list/tuple/set -> (id, landmark,
+    distance) rows, one per reachable (vertex, landmark). A scalar landmark
+    returns the round-1 shape (id, distance).
+
+    All landmarks run in ONE multi-source BFS (landmark rides the frontier
+    as a column — same joins as single-source, no per-landmark loop).
+    Checkpoint + early-stop follow the weighted variant's cadence: one
+    materialization every ``checkpoint_every`` depths, emptiness test riding
+    it."""
+    single = not isinstance(landmarks, (list, tuple, set))
+    lset = [landmarks] if single else sorted(landmarks)
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
-    dist = e.sparkSession.createDataFrame([(landmark, 0)], ["id", "distance"])
+    dist = e.sparkSession.createDataFrame(
+        [(lm, lm, 0) for lm in lset], ["id", "landmark", "distance"]
+    )
     frontier = dist
     for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier.id == e.src)
-            .select(F.col("dst").alias("id"), F.lit(d).alias("distance"))
+            .select(F.col("dst").alias("id"), "landmark", F.lit(d).alias("distance"))
             .distinct()
-            .join(dist.select(F.col("id").alias("seen")), F.col("id") == F.col("seen"), "left_anti")
-            .distinct()
+            .join(dist.select("id", "landmark"), ["id", "landmark"], "left_anti")
         )
-        nxt = nxt.localCheckpoint()
-        if nxt.isEmpty():
-            break
+        if d % checkpoint_every == 0 or d == max_depth:
+            nxt = nxt.localCheckpoint()
+            if nxt.isEmpty():
+                break
         dist = dist.union(nxt)
         frontier = nxt
+    if single:
+        return dist.select("id", "distance")
     return dist

@@ -26,6 +26,35 @@ def test_asof_join_semantics(spark):
     assert out[4] is None      # key with no build rows
 
 
+def test_asof_join_tied_and_null_probe_rows(spark):
+    # two probe rows share (user_id, ts) -> must yield exactly 2 output rows
+    # (the round-1 re-attach join cross-producted them to 4); NULL-ts probe
+    # rows are kept with NULL build columns
+    probe = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(10)), (3, 1, None)],
+        ["event_id", "user_id", "ts"],
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(8), "b")], ["user_id", "ts", "label"]
+    )
+    rows = asof_join(probe, build, "user_id").collect()
+    assert len(rows) == 3
+    by_id = {r.event_id: r for r in rows}
+    assert by_id[1].ts_asof == _ts(8) and by_id[1].label_asof == "b"
+    assert by_id[2].ts_asof == _ts(8) and by_id[2].label_asof == "b"
+    assert by_id[3].ts_asof is None and by_id[3].label_asof is None
+
+
+def test_asof_join_attaches_build_payload(spark):
+    probe = spark.createDataFrame([(1, 1, _ts(30))], ["event_id", "user_id", "ts"])
+    build = spark.createDataFrame(
+        [(1, _ts(10), "early", 5.0), (1, _ts(20), "late", 7.5)],
+        ["user_id", "ts", "label", "score"],
+    )
+    r = asof_join(probe, build, "user_id").collect()[0]
+    assert r.ts_asof == _ts(20) and r.label_asof == "late" and r.score_asof == 7.5
+
+
 def test_range_self_join_window(spark):
     df = spark.createDataFrame(
         [(1, 1, _ts(0)), (2, 1, _ts(1)), (3, 1, _ts(3)), (4, 2, _ts(0))],

@@ -25,6 +25,20 @@ def test_shortest_paths(square_graph):
     assert d == {2: 0, 1: 1, 3: 1, 4: 2}
 
 
+def test_shortest_paths_multi_landmark(spark):
+    # path graph 1-2-3-4-5 plus isolated pair 6-7; landmarks {1, 4}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], ["src", "dst"]
+    )
+    rows = graph.shortest_paths(edges, [1, 4], max_depth=6).collect()
+    got = {(r.id, r.landmark): r.distance for r in rows}
+    expect = {
+        (1, 1): 0, (2, 1): 1, (3, 1): 2, (4, 1): 3, (5, 1): 4,
+        (4, 4): 0, (3, 4): 1, (5, 4): 1, (2, 4): 2, (1, 4): 3,
+    }
+    assert got == expect  # 6/7 unreachable from both landmarks -> absent
+
+
 def test_pagerank_sums_to_one(square_graph):
     pr = graph.pagerank(square_graph, max_iter=10).collect()
     total = sum(r.pagerank for r in pr)
