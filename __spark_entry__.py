@@ -665,14 +665,36 @@ def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer, nprobe cells, exact rescoring) —
-    the third ANN tier next to brute force and hyperplane LSH. Rows-only
-    check (KMeans isn't SQL-reproducible)."""
+    the third ANN tier next to brute force and hyperplane LSH. KMeans isn't
+    SQL-reproducible, so the oracled assertion is a recall bound: IVF top-5
+    vs in-plan brute-force top-5, average recall@5 over the 10 probe
+    queries must clear 0.6 (constant-row oracle; any quantizer regression
+    flips recall_ok and hash-fails). Measured 0.70 @ sf0.01 / 0.78 @
+    sf0.001 with nprobe=4 of 8 cells — the synthetic embeddings are
+    near-uniform unit vectors (max cosine ~0.39), IVF's worst case; real
+    clustered embeddings recall far higher at the same probe fraction."""
     from scabillmatch_spark.operators import ann
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    out = ann.ivf_topk(emb, queries_df, "vec_id", "embedding", k=5, n_cells=8, nprobe=4)
-    return out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    k = 5
+    ivf = ann.ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=k, n_cells=8, nprobe=4
+    ).select("query_id", "neighbor_id")
+    brute = ann.brute_force_topk(emb, queries_df, "vec_id", "embedding", k=k).select(
+        F.col("query_id").alias("bq"), F.col("neighbor_id").alias("bn")
+    )
+    hits = ivf.join(
+        brute,
+        (F.col("query_id") == F.col("bq")) & (F.col("neighbor_id") == F.col("bn")),
+    )
+    n_q = queries_df.count()
+    return hits.agg(
+        (F.count(F.lit(1)) / F.lit(float(k * n_q))).alias("__recall")
+    ).select(
+        F.lit(n_q).cast("long").alias("n_queries"),
+        (F.col("__recall") >= 0.6).alias("recall_ok"),
+    )
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,16 +836,17 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
+def _hyperplanes(num_planes: int = 8, dim: int = 64, salt: str = "") -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 bits — literal constants shared
-    by the Spark plan and the SQL oracle."""
+    by the Spark plan and the SQL oracle. ``salt`` yields an independent
+    family (e.g. the BRP projection tables)."""
     import hashlib
 
     planes = []
     for j in range(num_planes):
         row = []
         for i in range(dim):
-            h = hashlib.md5(f"{j}:{i}".encode()).digest()[0]
+            h = hashlib.md5(f"{salt}{j}:{i}".encode()).digest()[0]
             row.append(1.0 if h % 2 == 0 else -1.0)
         planes.append(row)
     return planes
@@ -860,6 +883,88 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+_BRP_BUCKET_LEN = 0.25
+_BRP_TABLES = 3
+_BRP_DIST_THRESHOLD = 1.13
+
+
+def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 BucketedRandomProjectionLSH semantics
+    (BucketedRandomProjectionLSHExample.scala:106-116: Euclidean LSH
+    threshold join, multiple hash tables) as a deterministic hand-rolled
+    plan the oracle reproduces exactly: bucket h_j(v) = floor(v·w_j / L)
+    for 3 md5-seeded ±1 projections, candidates = same (table, bucket) in
+    ANY table, exact Euclidean distance verify. The ml-wrapper twin
+    (ml.lsh.brp_similarity_join, random Spark projections) is
+    recall-tested in tests/test_ann.py."""
+    planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = blocking.ensure_parallelism(emb)
+    buckets = []
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        buckets.append(
+            F.concat_ws(
+                "|", F.lit(str(j)), F.floor(dot / _BRP_BUCKET_LEN).cast("string")
+            )
+        )
+    hashed = emb.withColumn("bkt", F.explode(F.array(*buckets)))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("pk1"),
+            F.col("b.vec_id").alias("pk2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["pk1", "pk2"])
+    )
+    dist = SIM.euclidean_distance(F.col("v1"), F.col("v2"))
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= _BRP_DIST_THRESHOLD)
+        .select("pk1", "pk2", F.round("dist", 6).alias("dist"))
+    )
+
+
+def _emb_brp_oracle() -> str:
+    planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
+    items = ", ".join(
+        f"concat_ws('|', '{j}', CAST(floor(list_dot_product(v, {plane}) / {_BRP_BUCKET_LEN}) AS VARCHAR))"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, unnest([{items}]) AS bkt FROM e),
+        cand AS (
+            SELECT a.vec_id AS pk1, b2.vec_id AS pk2
+            FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+            GROUP BY a.vec_id, b2.vec_id
+        ),
+        d AS (
+            SELECT c.pk1, c.pk2,
+                   sqrt(list_dot_product(
+                       list_transform(list_zip(e1.v, e2.v), x -> (x[1] - x[2]) * (x[1] - x[2])),
+                       list_transform(e1.v, x -> 1.0))) AS dist
+            FROM cand c JOIN e e1 ON e1.vec_id = c.pk1 JOIN e e2 ON e2.vec_id = c.pk2
+        )
+        SELECT pk1, pk2, ROUND(dist, 6) AS dist
+        FROM d WHERE dist <= {_BRP_DIST_THRESHOLD}
+    """
 
 
 def _featured_docs(spark: SparkSession, sf_dir: str):
@@ -1007,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tumbling": q_events_stream_tumbling,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
         # ML-pipeline queries: no SQL oracle possible (ml models aren't
         # reproducible in DuckDB) -> driver records rows-only checks
         "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
@@ -1415,6 +1521,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE 100.0 * dot / (n1.norm * n2.norm) >= 60.0
         """,
         "emb_lsh_ann": _emb_lsh_ann_oracle(),
+        "emb_brp_euclidean_join": _emb_brp_oracle(),
         "graph_pagerank": _pagerank_oracle(3),
         "graph_triangle_count": f"""
             WITH {edge_cte},
@@ -1683,6 +1790,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY md5(lower(text))
             HAVING COUNT(*) > 1
+        """,
+        "emb_ivf_ann": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
         """,
         "emb_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

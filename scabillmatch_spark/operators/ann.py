@@ -42,12 +42,17 @@ def ivf_index(
     emb: DataFrame, id_col: str, vec_col: str, n_cells: int = 16, seed: int = 12345
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF coarse quantizer: returns (assignments(id, cell, vec),
-    centroids(cell, centroid)). Centroids fit with ml KMeans on the vectors."""
+    centroids(cell, centroid)). Centroids fit with ml KMeans on L2-normalized
+    vectors (spherical quantizer): for cosine ANN, Euclidean distance on the
+    unit sphere is monotone in cosine, so cell boundaries respect the metric
+    queries are ranked by — materially better recall at the same nprobe."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    norm = SIM.l2_norm(F.col("__v"))
+    unit = F.transform(F.col("__v"), lambda x: x / norm)
     base = _with_vec(emb, vec_col).select(
-        F.col(id_col).alias("__id"), "__v", array_to_vector(F.col("__v")).alias("__mlv")
+        F.col(id_col).alias("__id"), "__v", array_to_vector(unit).alias("__mlv")
     )
     km = KMeans(k=n_cells, maxIter=10, seed=seed, featuresCol="__mlv", predictionCol="cell")
     model = km.fit(base)

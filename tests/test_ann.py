@@ -25,6 +25,42 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert len(v) == 50  # k per query
 
 
+def test_brp_lsh_join_finds_close_pairs(spark):
+    """M7 BucketedRandomProjectionLSH wrapper (ml.lsh.brp_similarity_join):
+    results must be a subset of the exact Euclidean-threshold pairs (the
+    join verifies true distance) with recall >= 0.9 on clustered data
+    (BucketedRandomProjectionLSHExample.scala:106-116 semantics)."""
+    from pyspark.ml.linalg import Vectors
+
+    from scabillmatch_spark.ml.lsh import brp_similarity_join
+
+    # two tight clusters far apart: intra-cluster dists ~0.2, inter ~10
+    rows = []
+    for i in range(8):
+        rows.append((i, Vectors.dense([0.0 + 0.1 * i, 0.0])))
+    for i in range(8):
+        rows.append((100 + i, Vectors.dense([10.0 + 0.1 * i, 10.0])))
+    df = spark.createDataFrame(rows, ["pk", "features"])
+    got = {
+        (r.pk1, r.pk2)
+        for r in brp_similarity_join(
+            df, None, "pk", dist_threshold=0.5, bucket_length=2.0, num_hash_tables=6
+        ).collect()
+    }
+    import itertools
+
+    exact = set()
+    for (i1, v1), (i2, v2) in itertools.combinations(rows, 2):
+        d = float((v1 - v2).norm(2))
+        # approxSimilarityJoin keeps dist < threshold (strict)
+        if d < 0.5 and i1 < i2:
+            exact.add((i1, i2))
+    assert got <= exact  # exact-verified join -> no false positives
+    assert len(got) / len(exact) >= 0.9, f"BRP recall {len(got)}/{len(exact)}"
+    # never pairs across the two distant clusters
+    assert not any(p1 < 100 <= p2 for p1, p2 in got)
+
+
 def test_ivf_probes_fewer_candidates(spark, emb):
     queries = emb.filter(F.col("vec_id") < 3)
     assigned, _ = ann.ivf_index(emb, "vec_id", "embedding", n_cells=8)
