@@ -617,7 +617,7 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.operators import graph
 
     edges = _doc_edges(spark, sf_dir)
-    lms = [r[0] for r in edges.select("src").distinct().orderBy("src").limit(2).collect()]
+    lms = edges.select("src").distinct().orderBy("src").limit(2)
     return graph.shortest_paths(edges, lms, max_depth=6)
 
 
