@@ -193,17 +193,33 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared Spark<->oracle LSH banding config. Bands of 8 rows keep precision
+# high on this extremely dense corpus (~43% of same-lang pairs have J>=0.6 —
+# 2-row bands would explode candidates); 4 such bands give candidate recall
+# ~90% at J>=0.90 and ~98.7% at J>=0.95 (1-(1-J^8)^4), vs ~67%/89% for the
+# round-2 2-band config, at the same measured wall time. Shingle sets are far
+# sparser, so the shingle dedup affords 8 bands of 4 (recall ~89% at J>=0.7).
+DOC_LSH_HASHES, DOC_LSH_BANDS = 32, 4
+SHINGLE_LSH_HASHES, SHINGLE_LSH_BANDS = 32, 8
+
+
 def _banded_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe candidate pairs over documents: MinHash-LSH banded blocking
-    (16 hashes, 2 bands of 8 — high-precision bands for this dense corpus)
-    with the reference's residual predicates (same lang, different source,
-    length-ratio prune = optimizationLevel 2, feature/Utils.scala:79,96)
-    applied after the band equi-join, then exact token-set Jaccard.
+    (DOC_LSH_HASHES hashes in DOC_LSH_BANDS bands of 8 — high-precision bands
+    for this dense corpus) with the reference's residual predicates (same
+    lang, different source, length-ratio prune = optimizationLevel 2,
+    feature/Utils.scala:79,96) applied after the band equi-join, then exact
+    token-set Jaccard.
 
     The band key replaces the round-1 ``lang`` blocking key (cardinality 4 —
     a quasi-cartesian at scale); every equi-join key here is a band value
     with corpus-size cardinality. Deterministic LCG MinHash means the DuckDB
     oracle reproduces the exact same candidate set (see the shared band CTE).
+
+    The (doc, token-set) projection is persisted: it feeds the signature
+    branch AND both verify-join sides, and tokenize+md5 is the expensive
+    part of the plan (measured 2x faster persisted at sf0.1). At real scale
+    the same plan would checkpoint the set projection to storage once.
     """
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("doc"),
@@ -211,9 +227,10 @@ def _banded_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         TX.token_id_set("text").alias("toks"),
-    )
+    ).persist()
     cands = blocking.lsh_candidate_pairs(
-        docs.select("doc", "toks"), "doc", "toks", num_hashes=16, num_bands=2
+        docs.select("doc", "toks"), "doc", "toks",
+        num_hashes=DOC_LSH_HASHES, num_bands=DOC_LSH_BANDS,
     )
     m1 = docs.select(
         F.col("doc").alias("pk1"),
@@ -544,7 +561,8 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     out = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", shingle_n=3, num_hashes=16, num_bands=4,
+        docs, "doc_id", "text", shingle_n=3,
+        num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
         jaccard_threshold=70.0,
     )
     return out.select(
@@ -1179,7 +1197,9 @@ def _band_sql(sig_expr: str, num_hashes: int, num_bands: int) -> str:
     return "[" + ", ".join(items) + "]"
 
 
-def _banded_pairs_cte(tokset: str, num_hashes: int = 16, num_bands: int = 2) -> str:
+def _banded_pairs_cte(
+    tokset: str, num_hashes: int = DOC_LSH_HASHES, num_bands: int = DOC_LSH_BANDS
+) -> str:
     """Shared DuckDB CTE chain mirroring _banded_doc_pairs: token-id sets ->
     LCG MinHash signature -> band explode -> band self-join -> residual
     predicates -> exact-Jaccard 'scored(d1, d2, inter, uni)'."""
@@ -1385,14 +1405,10 @@ def oracle_sql() -> dict[str, str]:
                        ))) AS s
                 FROM toks
             ),
-            sigs AS (SELECT doc_id, s, {_minhash_sig_sql('s', 16)} AS sig FROM ids),
+            sigs AS (SELECT doc_id, s, {_minhash_sig_sql('s', SHINGLE_LSH_HASHES)} AS sig FROM ids),
             bands AS (
-                SELECT doc_id, unnest([
-                    concat_ws('|', '0', sig[1], sig[2], sig[3], sig[4]),
-                    concat_ws('|', '1', sig[5], sig[6], sig[7], sig[8]),
-                    concat_ws('|', '2', sig[9], sig[10], sig[11], sig[12]),
-                    concat_ws('|', '3', sig[13], sig[14], sig[15], sig[16])
-                ]) AS band
+                SELECT doc_id,
+                       unnest({_band_sql('sig', SHINGLE_LSH_HASHES, SHINGLE_LSH_BANDS)}) AS band
                 FROM sigs
             ),
             cand AS (

@@ -48,19 +48,25 @@ def minhash_dedup_pairs(
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
-    num_hashes: int = 16,
-    num_bands: int = 4,
+    num_hashes: int = 32,
+    num_bands: int = 8,
     jaccard_threshold: float = 70.0,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates, exact-Jaccard verified.
 
-    Collision in >=1 of the 4-row bands implies estimated Jaccard ≳ 0.7;
-    the exact rescoring removes false positives (the reference's
-    approxSimilarityJoin + keyDistance refilter plan, CustomizedLSH.scala:227-259).
+    Candidate recall at similarity s is 1-(1-s^r)^b with r rows per band and
+    b bands — the default 8 bands of 4 rows gives ~0.89 at s=0.7 and ~0.998
+    at s=0.9; exact rescoring then removes all false positives (the
+    reference's approxSimilarityJoin + keyDistance refilter plan,
+    CustomizedLSH.scala:227-259).
+
+    The shingle-set projection is persisted: it feeds the signature branch
+    and both verify-join sides, and shingle+md5 hashing dominates the plan
+    (measured ~2x faster persisted at sf0.1).
     """
     sets = df.select(
         F.col(id_col).alias("__id"), TX.ngram_id_set(text_col, shingle_n).alias("__set")
-    )
+    ).persist()
     cands = blocking.lsh_candidate_pairs(
         sets, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands
     )
