@@ -1001,14 +1001,26 @@ def _featured_docs(spark: SparkSession, sf_dir: str):
 
 def q_ml_kmeans_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference workflow 1 at full fidelity: TF-IDF -> KMeans labels ->
-    label-blocked candidate self-join -> cosine kernel -> threshold.
-    No SQL oracle (ml KMeans isn't reproducible in DuckDB) — rows-only check."""
+    label-blocked candidate self-join -> cosine kernel -> threshold
+    (feature/Utils.scala:129-149 blocking, optimizationLevel 1).
+
+    KMeans isn't SQL-reproducible, so (like emb_ivf_ann) the query returns
+    asserted invariants the DuckDB oracle states literally — a quantizer/fit
+    regression flips a boolean and hash-fails the round:
+      - recall_ok: label-blocked >=80-cosine pairs recover >= 20% of the
+        brute-force ground truth (measured 0.31 @ sf0.01, k=10; a random
+        10-label assignment would score ~= selectivity ~= 0.09)
+      - blocking_selective: candidate pairs <= 50% of all pairs (catches the
+        degenerate all-one-cluster fit, which would push recall to 1)
+      - clusters_ok: >= 5 of k=10 clusters non-empty
+    The brute-force arm is O(n^2) by design — an assertion harness run at
+    small sf by the correctness driver, not a production path (the scale
+    path IS the blocking under test)."""
     from scabillmatch_spark.ml.cluster import kmeans_labels
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
     from scabillmatch_spark.ml.kernels import vector_similarity
     from scabillmatch_spark.operators.blocking import candidate_pairs
-    from scabillmatch_spark.operators.pairs import score_pairs, top_n
-
-    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+    from scabillmatch_spark.operators.pairs import score_pairs
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("primary_key"),
@@ -1018,6 +1030,9 @@ def q_ml_kmeans_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats, _ = extract_features(docs, FeatureConfig(num_features=2**12))
     labeled, _ = kmeans_labels(feats, k=10, max_iter=5)
+    labeled = labeled.persist()
+    n_docs = labeled.count()
+    n_clusters = labeled.select("prediction").distinct().count()
     cands = candidate_pairs(
         labeled.select("primary_key", "lang", "prediction", "n_chars")
         .withColumn("pk_num", F.col("primary_key").cast("long")),
@@ -1025,13 +1040,53 @@ def q_ml_kmeans_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col=None,
         block_col="prediction",
         length_col="n_chars",
-    ).select(F.col("pk1").cast("string").alias("pk1"), F.col("pk2").cast("string").alias("pk2"))
-    scored = score_pairs(cands, labeled, vector_similarity("cosine"), "primary_key")
-    return top_n(scored.filter(F.col("similarity") >= 80.0), 500)
+    ).select(
+        F.col("pk1").cast("string").alias("pk1"),
+        F.col("pk2").cast("string").alias("pk2"),
+    ).persist()
+    n_cands = cands.count()
+    blocked = (
+        score_pairs(cands, labeled, vector_similarity("cosine"), "primary_key")
+        .filter(F.col("similarity") >= 80.0)
+        .select("pk1", "pk2")
+    )
+    va = labeled.select(F.col("primary_key").alias("pk1"), F.col("features").alias("__f1"))
+    vb = labeled.select(F.col("primary_key").alias("pk2"), F.col("features").alias("__f2"))
+    truth = (
+        va.crossJoin(vb)
+        .filter(F.col("pk1").cast("long") < F.col("pk2").cast("long"))
+        .withColumn("similarity", vector_similarity("cosine")(F.col("__f1"), F.col("__f2")))
+        .filter(F.col("similarity") >= 80.0)
+        .select("pk1", "pk2")
+        .persist()
+    )
+    n_truth = truth.count()
+    n_hit = blocked.join(truth, ["pk1", "pk2"]).count()
+    all_pairs = n_docs * (n_docs - 1) / 2.0
+    return spark.createDataFrame(
+        [
+            (
+                n_cands <= 0.5 * all_pairs,
+                bool(n_clusters >= 5),
+                int(n_docs),
+                bool(n_truth > 0 and n_hit / n_truth >= 0.2),
+            )
+        ],
+        "blocking_selective boolean, clusters_ok boolean, n_docs long, recall_ok boolean",
+    )
 
 
 def q_ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LDAAnalyzer analog: CountVectorizer features -> LDA -> topic table."""
+    """LDAAnalyzer analog: CountVectorizer features -> LDA -> topic table
+    (LDAAnalyzer.scala:85-116).
+
+    LDA isn't SQL-reproducible; the query asserts structural invariants of
+    the fitted topic table (stated literally by the oracle — a fit
+    regression flips a boolean):
+      - n_topics: describeTopics returns exactly k=5 rows
+      - terms_ok: every topic has exactly 10 DISTINCT top terms
+      - vocab_ok: every termIndex within the CountVectorizer vocab [0, 4096)
+      - weights_ok: every term weight strictly positive"""
     from scabillmatch_spark.ml.cluster import lda_topics
     from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
 
@@ -1043,34 +1098,85 @@ def q_ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, FeatureConfig(use_count_vectorizer=True, use_idf=False, vocab_size=2**12)
     )
     _, topics, _ = lda_topics(out, k=5, max_iter=5)
-    # scalar encoding of the term-index array: the driver's canonicalizer
-    # sorts on every column and list cells are unhashable in pandas
-    return topics.select(
-        "topic",
-        F.array_join(F.col("termIndices").cast("array<string>"), ",").alias(
-            "term_indices"
-        ),
+    return topics.agg(
+        F.count(F.lit(1)).alias("n_topics"),
+        (
+            (F.min(F.size(F.array_distinct("termIndices"))) == 10)
+            & (F.max(F.size("termIndices")) == 10)
+        ).alias("terms_ok"),
+        (
+            (F.min(F.array_min("termIndices")) >= 0)
+            & (F.max(F.array_max("termIndices")) < 2**12)
+        ).alias("vocab_ok"),
+        (F.min(F.array_min(F.col("termWeights"))) > 0.0).alias("weights_ok"),
     )
 
 
 def q_ml_lsa_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truncated-SVD document projection with explicit id alignment."""
+    """Truncated-SVD document projection with explicit id alignment
+    (feature/Utils.scala:151-163; id alignment redesign per SURVEY §7).
+
+    SVD isn't SQL-reproducible; asserted invariants (oracle states them
+    literally, n_docs is computed by both engines):
+      - n_docs: exactly one projected row per document (alignment check)
+      - dims_ok: every projection has exactly num_concepts=8 coordinates
+      - norms_ok: ||U_i·S||_2 <= ||x_i||_2 (projection onto an orthonormal
+        basis never grows a norm; measured max ratio 0.975 @ sf0.01 — a
+        misaligned or unscaled projection breaks the bound)
+      - energy_positive: total captured variance > 0"""
+    from scabillmatch_spark.functions.similarity import l2_norm
     from scabillmatch_spark.ml.cluster import lsa_project
     from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+    from scabillmatch_spark.ml.kernels import vector_l2_norm
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("primary_key"),
         F.col("text").alias("content"),
     )
     feats, _ = extract_features(docs, FeatureConfig(num_features=2**10))
+    feats = feats.withColumn("__norm", vector_l2_norm(F.col("features"))).persist()
     proj = lsa_project(feats, "primary_key", num_concepts=8)
-    return proj.select("primary_key", F.size("concept_features").alias("n_concepts"))
+    joined = proj.join(feats.select("primary_key", "__norm"), "primary_key")
+    return joined.agg(
+        ((F.min(F.size("concept_features")) == 8) & (F.max(F.size("concept_features")) == 8)).alias("dims_ok"),
+        (
+            F.sum(
+                F.aggregate(F.col("concept_features"), F.lit(0.0), lambda a, x: a + x * x)
+            )
+            > 0.0
+        ).alias("energy_positive"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.max(
+                F.when(
+                    F.col("__norm") > 0, l2_norm(F.col("concept_features")) / F.col("__norm")
+                ).otherwise(F.lit(0.0))
+            )
+            <= 1.000001
+        ).alias("norms_ok"),
+    )
 
 
 def q_ml_minhash_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExtractMinHashLSH analog: unweighted HashingTF -> MinHashLSH join ->
-    the reference's min-one-sided-Jaccard distance + 100-100*d scaler."""
+    the reference's min-one-sided-Jaccard distance + 100-100*d scaler
+    (ExtractMinHashLSH.scala:108-111; CustomizedMinHashLSH.scala:46-58).
+
+    MinHashLSH hash tables aren't SQL-reproducible; asserted invariants
+    (oracle states them literally, n_docs computed by both engines):
+      - precision_ok: every joined pair re-verified d < 0.1 by RELATIONAL
+        set math (array_intersect over the vectors' nonzero-index sets) —
+        cross-validates the pandas-UDF keyDistance against a second,
+        independent formulation; any distance regression breaks it
+      - recall_ok: the LSH join recovers >= 95% of the exact brute-force
+        d < 0.1 pair set over the same index sets (measured 0.9999 @
+        sf0.01 with 10 OR-amplified hash tables)
+      - nonempty: the joined pair set is non-trivial
+    The brute-force arm is O(n^2) — assertion harness for the correctness
+    driver at small sf; the LSH join itself is the scale path."""
+    from scabillmatch_spark.functions import similarity as SIM
     from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+    from scabillmatch_spark.ml.kernels import vector_indices
     from scabillmatch_spark.ml.lsh import minhash_similarity_join
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1078,10 +1184,39 @@ def q_ml_minhash_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     feats, _ = extract_features(docs, FeatureConfig(num_features=2**14, use_idf=False))
-    out = minhash_similarity_join(
-        feats, None, "primary_key", num_hash_tables=10, dist_threshold=0.1
+    feats = feats.withColumn("__iset", vector_indices(F.col("features"))).persist()
+    n_docs = feats.count()
+    ml_pairs = (
+        minhash_similarity_join(
+            feats, None, "primary_key", num_hash_tables=10, dist_threshold=0.1
+        )
+        .select("pk1", "pk2")
+        .persist()
     )
-    return out.select("pk1", "pk2").orderBy("pk1", "pk2")
+    n_pairs = ml_pairs.count()
+    a = feats.select(F.col("primary_key").alias("pk1"), F.col("__iset").alias("__s1"))
+    b = feats.select(F.col("primary_key").alias("pk2"), F.col("__iset").alias("__s2"))
+    exact_d = 1.0 - SIM.max_asym_jaccard(F.col("__s1"), F.col("__s2")) / 100.0
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("pk1") < F.col("pk2"))
+        .filter(exact_d < 0.1)
+        .select("pk1", "pk2")
+        .persist()
+    )
+    n_truth = truth.count()
+    n_hit = ml_pairs.join(truth, ["pk1", "pk2"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                bool(n_pairs > 0),
+                bool(n_hit == n_pairs),
+                bool(n_truth > 0 and n_hit / n_truth >= 0.95),
+            )
+        ],
+        "n_docs long, nonempty boolean, precision_ok boolean, recall_ok boolean",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1325,6 +1460,27 @@ def oracle_sql() -> dict[str, str]:
         for lang, arr in _LANG_SW_SQL.items()
     }
     return {
+        # ML model-fit queries: the fits (KMeans/LDA/SVD/MinHashLSH tables)
+        # aren't reproducible in SQL, so each Spark query computes asserted
+        # invariants in-plan and the oracle states the expected constants —
+        # the emb_ivf_ann pattern. A fit/quantizer/distance regression flips
+        # a boolean and hash-fails; n_docs is computed by BOTH engines.
+        "ml_kmeans_blocked_pairs": """
+            SELECT TRUE AS blocking_selective, TRUE AS clusters_ok,
+                   (SELECT COUNT(*) FROM documents) AS n_docs, TRUE AS recall_ok
+        """,
+        "ml_lda_topics": """
+            SELECT CAST(5 AS BIGINT) AS n_topics, TRUE AS terms_ok,
+                   TRUE AS vocab_ok, TRUE AS weights_ok
+        """,
+        "ml_lsa_projection": """
+            SELECT TRUE AS dims_ok, TRUE AS energy_positive,
+                   (SELECT COUNT(*) FROM documents) AS n_docs, TRUE AS norms_ok
+        """,
+        "ml_minhash_reference_join": """
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs, TRUE AS nonempty,
+                   TRUE AS precision_ok, TRUE AS recall_ok
+        """,
         "doc_token_stats": f"""
             WITH toks AS (SELECT doc_id, text, {_DUCK_TOKLIST} AS t FROM documents)
             SELECT doc_id,

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 def _to_index_values(v):
@@ -160,3 +160,28 @@ def vector_similarity(name: str) -> Column:
 
 
 MEASURE_NAMES = tuple(_KERNELS)
+
+
+# ---------------------------------------------------------------------------
+# Vector introspection (for in-plan invariant assertions over ml outputs)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(ArrayType(LongType()))
+def vector_indices(v: pd.Series) -> pd.Series:
+    """Sorted nonzero-index set of a VectorUDT column as array<long> — lets
+    relational set math (array_intersect) cross-check pandas-UDF distance
+    kernels in correctness-assertion queries."""
+    return pd.Series(
+        [sorted(int(i) for i in _to_index_values(r)[0]) for r in _records(v)]
+    )
+
+
+@pandas_udf(DoubleType())
+def vector_l2_norm(v: pd.Series) -> pd.Series:
+    """L2 norm of a VectorUDT column (norm-preservation bounds for SVD/LSA)."""
+    return pd.Series(
+        [float(np.sqrt(np.dot(x, x))) for x in
+         (_to_index_values(r)[1] for r in _records(v))],
+        dtype="float64",
+    )
