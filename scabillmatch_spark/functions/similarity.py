@@ -114,6 +114,17 @@ def hamming100(a: Column, b: Column) -> Column:
     return 100.0 / (1.0 + dist)
 
 
+def dense_jaccard100(a: Column, b: Column) -> Column:
+    """100 * (d - #unequal positions) / d with d = size(a)
+    (SimilarityMeasure.scala:168-175: zip dense values, count x1 != x2)."""
+    neq = F.zip_with(
+        _as_double(a), _as_double(b), lambda x, y: F.when(x != y, 1.0).otherwise(0.0)
+    )
+    s = F.aggregate(neq, F.lit(0.0), lambda acc, x: acc + x)
+    d = F.size(a).cast("double")
+    return F.when(d > 0, 100.0 * (d - s) / d).otherwise(F.lit(0.0))
+
+
 def euclidean_distance(a: Column, b: Column) -> Column:
     sq = F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
@@ -130,4 +141,5 @@ VECTOR_MEASURES = {
     "cosine": cosine100,
     "manhattan": manhattan100,
     "hamming": hamming100,
+    "densejaccard": dense_jaccard100,
 }

@@ -100,6 +100,34 @@ def _hamming(v1, v2) -> float:
     return 100.0 / (1.0 + dist)
 
 
+def _vec_size(v):
+    """Dimension of an ml Vector in any of its UDF arrival forms (sparse
+    structs carry an explicit size; dense structs carry the full values
+    array)."""
+    if isinstance(v, (dict, pd.Series)):
+        keys = set(v.keys()) if isinstance(v, dict) else set(v.index)
+        sz = v["size"] if "size" in keys else None
+        if sz is not None and not (np.isscalar(sz) and pd.isna(sz)):
+            return int(sz)
+        return len(v["values"])
+    if hasattr(v, "size"):
+        return int(v.size)
+    return len(v)
+
+
+def _dense_jaccard(v1, v2) -> float:
+    """100 * (d - #unequal positions) / d, d = v1.size
+    (SimilarityMeasure.scala:168-175). Positions absent from both sparse
+    index sets are equal (0 == 0), so only the union of indices is scanned."""
+    i1, x1 = _to_index_values(v1)
+    i2, x2 = _to_index_values(v2)
+    m1 = {int(i): float(x) for i, x in zip(i1, x1)}
+    m2 = {int(i): float(x) for i, x in zip(i2, x2)}
+    s = sum(1 for i in set(m1) | set(m2) if m1.get(i, 0.0) != m2.get(i, 0.0))
+    d = _vec_size(v1)
+    return 100.0 * (d - s) / d if d else 0.0
+
+
 def _jaccard(v1, v2) -> float:
     """Index-set Jaccard (SimilarityMeasure.scala:78-95)."""
     s1 = set(map(int, _to_index_values(v1)[0]))
@@ -143,6 +171,7 @@ _KERNELS = {
     "jaccard": _jaccard,
     "maxasymjaccard": _max_asym_jaccard,
     "weighted_jaccard": _weighted_jaccard,
+    "densejaccard": _dense_jaccard,
 }
 
 

@@ -43,11 +43,18 @@ def _np_overlap(v1, v2):
     return 100.0 * len(s1 & s2) / m if m else 0.0
 
 
+def _np_densejaccard(v1, v2):
+    a, b = v1.toArray(), v2.toArray()
+    s = int(np.sum(a != b))
+    return 100.0 * (len(a) - s) / len(a)
+
+
 CASES = [
     ("cosine", _np_cosine),
     ("manhattan", _np_manhattan),
     ("jaccard", _np_jaccard),
     ("maxasymjaccard", _np_overlap),
+    ("densejaccard", _np_densejaccard),
 ]
 
 
@@ -90,6 +97,21 @@ def test_weighted_jaccard_branches(vector_pairs):
         else:
             assert 0.0 <= g.s <= 100.0
             assert g.s >= _np_jaccard(a, b)  # regularization boosts the skewed case
+
+
+def test_dense_jaccard_column_expr(vector_pairs, spark):
+    """Column-expr tier (functions/similarity.dense_jaccard100 over
+    array<double>) agrees with the kernel tier and numpy."""
+    from scabillmatch_spark.functions.similarity import dense_jaccard100
+
+    pairs, _ = vector_pairs
+    rows = [(list(map(float, a.toArray())), list(map(float, b.toArray())))
+            for a, b in pairs]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(dense_jaccard100(F.col("a"), F.col("b")).alias("s")).collect()
+    want = [_np_densejaccard(a, b) for a, b in pairs]
+    for g, w in zip(got, want):
+        assert g.s == pytest.approx(w, rel=1e-9)
 
 
 def test_minhash_collision_probability(spark):
