@@ -34,6 +34,10 @@ def asof_join(
       rows each keep their identity (no re-attach join to fan out on);
     - probe rows with NULL time are kept and get NULL build columns
       (they sort nulls-first, before any build row);
+    - NULL-key build rows never match anything (SQL equality rejects
+      NULLs) — they are filtered out of the build side, so a NULL-key
+      probe row gets NULL build columns rather than pairing with a
+      NULL-key build row via the window partition;
     - build payload columns (all but key/time) are attached as
       ``<col><suffix>`` next to ``<time_col><suffix>``.
 
@@ -49,8 +53,12 @@ def asof_join(
     bstruct = F.struct(
         F.col(time_col).alias("__bt"), *[F.col(c) for c in bpayload]
     )
-    # a NULL build time can never satisfy build.t <= probe.t
-    b = build.filter(F.col(time_col).isNotNull()).select(
+    # a NULL build time can never satisfy build.t <= probe.t, and a NULL
+    # build key can never equal any probe key (Window.partitionBy would
+    # otherwise group NULL-key rows together, diverging from join equality)
+    b = build.filter(
+        F.col(time_col).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key),
         F.col(time_col).alias("__t"),
         bstruct.alias("__b"),

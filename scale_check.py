@@ -55,6 +55,56 @@ def flagship_time(spark, docs) -> float:
     return round(dt, 2)
 
 
+_COPY_OFFSET = 10_000_000
+
+
+def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
+    """BFS + weighted shortest paths on 1x/2x/4x disjoint copies of the
+    similarity graph (one landmark per copy, so multi-source BFS work scales
+    with the graph). Guards the iterative-loop cost model: near-linear
+    growth = per-round checkpoint/lineage behavior holds; super-linear
+    would flag a recurrence of the round-2 lazy-frontier re-execution bug."""
+    import __spark_entry__ as entrymod
+    from scabillmatch_spark.operators import graph
+
+    base = entrymod._doc_edges(spark, sf_dir).select("src", "dst").persist()
+    lm0 = base.agg(F.min("src")).first()[0]
+    # warm the edge materialization + BFS codegen so copies=1 isn't charged
+    # for one-time costs the larger copies don't pay
+    graph.shortest_paths(base, [lm0], max_depth=2).count()
+    bfs_res, w_res = {}, {}
+    for copies in (1, 2, 4):
+        parts = [
+            base.select(
+                (F.col("src") + F.lit(i * _COPY_OFFSET)).alias("src"),
+                (F.col("dst") + F.lit(i * _COPY_OFFSET)).alias("dst"),
+            )
+            for i in range(copies)
+        ]
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.union(p)
+        e = e.persist()
+        n_edges = e.count()
+        lms = [lm0 + i * _COPY_OFFSET for i in range(copies)]
+        t0 = time.perf_counter()
+        graph.shortest_paths(e, lms, max_depth=6).count()
+        bfs_res[copies] = round(time.perf_counter() - t0, 2)
+        we = e.withColumn(
+            "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
+        )
+        t0 = time.perf_counter()
+        graph.weighted_shortest_paths(we, lm0, max_iter=6).count()
+        w_res[copies] = round(time.perf_counter() - t0, 2)
+        e.unpersist()
+        print(
+            f"# graph copies={copies} edges={n_edges} bfs={bfs_res[copies]}s"
+            f" weighted={w_res[copies]}s",
+            file=sys.stderr,
+        )
+    return bfs_res, w_res
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale_check")
@@ -65,7 +115,18 @@ def main() -> None:
         n = docs.count()
         results[copies] = flagship_time(spark, docs)
         print(f"# copies={copies} docs={n} time={results[copies]}s", file=sys.stderr)
-    print(json.dumps({"metric": "flagship_scaling", "unit": "sec", "copies": results}))
+    bfs_res, w_res = graph_times(spark, sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_scaling",
+                "unit": "sec",
+                "copies": results,
+                "graph_bfs": bfs_res,
+                "graph_weighted": w_res,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -45,6 +45,22 @@ def test_asof_join_tied_and_null_probe_rows(spark):
     assert by_id[3].ts_asof is None and by_id[3].label_asof is None
 
 
+def test_asof_join_null_key_build_rows_never_match(spark):
+    # SQL equality rejects NULLs: a NULL-key probe row must get NULL build
+    # columns, not pair with a NULL-key build row via the window partition
+    probe = spark.createDataFrame(
+        [(1, None, _ts(10)), (2, 1, _ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(None, _ts(5), "nullkey"), (1, _ts(5), "real")],
+        "user_id long, ts timestamp, label string",
+    )
+    by_id = {r.event_id: r for r in asof_join(probe, build, "user_id").collect()}
+    assert by_id[1].ts_asof is None and by_id[1].label_asof is None
+    assert by_id[2].ts_asof == _ts(5) and by_id[2].label_asof == "real"
+
+
 def test_asof_join_attaches_build_payload(spark):
     probe = spark.createDataFrame([(1, 1, _ts(30))], ["event_id", "user_id", "ts"])
     build = spark.createDataFrame(

@@ -44,6 +44,19 @@ def test_kmeans_blocking(featured):
     assert blocked_pairs < n * (n - 1) // 2 / 2
 
 
+def test_bisecting_kmeans_blocking(featured):
+    # M9: the reference's commented-out alternative quantizer
+    # (feature/Utils.scala:138) — drop-in swap for kmeans_labels as the
+    # blocking key producer
+    labeled = cluster.bisecting_kmeans_labels(featured, k=10, max_iter=5)
+    assert labeled.count() == featured.count()
+    counts = labeled.groupBy("prediction").count().collect()
+    assert 2 <= len(counts) <= 10
+    n = labeled.count()
+    blocked_pairs = sum(c["count"] * (c["count"] - 1) // 2 for c in counts)
+    assert blocked_pairs < n * (n - 1) // 2 / 2
+
+
 def test_minhash_join_finds_exact_dups(spark, featured):
     # exact duplicate texts must survive LSH with reference distance ~0
     pairs = lsh.minhash_similarity_join(
