@@ -16,6 +16,7 @@ Oracle-parity conventions used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -759,6 +760,33 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("distance").cast("long").alias("distance"))
 
 
+def q_io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 Avro source/sink (README.md:11-31, dataformat/bills.avsc): write
+    the documents table through the pure-spec Avro container sink (one file
+    per partition, deflate codec), read it back through the binaryFile +
+    mapInPandas distributed source, and aggregate. The oracle computes the
+    identical aggregate straight from parquet — any codec/schema bug breaks
+    the hash. Exercises schema inference from the in-file writer schema
+    (the reference's schema-evolution selling point)."""
+    import tempfile
+
+    from scabillmatch_spark.io import avro as A
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars", "text")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"scabillmatch_avro_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    A.write_avro(docs.repartition(4), out_dir, codec="deflate")
+    back = A.read_avro(spark, out_dir)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.count_distinct("doc_id").alias("n_ids"),
+    )
+
+
 def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sectioned documents (dataformat/secformat_for_df.py: per-section rows
     with compound pk "{j}_{pk}"); here sections = 'the'-delimited chunks of
@@ -1261,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "graph_weighted_paths": q_graph_weighted_paths,
         "doc_sections": q_doc_sections,
+        "io_avro_roundtrip": q_io_avro_roundtrip,
         "events_sliding_window": q_events_sliding_window,
         "events_stream_tumbling": q_events_stream_tumbling,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -1465,6 +1494,16 @@ def oracle_sql() -> dict[str, str]:
         # invariants in-plan and the oracle states the expected constants —
         # the emb_ivf_ann pattern. A fit/quantizer/distance regression flips
         # a boolean and hash-fails; n_docs is computed by BOTH engines.
+        # Avro round-trip: the oracle aggregates the SAME rows straight from
+        # parquet — a codec/schema/row-loss bug on the Spark side (which went
+        # parquet -> avro -> parquet-free read) breaks the hash.
+        "io_avro_roundtrip": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+                   COUNT(DISTINCT doc_id) AS n_ids
+            FROM documents GROUP BY lang
+        """,
         "ml_kmeans_blocked_pairs": """
             SELECT TRUE AS blocking_selective, TRUE AS clusters_ok,
                    (SELECT COUNT(*) FROM documents) AS n_docs, TRUE AS recall_ok
