@@ -760,6 +760,31 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("distance").cast("long").alias("distance"))
 
 
+def q_emb_vector_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense-vector measure family on real columns (SimilarityMeasure
+    .scala:23-75,168-175): manhattan100, hamming100, densejaccard100 over
+    consecutive embedding pairs, elements quantized to 1 decimal so the
+    equality-based measures (hamming/densejaccard) see genuine collisions.
+    Pure Column exprs (zip_with/aggregate, codegen) — the oracle restates
+    the same element-wise math with DuckDB list lambdas."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.transform(F.col("embedding").cast("array<double>"), lambda x: F.round(x, 1))
+    a = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("id1"), q.alias("__v1")
+    )
+    b = emb.filter(F.col("vec_id") <= 32).select(
+        F.col("vec_id").alias("id2"), q.alias("__v2")
+    )
+    pairs_df = a.join(b, F.col("id2") == F.col("id1") + 1)
+    return pairs_df.select(
+        "id1",
+        "id2",
+        F.round(SIM.manhattan100(F.col("__v1"), F.col("__v2")), 6).alias("manhattan"),
+        F.round(SIM.hamming100(F.col("__v1"), F.col("__v2")), 6).alias("hamming"),
+        F.round(SIM.dense_jaccard100(F.col("__v1"), F.col("__v2")), 6).alias("densejaccard"),
+    )
+
+
 def q_io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 Avro source/sink (README.md:11-31, dataformat/bills.avsc): write
     the documents table through the pure-spec Avro container sink (one file
@@ -1289,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "graph_weighted_paths": q_graph_weighted_paths,
         "doc_sections": q_doc_sections,
+        "emb_vector_measures": q_emb_vector_measures,
         "io_avro_roundtrip": q_io_avro_roundtrip,
         "events_sliding_window": q_events_sliding_window,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -2021,5 +2047,25 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
                 FROM scored
             ) WHERE rk <= 5
+        """,
+        "emb_vector_measures": """
+            WITH q AS (
+                SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 1)) AS v
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+                FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id < 32 AND b.vec_id <= 32
+            )
+            SELECT id1, id2,
+                ROUND(100.0 / (1.0 + list_sum(list_transform(generate_series(1, len(v1)),
+                      i -> abs(v1[i] - v2[i])))), 6) AS manhattan,
+                ROUND(100.0 / (1.0 + list_sum(list_transform(generate_series(1, len(v1)),
+                      i -> CASE WHEN v1[i] <> v2[i] THEN 1.0 ELSE 0.0 END))), 6) AS hamming,
+                ROUND(100.0 * (len(v1) - list_sum(list_transform(generate_series(1, len(v1)),
+                      i -> CASE WHEN v1[i] <> v2[i] THEN 1.0 ELSE 0.0 END))) / len(v1), 6)
+                      AS densejaccard
+            FROM pairs
         """,
     }
