@@ -215,6 +215,10 @@ def lsh_candidate_pairs(
     banded = sig.select(
         *keep, F.explode(TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)).alias("__band")
     )
+    # both self-join sides read this projection; persisting it computes the
+    # num_hashes minhash passes ONCE instead of once per side (the banded
+    # rows are tiny: num_bands short strings per doc)
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     cond = (F.col("a.__band") == F.col("b.__band")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

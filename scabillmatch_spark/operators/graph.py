@@ -128,7 +128,6 @@ def weighted_shortest_paths(
     weight_col: str = "weight",
     max_iter: int = 10,
     undirected: bool = True,
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Min-cost path distances by bounded frontier Bellman-Ford relaxation ->
     (id, distance). The reference README mentions Dijkstra min-cost paths
@@ -138,10 +137,18 @@ def weighted_shortest_paths(
     Per round only the **frontier** (vertices whose distance improved last
     round) is relaxed — identical per-round distances to full Bellman-Ford
     (a path of <= i edges always has an improved prefix), a fraction of the
-    join work. One driver action per round at most: the frontier is
-    localCheckpoint'd every ``checkpoint_every`` rounds (lineage truncation),
-    and the early-stop emptiness test rides that materialization — no
-    separate convergence join/isEmpty pass.
+    join work.
+
+    ONE shuffle and ONE materialization per round: relax, improvement
+    detection, and the dist update are a single
+    ``(dist ∪ relax-candidates) groupBy id -> min(struct(distance, round))``
+    — min over the struct keeps the best distance, and on ties the EARLIER
+    round, so a row tagged with the current round is exactly a strict
+    improvement. ``dist`` is localCheckpoint'd per round (flat lineage — a
+    lazy frontier embeds every earlier round's join tree into every later
+    plan, the measured 5x scale-killer) and the next frontier is a filter
+    of the checkpointed result; the early-stop emptiness test scans cached
+    partitions only.
     """
     e = edges.select("src", "dst", weight_col)
     if undirected:
@@ -152,35 +159,29 @@ def weighted_shortest_paths(
         )
     e = e.cache()
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(landmark, 0.0)], ["id", "distance"])
-    frontier = dist
-    for i in range(max_iter):
-        relaxed = (
-            frontier.join(e, frontier.id == e.src)
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("distance") + F.col(weight_col)).alias("distance"),
-            )
-            .groupBy("id")
-            .agg(F.min("distance").alias("distance"))
+    dist = spark.createDataFrame([(landmark, 0.0, 0)], ["id", "distance", "__round"])
+    frontier = dist.select("id", "distance")
+    for i in range(1, max_iter + 1):
+        candidates = frontier.join(e, frontier.id == e.src).select(
+            F.col("dst").alias("id"),
+            (F.col("distance") + F.col(weight_col)).alias("distance"),
+            F.lit(i).alias("__round"),
         )
-        improved = (
-            relaxed.join(dist.withColumnRenamed("distance", "old"), "id", "left")
-            .filter(F.col("old").isNull() | (F.col("distance") < F.col("old")))
-            .select("id", "distance")
-        )
-        checkpointed = (i + 1) % checkpoint_every == 0 or i == max_iter - 1
-        if checkpointed:
-            improved = improved.localCheckpoint()
-            if improved.isEmpty():  # rides the materialization — near-free
-                break
         dist = (
-            dist.union(improved).groupBy("id").agg(F.min("distance").alias("distance"))
+            dist.union(candidates)
+            .groupBy("id")
+            .agg(F.min(F.struct("distance", "__round")).alias("__s"))
+            .select(
+                "id",
+                F.col("__s.distance").alias("distance"),
+                F.col("__s.__round").alias("__round"),
+            )
+            .localCheckpoint()
         )
-        if checkpointed:
-            dist = dist.localCheckpoint()
-        frontier = improved
-    return dist
+        frontier = dist.filter(F.col("__round") == i).select("id", "distance")
+        if frontier.isEmpty():
+            break
+    return dist.select("id", "distance")
 
 
 def shortest_paths(
@@ -188,7 +189,6 @@ def shortest_paths(
     landmarks,
     max_depth: int = 6,
     undirected: bool = True,
-    checkpoint_every: int = 1,
 ) -> DataFrame:
     """BFS hop distances from a landmark set, bounded depth.
 
@@ -200,13 +200,15 @@ def shortest_paths(
     All landmarks run in ONE multi-source BFS (landmark rides the frontier
     as a column — same joins as single-source, no per-landmark loop).
 
-    ``checkpoint_every`` defaults to 1 deliberately: the frontier is tiny
+    The frontier is localCheckpoint'd EVERY depth, deliberately: it is tiny
     (materializing it costs almost nothing) while a *lazy* frontier embeds
     the whole join–distinct–antijoin tree of every earlier depth into every
     later depth's plan, which Spark then re-executes per action — measured
     5x slower at cadence 3 than cadence 1 on the sf0.1 similarity graph.
-    ``dist`` is checkpointed on the same cadence, and the emptiness
-    early-stop rides every materialized frontier."""
+    ``dist`` itself needs no checkpoint: it is a pure union of already
+    materialized frontiers (flat lineage — the anti-join just scans cached
+    partitions), so each depth is exactly one job. The emptiness early-stop
+    rides every materialized frontier."""
     spark = edges.sparkSession
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     if isinstance(landmarks, DataFrame):
@@ -235,14 +237,10 @@ def shortest_paths(
             .select(F.col("dst").alias("id"), "landmark", F.lit(d).alias("distance"))
             .distinct()
             .join(dist.select("id", "landmark"), ["id", "landmark"], "left_anti")
-        )
-        if d % checkpoint_every == 0 or d == max_depth:
-            nxt = nxt.localCheckpoint()
-            if nxt.isEmpty():
-                break
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
         dist = dist.union(nxt)
-        if d % checkpoint_every == 0 or d == max_depth:
-            dist = dist.localCheckpoint()
         frontier = nxt
     if single:
         return dist.select("id", "distance")

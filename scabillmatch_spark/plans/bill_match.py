@@ -21,8 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scabillmatch_spark.functions import similarity as SIM
-from scabillmatch_spark.functions import text as TX
-from scabillmatch_spark.operators import blocking, pairs
+from scabillmatch_spark.operators import blocking, corpus, pairs
 
 
 def document_match(
@@ -38,17 +37,17 @@ def document_match(
 
     Returns (pk1, pk2, similarity) — the reference's ComparedPair shape.
     """
+    # the application-wide tokenized-corpus cache (operators/corpus.py)
+    # feeds the band join (both sides) and both score joins — and is shared
+    # with the near-dup/graph queries instead of re-tokenizing per pipeline
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus.doc_token_sets(spark, sf_dir)
         .filter(F.col("n_chars") >= min_chars)
         .select(
-            F.col("doc_id").cast("string").alias("primary_key"),
-            TX.token_id_set("text").alias("tokens"),
+            F.col("doc").cast("string").alias("primary_key"),
+            F.col("toks").alias("tokens"),
             "lang",
         )
-        # tokenization feeds the band join (both sides) and both score joins;
-        # persist once instead of recomputing regexp+md5 four times
-        .persist()
     )
     cands = blocking.lsh_candidate_pairs(
         docs, id_col="primary_key", set_col="tokens",
