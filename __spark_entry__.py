@@ -769,7 +769,7 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _doc_edges(spark, sf_dir).withColumn(
         "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
     )
-    landmark = edges.agg(F.min("src")).first()[0]
+    landmark = edges.agg(F.min("src").alias("id"))
     out = graph.weighted_shortest_paths(edges, landmark, max_iter=6)
     return out.select("id", F.col("distance").cast("long").alias("distance"))
 

@@ -79,19 +79,25 @@ def read_bills_json(spark: SparkSession, path: str, schema: T.StructType = BILL_
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table from a scale-factor dir.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only
-    reads as a raw long (nanosAsLong); convert to a micros timestamp by
-    integer division — the same truncation DuckDB applies, so oracles agree.
+    Timestamp normalization: generator output has varied by round —
+    TIMESTAMP(NANOS) (Spark reads only as a raw long via nanosAsLong) and
+    naive TIMESTAMP(MICROS) (Spark 4 infers TIMESTAMP_NTZ). Both are
+    normalized to an instant-typed TIMESTAMP interpreted as UTC, with the
+    session TZ pinned to UTC, so time arithmetic (unix_micros, hour
+    bucketing, windows) matches the naive-UTC DuckDB oracle regardless of
+    host TZ or generator vintage.
     """
     if name == "events":
         # dynamic SQLConfs — work even on a session we didn't build.
-        # Session TZ pinned to UTC so hour-bucketing of the (instant-typed)
-        # ts column matches the naive-UTC oracle regardless of host TZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

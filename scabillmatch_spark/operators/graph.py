@@ -159,7 +159,21 @@ def weighted_shortest_paths(
         )
     e = e.cache()
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(landmark, 0.0, 0)], ["id", "distance", "__round"])
+    if isinstance(landmark, DataFrame):
+        # Landmark stays IN the plan (no driver collect; an empty relation
+        # yields an empty result instead of a createDataFrame crash). First
+        # column = source vertex ids; with >1 row the result is the min-cost
+        # distance to the NEAREST source (multi-source Bellman-Ford).
+        lm_col = F.col(landmark.columns[0])
+        dist = landmark.select(
+            lm_col.alias("id"),
+            F.lit(0.0).alias("distance"),
+            F.lit(0).alias("__round"),
+        ).localCheckpoint()
+    else:
+        dist = spark.createDataFrame(
+            [(landmark, 0.0, 0)], ["id", "distance", "__round"]
+        )
     frontier = dist.select("id", "distance")
     for i in range(1, max_iter + 1):
         candidates = frontier.join(e, frontier.id == e.src).select(

@@ -15,32 +15,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) -> long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize the generator's ts vintages (nanos->long, naive-micros->NTZ)
+    to an instant-typed TIMESTAMP interpreted as UTC — same rule as
+    ``io.sources.read_table``."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (explicit schema — file
-    streams can't infer)."""
+    streams can't infer). The schema is taken from the parquet footer via a
+    one-off batch read so the stream matches whatever ts vintage the
+    generator produced; ``_normalize_ts`` then maps it to UTC TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a directory: point at the sf dir and glob the
     # events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(file_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
