@@ -859,6 +859,63 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.run_available_now(SE.tumbling_counts(stream))
 
 
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (SURVEY §2.12) driver-checked:
+    dropDuplicates on (user_id, event_type) with 1h watermark state
+    eviction, projected to the dedup key itself so the append-mode output
+    is exactly the distinct key set no matter which physical row won the
+    state race. Oracle: plain SELECT DISTINCT."""
+    from scabillmatch_spark.streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return SE.run_available_now(deduped, "append")
+
+
+def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState running
+    per-user totals — SURVEY §2.12 'custom stateful') driver-checked: after
+    draining the whole stream the final state equals the batch groupBy, so
+    the oracle is plain aggregation SQL."""
+    from scabillmatch_spark.streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    return SE.run_available_now(SE.running_user_totals(stream), "update")
+
+
+def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HyperLogLog++
+    (approx_count_distinct) and the Greenwald-Khanna quantile sketch
+    (percentile_approx) — mergeable, bounded-memory summaries that replace
+    exact distinct/percentile at scale. Sketches aren't reproducible in
+    DuckDB, so (emb_ivf_ann pattern) each approximation is bounded against
+    the in-plan exact answer and the bound is the oracled constant."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("nd_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("__nd_approx"),
+        F.expr("percentile(value, 0.5)").alias("__p50_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("__p50_approx"),
+        F.min("value").alias("__vmin"),
+        F.max("value").alias("__vmax"),
+    )
+    return agg.select(
+        F.col("nd_exact").cast("long").alias("nd_exact"),
+        (
+            F.abs(F.col("__nd_approx") - F.col("nd_exact"))
+            <= 0.15 * F.col("nd_exact")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("__p50_approx") - F.col("__p50_exact"))
+            <= 0.05 * (F.col("__vmax") - F.col("__vmin"))
+        ).alias("p50_ok"),
+    )
+
+
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's workhorse: TF-IDF weighting + cosine similarity over
     blocked candidate pairs (feature/Utils.scala:181-242 featurization +
@@ -1332,6 +1389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_avro_roundtrip": q_io_avro_roundtrip,
         "events_sliding_window": q_events_sliding_window,
         "events_stream_tumbling": q_events_stream_tumbling,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_stateful": q_events_stream_stateful,
+        "approx_sketch_stats": q_approx_sketch_stats,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
@@ -1737,6 +1797,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "events_stream_stateful": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "approx_sketch_stats": """
+            SELECT COUNT(DISTINCT user_id)::BIGINT AS nd_exact,
+                   TRUE AS hll_ok, TRUE AS p50_ok
+            FROM events
         """,
         "tfidf_cosine_pairs": f"""
             WITH docs AS (SELECT doc_id, lang, source, n_chars, {_DUCK_TOKLIST} AS toks FROM documents),
