@@ -571,14 +571,23 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified (the reference's
-    approxSimilarityJoin plan, CustomizedLSH.scala:227-259, as one job)."""
-    from scabillmatch_spark.operators import dedup
+    approxSimilarityJoin plan, CustomizedLSH.scala:227-259, as one job).
+
+    Shingle-id sets derive from the corpus cache's ordered token-id array
+    via the integer rolling hash (functions/text.py
+    ngram_ids_from_token_ids) — no per-shingle md5, and the tokenize pass
+    is shared with the flagship/near-dup/graph family."""
+    from scabillmatch_spark.operators import corpus, dedup
 
     docs = _t(spark, sf_dir, "documents")
+    sets = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        TX.ngram_ids_from_token_ids(F.col("tok_ids"), 3).alias("shingles"),
+    )
     out = dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", shingle_n=3,
         num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
-        jaccard_threshold=70.0,
+        jaccard_threshold=70.0, sets=sets,
     )
     return out.select(
         "pk1", "pk2", F.round("similarity", 6).alias("similarity")
@@ -1441,6 +1450,12 @@ _DUCK_TOKLIST = (
     " ' '), x -> x <> '')"
 )
 
+# Ordered (non-distinct) 60-bit token-id list — mirrors text.ordered_token_ids.
+_DUCK_TOKIDLIST = (
+    f"list_transform({_DUCK_TOKLIST},"
+    " t -> CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT)"
+)
+
 _EN_SW = "['the','and','of','to','in','is','that','for']"
 _LANG_SW_SQL = {
     "de": "['der','die','und','das','ein','mit','von','ist']",
@@ -1690,13 +1705,15 @@ def oracle_sql() -> dict[str, str]:
             FROM votes GROUP BY doc_id
         """,
         "minhash_lsh_dedup": f"""
-            WITH toks AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
             ids AS (
+                -- 3-gram shingle ids: rolling hash (acc*B + x mod P) mod P
+                -- over P-reduced token ids (text.ngram_ids_from_token_ids)
                 SELECT doc_id,
-                       list_sort(list_distinct(list_transform(
-                           list_transform(range(1, len(t) - 1),
-                               i -> array_to_string(t[i:i+2], ' ')),
-                           g -> CAST(('0x' || substr(md5(g), 1, 15)) AS UBIGINT)::BIGINT
+                       list_sort(list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> list_reduce(
+                               list_transform(t[i:i+2], x -> x % 2038074743),
+                               (acc, x) -> (acc * 1000003 + x) % 2038074743)
                        ))) AS s
                 FROM toks
             ),

@@ -109,9 +109,46 @@ def token_id_set(col: Column | str) -> Column:
     return F.array_sort(F.array_distinct(F.transform(tokens(col), token_id)))
 
 
+def ordered_token_ids(col: Column | str) -> Column:
+    """Ordered (non-distinct) array<long> of token ids — one md5 per token;
+    shingle ids derive from this without further hashing."""
+    return F.transform(tokens(col), token_id)
+
+
+# Rolling-hash multiplier for shingle ids (any ~2^20 constant works; B*P
+# stays under 2^51 so the fold below never overflows a signed 64-bit long).
+SHINGLE_B = 1000003
+
+
+def ngram_ids_from_token_ids(tok_ids_col: Column, n: int) -> Column:
+    """Sorted distinct shingle ids from an ORDERED token-id array.
+
+    Each n-gram id is the polynomial rolling hash
+    ``fold(acc=0; acc -> (acc*B + x mod P) mod P)`` over its window — pure
+    integer math (acc < P < 2^31, so acc*B < 2^51), no per-shingle md5 or
+    string materialization, and bit-exact in any SQL engine (DuckDB:
+    list_reduce over the P-reduced window). Replaces md5-of-joined-words
+    shingle ids, which cost one digest + two string allocations per shingle
+    — the measured dominant cost of the MinHash dedup plan.
+    """
+    size = F.size(tok_ids_col)
+    idx = F.sequence(F.lit(1), size - F.lit(n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(tok_ids_col, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * SHINGLE_B + x % HASH_PRIME) % HASH_PRIME,
+        ),
+    )
+    grams = F.when(size >= n, gram).otherwise(F.array().cast("array<long>"))
+    return F.array_sort(F.array_distinct(grams))
+
+
 def ngram_id_set(col: Column | str, n: int) -> Column:
-    """Sorted distinct array<long> of n-gram shingle ids."""
-    return F.array_sort(F.array_distinct(F.transform(ngrams(tokens(col), n), token_id)))
+    """Sorted distinct array<long> of n-gram shingle ids (rolling hash over
+    per-token ids — see ngram_ids_from_token_ids)."""
+    return ngram_ids_from_token_ids(ordered_token_ids(col), n)
 
 
 def minhash_signature(set_col: Column, num_hashes: int = 16) -> Column:

@@ -31,7 +31,6 @@ Hadoop OutputFormat).
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
@@ -146,65 +145,82 @@ class _Reader:
         return self.read(self.read_long())
 
 
-def _decode(r: _Reader, sch):
+def _compile_decoder(sch):
+    """Schema node -> ``fn(reader) -> value`` closure. Compiling once per
+    schema removes the per-value type-dispatch that dominated the naive
+    recursive decoder (the decode loop runs per record on the executors)."""
     t = _type_name(sch)
     if t == "null":
-        return None
+        return lambda r: None
     if t == "boolean":
-        return r.read(1) == b"\x01"
+        return lambda r: r.read(1) == b"\x01"
     if t in ("int", "long"):
-        v = r.read_long()
         if not isinstance(sch, str):
             lt = sch.get("logicalType")
             if lt == "timestamp-micros":
-                return pd.Timestamp(v, unit="us").to_pydatetime()
+                return lambda r: pd.Timestamp(r.read_long(), unit="us").to_pydatetime()
             if lt == "timestamp-millis":
-                return pd.Timestamp(v, unit="ms").to_pydatetime()
+                return lambda r: pd.Timestamp(r.read_long(), unit="ms").to_pydatetime()
             if lt == "date":
-                return pd.Timestamp(v, unit="D").date()
-        return v
+                return lambda r: pd.Timestamp(r.read_long(), unit="D").date()
+        return _Reader.read_long
     if t == "float":
-        return struct.unpack("<f", r.read(4))[0]
+        unpack_f = struct.Struct("<f").unpack
+        return lambda r: unpack_f(r.read(4))[0]
     if t == "double":
-        return struct.unpack("<d", r.read(8))[0]
+        unpack_d = struct.Struct("<d").unpack
+        return lambda r: unpack_d(r.read(8))[0]
     if t == "bytes":
-        return r.read_bytes()
+        return _Reader.read_bytes
     if t == "string":
-        return r.read_bytes().decode("utf-8")
+        return lambda r: r.read_bytes().decode("utf-8")
     if t == "union":
-        return _decode(r, sch[r.read_long()])
+        subs = [_compile_decoder(s) for s in sch]
+        return lambda r: subs[r.read_long()](r)
     if t == "record":
-        return {f["name"]: _decode(r, f["type"]) for f in sch["fields"]}
+        fields = [(f["name"], _compile_decoder(f["type"])) for f in sch["fields"]]
+        return lambda r: {name: dec(r) for name, dec in fields}
     if t == "array":
-        out = []
-        while True:
-            n = r.read_long()
-            if n == 0:
-                break
-            if n < 0:  # block with byte-size prefix
-                n = -n
-                r.read_long()
-            out.extend(_decode(r, sch["items"]) for _ in range(n))
-        return out
+        item = _compile_decoder(sch["items"])
+
+        def dec_array(r):
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    r.read_long()
+                out.extend(item(r) for _ in range(n))
+            return out
+
+        return dec_array
     if t == "map":
-        out = {}
-        while True:
-            n = r.read_long()
-            if n == 0:
-                break
-            if n < 0:
-                n = -n
-                r.read_long()
-            for _ in range(n):
-                # NB: key must be read before the value (Python evaluates the
-                # RHS of a subscript assignment first — explicit temp needed)
-                k = r.read_bytes().decode("utf-8")
-                out[k] = _decode(r, sch["values"])
-        return out
+        val = _compile_decoder(sch["values"])
+
+        def dec_map(r):
+            out = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    # key must be read before the value
+                    k = r.read_bytes().decode("utf-8")
+                    out[k] = val(r)
+            return out
+
+        return dec_map
     if t == "enum":
-        return sch["symbols"][r.read_long()]
+        symbols = sch["symbols"]
+        return lambda r: symbols[r.read_long()]
     if t == "fixed":
-        return r.read(sch["size"])
+        size = sch["size"]
+        return lambda r: r.read(size)
     raise ValueError(f"unsupported avro type: {t}")
 
 
@@ -225,10 +241,8 @@ def _read_container_header(r: _Reader) -> tuple[dict, bytes]:
     return meta, r.read(_SYNC_SIZE)
 
 
-def decode_container(data: bytes, schema=None) -> list[dict]:
-    """All records of one Avro object container file as dicts (the writer
-    schema travels in the file; ``schema`` overrides for projection-free
-    reader-schema use)."""
+def _open_container(data: bytes, schema=None):
+    """Parse header -> (parsed schema, iterator of (block_reader, count))."""
     r = _Reader(data)
     meta, sync = _read_container_header(r)
     sch = parse_schema(schema) if schema is not None else parse_schema(
@@ -237,17 +251,45 @@ def decode_container(data: bytes, schema=None) -> list[dict]:
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec: {codec} (null/deflate only)")
+
+    def blocks():
+        while r.pos < len(r.buf):
+            count = r.read_long()
+            payload = r.read_bytes()
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)  # raw deflate per spec
+            yield _Reader(payload), count
+            if r.read(_SYNC_SIZE) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+
+    return sch, blocks()
+
+
+def decode_container(data: bytes, schema=None) -> list[dict]:
+    """All records of one Avro object container file as dicts (the writer
+    schema travels in the file; ``schema`` overrides for projection-free
+    reader-schema use)."""
+    sch, blocks = _open_container(data, schema)
+    dec = _compile_decoder(sch)
     out = []
-    while r.pos < len(r.buf):
-        count = r.read_long()
-        payload = r.read_bytes()
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)  # raw deflate per spec
-        br = _Reader(payload)
-        out.extend(_decode(br, sch) for _ in range(count))
-        if r.read(_SYNC_SIZE) != sync:
-            raise ValueError("sync marker mismatch (corrupt block)")
+    for br, count in blocks:
+        out.extend(dec(br) for _ in range(count))
     return out
+
+
+def decode_container_columns(data: bytes, schema=None) -> dict[str, list]:
+    """Top-level-record container -> {field: values} columns, skipping the
+    per-record dict (the read_avro hot path: columns feed pandas/Arrow
+    directly)."""
+    sch, blocks = _open_container(data, schema)
+    field_decs = [(f["name"], _compile_decoder(f["type"])) for f in sch["fields"]]
+    cols: dict[str, list] = {name: [] for name, _ in field_decs}
+    appends = [(cols[name].append, dec) for name, dec in field_decs]
+    for br, count in blocks:
+        for _ in range(count):
+            for append, dec in appends:
+                append(dec(br))
+    return cols
 
 
 def read_schema_from_file(path: str):
@@ -270,83 +312,112 @@ def read_schema_from_file(path: str):
 
 
 class _Writer:
+    """bytearray-backed encoder sink (append/extend beat BytesIO's per-call
+    overhead ~3x in the per-record encode loop)."""
+
     __slots__ = ("out",)
 
     def __init__(self):
-        self.out = io.BytesIO()
+        self.out = bytearray()
 
     def write(self, b: bytes):
-        self.out.write(b)
+        self.out.extend(b)
 
     def write_long(self, v: int):
         v = (v << 1) ^ (v >> 63)  # zigzag (arbitrary-precision-safe in Python)
-        while True:
-            b = v & 0x7F
+        out = self.out
+        while v > 0x7F:
+            out.append((v & 0x7F) | 0x80)
             v >>= 7
-            if v:
-                self.out.write(bytes([b | 0x80]))
-            else:
-                self.out.write(bytes([b]))
-                break
+        out.append(v)
 
     def write_bytes(self, b: bytes):
         self.write_long(len(b))
-        self.out.write(b)
+        self.out.extend(b)
+
+    def getvalue(self) -> bytes:
+        return bytes(self.out)
 
 
-def _encode(w: _Writer, sch, v):
+def _compile_encoder(sch):
+    """Schema node -> ``fn(writer, value)`` closure (same rationale as
+    ``_compile_decoder``: resolve the schema walk once, not per value)."""
     t = _type_name(sch)
     if t == "null":
-        return
+        return lambda w, v: None
     if t == "boolean":
-        w.write(b"\x01" if v else b"\x00")
-    elif t in ("int", "long"):
-        w.write_long(int(v))
-    elif t == "float":
-        w.write(struct.pack("<f", float(v)))
-    elif t == "double":
-        w.write(struct.pack("<d", float(v)))
-    elif t == "bytes":
-        w.write_bytes(bytes(v))
-    elif t == "string":
-        w.write_bytes(str(v).encode("utf-8"))
-    elif t == "union":
-        idx = next(
-            i for i, s in enumerate(sch)
-            if (v is None) == (_type_name(s) == "null")
+        return lambda w, v: w.write(b"\x01" if v else b"\x00")
+    if t in ("int", "long"):
+        return lambda w, v: w.write_long(int(v))
+    if t == "float":
+        pack_f = struct.Struct("<f").pack
+        return lambda w, v: w.write(pack_f(float(v)))
+    if t == "double":
+        pack_d = struct.Struct("<d").pack
+        return lambda w, v: w.write(pack_d(float(v)))
+    if t == "bytes":
+        return lambda w, v: w.write_bytes(bytes(v))
+    if t == "string":
+        return lambda w, v: w.write_bytes(
+            v.encode("utf-8") if isinstance(v, str) else str(v).encode("utf-8")
         )
-        w.write_long(idx)
-        _encode(w, sch[idx], v)
-    elif t == "record":
-        for f in sch["fields"]:
-            fv = v[f["name"]] if isinstance(v, dict) else getattr(v, f["name"])
-            _encode(w, f["type"], fv)
-    elif t == "array":
-        if v:
-            w.write_long(len(v))
-            for item in v:
-                _encode(w, sch["items"], item)
-        w.write_long(0)
-    elif t == "map":
-        if v:
-            w.write_long(len(v))
-            for k, item in v.items():
-                w.write_bytes(str(k).encode("utf-8"))
-                _encode(w, sch["values"], item)
-        w.write_long(0)
-    elif t == "enum":
-        w.write_long(sch["symbols"].index(v))
-    elif t == "fixed":
-        w.write(bytes(v))
-    else:
-        raise ValueError(f"unsupported avro type: {t}")
+    if t == "union":
+        null_idx = next(i for i, s in enumerate(sch) if _type_name(s) == "null")
+        other_idx = next(i for i, s in enumerate(sch) if _type_name(s) != "null")
+        enc_other = _compile_encoder(sch[other_idx])
+
+        def enc_union(w, v):
+            if v is None:
+                w.write_long(null_idx)
+            else:
+                w.write_long(other_idx)
+                enc_other(w, v)
+
+        return enc_union
+    if t == "record":
+        fields = [(f["name"], _compile_encoder(f["type"])) for f in sch["fields"]]
+
+        def enc_record(w, v):
+            if isinstance(v, dict):
+                for name, enc in fields:
+                    enc(w, v[name])
+            else:
+                for name, enc in fields:
+                    enc(w, getattr(v, name))
+
+        return enc_record
+    if t == "array":
+        item = _compile_encoder(sch["items"])
+
+        def enc_array(w, v):
+            if len(v):
+                w.write_long(len(v))
+                for x in v:
+                    item(w, x)
+            w.write_long(0)
+
+        return enc_array
+    if t == "map":
+        val = _compile_encoder(sch["values"])
+
+        def enc_map(w, v):
+            if v:
+                w.write_long(len(v))
+                for k, x in v.items():
+                    w.write_bytes(str(k).encode("utf-8"))
+                    val(w, x)
+            w.write_long(0)
+
+        return enc_map
+    if t == "enum":
+        index = {s: i for i, s in enumerate(sch["symbols"])}
+        return lambda w, v: w.write_long(index[v])
+    if t == "fixed":
+        return lambda w, v: w.write(bytes(v))
+    raise ValueError(f"unsupported avro type: {t}")
 
 
-def encode_container(schema, records, codec: str = "null", sync: bytes = b"\x07" * 16) -> bytes:
-    """Records -> one Avro object container file as bytes."""
-    sch = parse_schema(schema)
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"unsupported avro codec: {codec}")
+def _container_header(sch, codec: str, sync: bytes) -> bytes:
     head = _Writer()
     head.write(MAGIC)
     meta = {"avro.schema": json.dumps(sch).encode("utf-8"), "avro.codec": codec.encode()}
@@ -356,20 +427,35 @@ def encode_container(schema, records, codec: str = "null", sync: bytes = b"\x07"
         head.write_bytes(v)
     head.write_long(0)
     head.write(sync)
-    body = _Writer()
-    n = 0
-    for rec in records:
-        _encode(body, sch, rec)
-        n += 1
-    payload = body.out.getvalue()
+    return head.getvalue()
+
+
+def _container_block(n: int, payload: bytes, codec: str, sync: bytes) -> bytes:
+    if not n:
+        return b""
     if codec == "deflate":
         payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
     blk = _Writer()
-    if n:
-        blk.write_long(n)
-        blk.write_bytes(payload)
-        blk.write(sync)
-    return head.out.getvalue() + blk.out.getvalue()
+    blk.write_long(n)
+    blk.write_bytes(payload)
+    blk.write(sync)
+    return blk.getvalue()
+
+
+def encode_container(schema, records, codec: str = "null", sync: bytes = b"\x07" * 16) -> bytes:
+    """Records -> one Avro object container file as bytes."""
+    sch = parse_schema(schema)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    enc = _compile_encoder(sch)
+    body = _Writer()
+    n = 0
+    for rec in records:
+        enc(body, rec)
+        n += 1
+    return _container_header(sch, codec, sync) + _container_block(
+        n, body.getvalue(), codec, sync
+    )
 
 
 def write_avro_file(path: str, schema, records, codec: str = "null") -> None:
@@ -411,10 +497,8 @@ def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
         reader_sch = json.loads(sch_json)
         for pdf in batches:
             for content in pdf["content"]:
-                recs = decode_container(bytes(content), schema=reader_sch)
-                yield pd.DataFrame(
-                    {c: [r.get(c) for r in recs] for c in cols}, columns=cols
-                )
+                data = decode_container_columns(bytes(content), schema=reader_sch)
+                yield pd.DataFrame({c: data[c] for c in cols}, columns=cols)
 
     src = path if not os.path.isdir(path) else os.path.join(path, "*.avro")
     files = spark.read.format("binaryFile").load(src).select("content")
@@ -470,25 +554,71 @@ def write_avro(df: DataFrame, dir_path: str, codec: str = "null") -> int:
     """DataFrame -> one Avro container file per partition, written from the
     executors (works wherever executor processes can open ``dir_path`` —
     local/NFS; an object store would need a Hadoop OutputFormat). Returns
-    the number of files written."""
+    the number of files written.
+
+    Hot path is ``mapInPandas`` (Arrow column transfer — no JVM->Python row
+    pickling) with one container BLOCK per Arrow batch streamed into the
+    partition's file, so executor memory is bounded by the batch size, not
+    the partition. Column prep is vectorized (``Series.tolist`` per column,
+    null-mask fixups only when a batch actually contains nulls); the
+    per-record work is just the compiled field encoders."""
     os.makedirs(dir_path, exist_ok=True)
+    # overwrite semantics: executor part names are uuid-based, so stale
+    # files from a previous write must go before the new action starts
+    for old in os.listdir(dir_path):
+        if old.endswith(".avro"):
+            os.remove(os.path.join(dir_path, old))
     avro_sch = spark_to_avro_schema(df.schema)
     sch_json = json.dumps(avro_sch)
-    ts_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)]
+    cols = [f.name for f in df.schema.fields]
+    ts_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)}
 
-    def write_part(idx, it):
+    def write_part(batches):
+        import uuid
+
         sch = json.loads(sch_json)
-        rows = []
-        for row in it:
-            d = row.asDict(recursive=True)
-            for c in ts_cols:
-                if d[c] is not None:
-                    d[c] = int(pd.Timestamp(d[c]).value // 1000)  # micros
-            rows.append(d)
-        if rows:
-            write_avro_file(
-                os.path.join(dir_path, f"part-{idx:05d}.avro"), sch, rows, codec=codec
-            )
-            yield 1
+        field_encs = [_compile_encoder(f["type"]) for f in sch["fields"]]
+        sync = b"\x07" * _SYNC_SIZE
+        fh = None
+        n_files = 0
+        try:
+            for pdf in batches:
+                col_lists = []
+                for c in cols:
+                    s = pdf[c]
+                    if c in ts_cols:
+                        # tz/naive datetime64[ns] -> micros since epoch (UTC)
+                        if getattr(s.dtype, "tz", None) is not None:
+                            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                        vals = (s.values.astype("int64") // 1000).tolist()
+                        if s.isna().any():
+                            mask = s.isna().tolist()
+                            vals = [None if m else v for v, m in zip(vals, mask)]
+                        col_lists.append(vals)
+                    else:
+                        vals = s.tolist()
+                        if s.dtype == object or s.isna().any():
+                            mask = s.isna().tolist()
+                            if any(mask):
+                                vals = [None if m else v for v, m in zip(vals, mask)]
+                        col_lists.append(vals)
+                body = _Writer()
+                n = len(pdf)
+                for rec in zip(*col_lists):
+                    for enc, v in zip(field_encs, rec):
+                        enc(body, v)
+                if n:
+                    if fh is None:
+                        part = os.path.join(dir_path, f"part-{uuid.uuid4().hex}.avro")
+                        fh = open(part, "wb")
+                        fh.write(_container_header(sch, codec, sync))
+                        n_files = 1
+                    fh.write(_container_block(n, body.getvalue(), codec, sync))
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame({"n": [n_files]})
 
-    return df.rdd.mapPartitionsWithIndex(write_part).sum()
+    counts = df.mapInPandas(write_part, schema="n long")
+    total = counts.agg({"n": "sum"}).first()[0]
+    return int(total or 0)

@@ -52,8 +52,12 @@ def doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             "n_chars",
-            TX.token_id_set("text").alias("toks"),
+            TX.ordered_token_ids("text").alias("tok_ids"),
         )
+        # toks (sorted distinct) derives from tok_ids without re-hashing;
+        # tok_ids stays available so shingle ids (MinHash dedup) come from
+        # the same single md5 pass
+        .withColumn("toks", F.array_sort(F.array_distinct("tok_ids")))
         .persist()
     )
     _TOKENS_CACHE[key] = docs

@@ -51,6 +51,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     num_bands: int = 8,
     jaccard_threshold: float = 70.0,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates, exact-Jaccard verified.
 
@@ -61,12 +62,20 @@ def minhash_dedup_pairs(
     CustomizedLSH.scala:227-259).
 
     The shingle-set projection is persisted: it feeds the signature branch
-    and both verify-join sides, and shingle+md5 hashing dominates the plan
-    (measured ~2x faster persisted at sf0.1).
+    and both verify-join sides. ``sets`` overrides it with a precomputed
+    (id, shingle-id-set) frame — e.g. derived from the application-wide
+    tokenized-corpus cache (operators/corpus.py), skipping the tokenize+md5
+    pass entirely.
     """
-    sets = df.select(
-        F.col(id_col).alias("__id"), TX.ngram_id_set(text_col, shingle_n).alias("__set")
-    ).persist()
+    if sets is not None:
+        sets = sets.select(
+            F.col(id_col).alias("__id"), F.col(sets.columns[1]).alias("__set")
+        ).persist()
+    else:
+        sets = df.select(
+            F.col(id_col).alias("__id"),
+            TX.ngram_id_set(text_col, shingle_n).alias("__set"),
+        ).persist()
     cands = blocking.lsh_candidate_pairs(
         sets, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands
     )
