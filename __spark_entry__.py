@@ -925,6 +925,29 @@ def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pair_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-based similarity-measure family on real token sets
+    (SimilarityMeasure.scala:78-165): weighted (skew-regularized), overlap
+    (maxasym), left/right Jaccard and the custom min-one-sided LSH distance
+    (CustomizedMinHashLSH.scala:46-58) over consecutive doc pairs — all
+    Column exprs from the shared corpus cache, every formula restated
+    literally in the DuckDB oracle."""
+    docs = corpus.doc_token_sets(spark, sf_dir)
+    d1 = docs.select(F.col("doc").alias("pk1"), F.col("toks").alias("t1"))
+    d2 = docs.select(F.col("doc").alias("pk2"), F.col("toks").alias("t2"))
+    pairs = d1.join(d2, F.col("pk2") == F.col("pk1") + 1)
+    a, b = F.col("t1"), F.col("t2")
+    return pairs.select(
+        "pk1",
+        "pk2",
+        F.round(SIM.weighted_jaccard(a, b), 6).alias("weighted_jaccard"),
+        F.round(SIM.max_asym_jaccard(a, b), 6).alias("maxasym_jaccard"),
+        F.round(SIM.left_jaccard(a, b), 6).alias("left_jaccard"),
+        F.round(SIM.right_jaccard(a, b), 6).alias("right_jaccard"),
+        F.round(SIM.min_one_sided_jaccard_distance(a, b), 6).alias("min_one_sided_dist"),
+    )
+
+
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's workhorse: TF-IDF weighting + cosine similarity over
     blocked candidate pairs (feature/Utils.scala:181-242 featurization +
@@ -1401,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_stateful": q_events_stream_stateful,
         "approx_sketch_stats": q_approx_sketch_stats,
+        "doc_pair_measures": q_doc_pair_measures,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
@@ -1827,6 +1851,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id)::BIGINT AS nd_exact,
                    TRUE AS hll_ok, TRUE AS p50_ok
             FROM events
+        """,
+        "doc_pair_measures": f"""
+            WITH s AS (SELECT doc_id, {_DUCK_TOKIDSET} AS s FROM documents),
+            p AS (
+                SELECT a.doc_id AS pk1, b.doc_id AS pk2,
+                       len(list_intersect(a.s, b.s))::DOUBLE AS i,
+                       len(a.s)::DOUBLE AS sa, len(b.s)::DOUBLE AS sb
+                FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+            )
+            -- formulas restated from SimilarityMeasure.scala:78-165 /
+            -- CustomizedMinHashLSH.scala:46-58 in the same operation order
+            -- as functions/similarity.py so doubles agree bitwise
+            SELECT pk1, pk2,
+                   ROUND(CASE WHEN least(sa, sb) = 0 THEN 0.0
+                         WHEN greatest(sa, sb) / least(sa, sb) <= 5.0 THEN
+                           CASE WHEN sa + sb - i > 0
+                                THEN 100.0 * i / (sa + sb - i) ELSE 0.0 END
+                         ELSE
+                           CASE WHEN least(sa, sb)
+                                     + (1.0 / (0.2 * (greatest(sa, sb) / least(sa, sb))))
+                                       * (greatest(sa, sb) - i) > 0
+                                THEN 100.0 * i
+                                     / (least(sa, sb)
+                                        + (1.0 / (0.2 * (greatest(sa, sb) / least(sa, sb))))
+                                          * (greatest(sa, sb) - i))
+                                ELSE 0.0 END
+                         END, 6) AS weighted_jaccard,
+                   ROUND(CASE WHEN least(sa, sb) > 0
+                              THEN 100.0 * i / least(sa, sb) ELSE 0.0 END, 6)
+                       AS maxasym_jaccard,
+                   ROUND(CASE WHEN sa > 0 THEN 100.0 * i / sa ELSE 0.0 END, 6)
+                       AS left_jaccard,
+                   ROUND(CASE WHEN sb > 0 THEN 100.0 * i / sb ELSE 0.0 END, 6)
+                       AS right_jaccard,
+                   ROUND(1.0 - (CASE WHEN least(sa, sb) > 0
+                                     THEN 100.0 * i / least(sa, sb)
+                                     ELSE 0.0 END) / 100.0, 6)
+                       AS min_one_sided_dist
+            FROM p
         """,
         "tfidf_cosine_pairs": f"""
             WITH docs AS (SELECT doc_id, lang, source, n_chars, {_DUCK_TOKLIST} AS toks FROM documents),

@@ -67,6 +67,28 @@ def min_one_sided_jaccard_distance(a: Column, b: Column) -> Column:
     return 1.0 - max_asym_jaccard(a, b) / 100.0
 
 
+def weighted_jaccard(
+    a: Column, b: Column, alpha: float = 0.2, skew: float = 5.0
+) -> Column:
+    """Skew-regularized Jaccard (SimilarityMeasure.scala:113-143): when the
+    set-size ratio exceeds ``skew``, the larger side's non-overlap is
+    down-weighted by w = 1/(alpha*ratio); else plain Jaccard. Column-expr
+    twin of the ml.kernels pandas form — CASE branches guard the divisions
+    so ANSI mode never sees a zero denominator on the taken path."""
+    inter = _inter_size(a, b)
+    sa = F.size(a).cast("double")
+    sb = F.size(b).cast("double")
+    small, large = F.least(sa, sb), F.greatest(sa, sb)
+    union = sa + sb - inter
+    plain = F.when(union > 0, 100.0 * inter / union).otherwise(F.lit(0.0))
+    ratio = large / small
+    denom = small + (1.0 / (alpha * ratio)) * (large - inter)
+    weighted = F.when(denom > 0, 100.0 * inter / denom).otherwise(F.lit(0.0))
+    return F.when(
+        small > 0, F.when(ratio <= skew, plain).otherwise(weighted)
+    ).otherwise(F.lit(0.0))
+
+
 # ---------------------------------------------------------------------------
 # Tier 2: dense-vector kernels over array<double>/array<float>
 # ---------------------------------------------------------------------------

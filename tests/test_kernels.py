@@ -99,6 +99,24 @@ def test_weighted_jaccard_branches(vector_pairs):
             assert g.s >= _np_jaccard(a, b)  # regularization boosts the skewed case
 
 
+def test_weighted_jaccard_column_expr_matches_kernel(vector_pairs, spark):
+    """Column-expr tier (functions/similarity.weighted_jaccard over index
+    sets as array<long>) agrees with the kernel tier on both branches,
+    including the skew-regularized one."""
+    from scabillmatch_spark.functions.similarity import weighted_jaccard
+
+    pairs, df = vector_pairs
+    want = df.select(
+        kernels.vector_similarity("weighted_jaccard")(F.col("v1"), F.col("v2")).alias("s")
+    ).collect()
+    rows = [(sorted(map(int, a.indices)), sorted(map(int, b.indices)))
+            for a, b in pairs]
+    sdf = spark.createDataFrame(rows, "a array<long>, b array<long>")
+    got = sdf.select(weighted_jaccard(F.col("a"), F.col("b")).alias("s")).collect()
+    for g, w in zip(got, want):
+        assert g.s == pytest.approx(w.s, rel=1e-9)
+
+
 def test_dense_jaccard_column_expr(vector_pairs, spark):
     """Column-expr tier (functions/similarity.dense_jaccard100 over
     array<double>) agrees with the kernel tier and numpy."""
