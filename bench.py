@@ -58,6 +58,12 @@ def main() -> None:
         "ml_lsa_projection",
         "ml_minhash_reference_join",
         "emb_ivf_ann",
+        # per-key pandas-state overhead (one Arrow batch + pd.DataFrame per
+        # user key through applyInPandasWithState) dominates its wall time;
+        # the streaming plan shapes the bench should track are covered by
+        # events_stream_tumbling / events_stream_dedup. Still in the
+        # correctness gate like everything else.
+        "events_stream_stateful",
     }
 
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
