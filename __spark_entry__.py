@@ -925,6 +925,32 @@ def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL image decode (multimodal tier): a valid 4x4 PGM
+    payload is built in-plan per document (header + md5-of-text raster),
+    and the executor-side PNM codec (operators/multimodal.decode_image,
+    stdlib+numpy — no PIL) decodes it back through mapInPandas.
+    deterministic_fake=False, so nothing is stubbed on this path; DuckDB
+    recomputes dims/bytes/mean straight from the md5 hex, and any codec
+    or Arrow-plumbing bug hash-fails."""
+    from scabillmatch_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.encode(F.lit("P5 4 4 255\n"), "UTF-8"), F.unhex(F.md5("text"))
+        ).alias("payload"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+    )
+    meta = MM.extract_image_metadata(media, deterministic_fake=False)
+    return meta.select(
+        "media_id", "width", "height", "n_bytes",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
 def q_doc_pair_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The set-based similarity-measure family on real token sets
     (SimilarityMeasure.scala:78-165): weighted (skew-regularized), overlap
@@ -1425,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_stateful": q_events_stream_stateful,
         "approx_sketch_stats": q_approx_sketch_stats,
         "doc_pair_measures": q_doc_pair_measures,
+        "media_image_metadata": q_media_image_metadata,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
@@ -1851,6 +1878,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id)::BIGINT AS nd_exact,
                    TRUE AS hll_ok, TRUE AS p50_ok
             FROM events
+        """,
+        "media_image_metadata": """
+            SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+                   CAST(27 AS BIGINT) AS n_bytes,
+                   ROUND(list_sum(list_transform(range(0, 16),
+                       i -> ('0x' || substr(md5(text), (1 + 2*i)::INT, 2))::UBIGINT::BIGINT
+                   ))::DOUBLE / 16.0, 6) AS mean_px
+            FROM documents
         """,
         "doc_pair_measures": f"""
             WITH s AS (SELECT doc_id, {_DUCK_TOKIDSET} AS s FROM documents),

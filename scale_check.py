@@ -26,11 +26,15 @@ def corpus(spark, sf_dir: str, copies: int):
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     parts = []
     for i in range(copies):
-        # disjoint vocab per copy: prefix every word with the copy tag
+        # disjoint vocab per copy: prefix every word with a LETTER copy tag
+        # (the tokenizer strips digits, so a "c0"/"c1" tag would collapse all
+        # copies onto one vocabulary and make cross-copy pairs quadratic —
+        # the check would then measure its own bug, not the engine)
+        tag = "q" + chr(97 + i)
         parts.append(
             base.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.regexp_replace("text", r"(\w+)", f"c{i}$1").alias("text"),
+                F.regexp_replace("text", r"(\w+)", f"{tag}$1").alias("text"),
             )
         )
     out = parts[0]

@@ -75,3 +75,88 @@ def test_stream_to_parquet_sink(spark, sf_small, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == read_table(spark, sf_small, "events").count()
     assert "event_id" in written.columns
+
+
+def _bmp24(pixels):
+    """Minimal 24-bit uncompressed BMP encoder for test fixtures
+    (numpy HxWx3 RGB, bottom-up rows, 4-byte padding per spec)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in pixels[::-1]:
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += line + b"\x00" * (stride - len(line))
+    off = 54
+    header = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + dib + raster
+
+
+def test_real_image_codecs(spark):
+    import numpy as np
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)  # 4x2 RGB
+    ppm = b"P6 4 2 255\n" + px.tobytes()
+    gray = np.arange(8, dtype=np.uint8).reshape(2, 4, 1) * 30
+    pgm = multimodal.encode_pnm(gray)
+    bmp = _bmp24(px)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ppm), "image/x-portable-pixmap"),
+         (2, "image", bytearray(pgm), "image/x-portable-graymap"),
+         (3, "image", bytearray(bmp), "image/bmp")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    # deterministic_fake=False: every payload must take the REAL decode path
+    rows = {r.media_id: r for r in
+            multimodal.extract_image_metadata(media, deterministic_fake=False).collect()}
+    assert (rows[1].width, rows[1].height) == (4, 2)
+    assert rows[1].mean_px == float(px.mean())
+    assert (rows[2].width, rows[2].height) == (4, 2)
+    assert (rows[3].width, rows[3].height) == (4, 2)
+    assert rows[3].mean_px == float(px.mean())  # BMP roundtrips BGR->RGB
+
+    # real nearest-neighbor resize re-encodes as PNM with capped side
+    resized = {r.media_id: r for r in
+               multimodal.resize_images(media, max_side=2, deterministic_fake=False).collect()}
+    assert (resized[1].width, resized[1].height) == (2, 1)
+    redecoded = multimodal.decode_image(bytes(resized[1].payload))
+    assert redecoded is not None and redecoded[0] == 2
+
+
+def test_real_frame_sampling_and_wav(spark):
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    frame = b"P5 2 2 255\n" + bytes(range(4))
+    stream = frame * 25  # 25-frame concatenated-PNM "video"
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(np.arange(-100, 100, dtype="<i2").tobytes())
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(stream), "video/x-pnm"),
+         (2, "audio", bytearray(wav), "audio/wav")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.sample_video_frames(
+        media.filter("media_id = 1"), every_n=10, deterministic_fake=False
+    ).collect()
+    assert sorted(r.frame_idx for r in frames) == [0, 10, 20]
+    import hashlib as _hl
+    assert all(r.frame_sha1 == _hl.sha1(frame).hexdigest() for r in frames)
+
+    audio = multimodal.extract_audio_metadata(
+        media.filter("media_id = 2"), deterministic_fake=False
+    ).first()
+    assert (audio.n_channels, audio.sample_rate) == (2, 16000)
+    assert audio.n_frames == 100  # 200 samples / 2 channels
+    assert audio.duration_s == 100 / 16000
+    samples = np.arange(-100, 100, dtype=np.float64)
+    assert abs(audio.rms - float(np.sqrt(np.mean(samples ** 2)))) < 1e-9
