@@ -663,6 +663,18 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.shortest_paths(edges, lms, max_depth=6)
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup pairs: connected components (min-
+    label propagation) over the >=95-similarity graph — the dedup-pipeline
+    closer that turns pairwise matches into transitive keep/drop groups
+    (component = min doc id = the keeper). Oracle: reachability recursive
+    CTE (component = MIN over reachable ids)."""
+    from scabillmatch_spark.operators import graph
+
+    edges = _doc_edges(spark, sf_dir)
+    return graph.connected_components(edges)
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical agg: ROLLUP(status, priority) — subtotals + grand total
     (capability beyond the reference; SURVEY §2.4 grouping sets)."""
@@ -1452,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_sketch_stats": q_approx_sketch_stats,
         "doc_pair_measures": q_doc_pair_measures,
         "media_image_metadata": q_media_image_metadata,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
@@ -1988,6 +2001,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, landmark, MIN(d) AS distance
             FROM bfs GROUP BY id, landmark
+        """,
+        "doc_dup_clusters": f"""
+            WITH RECURSIVE {edge_cte},
+            reach(a, b) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+            )
+            SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
         """,
         "emb_vector_sum_by_label": """
             WITH ex AS (

@@ -122,6 +122,53 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
 
 
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 30,
+    undirected: bool = True,
+) -> DataFrame:
+    """Connected components by min-label propagation -> (id, component),
+    component = smallest vertex id in the component (GraphFrames
+    connectedComponents result shape).
+
+    The dedup-pipeline closer: near-dup PAIRS become transitive CLUSTERS
+    (pick min-id keeper per component). Per round: one shuffle (min
+    neighbor label per vertex) + a broadcast-size join against the label
+    frame; rounds needed = graph diameter, which is tiny for near-dup
+    clique clusters. Same per-round ``localCheckpoint`` + early-stop
+    discipline as the BFS (lazy iterative frames re-execute compounding
+    join trees — the measured round-2 failure mode)."""
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
+    comp = (
+        vertices_from_edges(e)
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(comp, e.src == comp.id)
+            .select(F.col("dst").alias("id"), F.col("component").alias("nc"))
+            .groupBy("id")
+            .agg(F.min("nc").alias("nbr_min"))
+        )
+        nxt = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nbr_min") < F.col("component")).alias("__improved"),
+            )
+            .localCheckpoint()
+        )
+        done = nxt.filter(F.col("__improved")).isEmpty()
+        comp = nxt.select("id", "component")
+        if done:
+            break
+    return comp
+
+
 def weighted_shortest_paths(
     edges: DataFrame,
     landmark,

@@ -25,6 +25,16 @@ def test_shortest_paths(square_graph):
     assert d == {2: 0, 1: 1, 3: 1, 4: 2}
 
 
+def test_connected_components(spark):
+    # path 1-2-3, isolated pair 6-7, self-contained triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 7), (10, 11), (11, 12), (10, 12)], ["src", "dst"]
+    )
+    got = {(r.id, r.component) for r in graph.connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (6, 6), (7, 6),
+                   (10, 10), (11, 10), (12, 10)}
+
+
 def test_shortest_paths_multi_landmark(spark):
     # path graph 1-2-3-4-5 plus isolated pair 6-7; landmarks {1, 4}
     edges = spark.createDataFrame(
