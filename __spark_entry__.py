@@ -1129,7 +1129,13 @@ def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|", F.lit(str(j)), F.floor(dot / _BRP_BUCKET_LEN).cast("string")
             )
         )
-    hashed = emb.withColumn("bkt", F.explode(F.array(*buckets)))
+    # bucket join on (id, bucket) ONLY — the 64-dim vectors stay out of the
+    # self-join shuffle and the pair dedup, and the projection pass runs
+    # once (persisted) instead of once per join side; vectors re-attach
+    # afterwards via two joins against the (broadcastable) embeddings table
+    hashed = emb.select(
+        "vec_id", F.explode(F.array(*buckets)).alias("bkt")
+    ).persist()
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (
         a.join(
@@ -1140,14 +1146,16 @@ def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("pk1"),
             F.col("b.vec_id").alias("pk2"),
-            F.col("a.v").alias("v1"),
-            F.col("b.v").alias("v2"),
         )
         .dropDuplicates(["pk1", "pk2"])
     )
+    v1 = emb.select(F.col("vec_id").alias("pk1"), F.col("v").alias("v1"))
+    v2 = emb.select(F.col("vec_id").alias("pk2"), F.col("v").alias("v2"))
     dist = SIM.euclidean_distance(F.col("v1"), F.col("v2"))
     return (
-        cand.withColumn("dist", dist)
+        cand.join(v1, "pk1")
+        .join(v2, "pk2")
+        .withColumn("dist", dist)
         .filter(F.col("dist") <= _BRP_DIST_THRESHOLD)
         .select("pk1", "pk2", F.round("dist", 6).alias("dist"))
     )
