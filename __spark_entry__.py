@@ -663,6 +663,52 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.shortest_paths(edges, lms, max_depth=6)
 
 
+def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user hourly resample with forward
+    fill — every hour between a user's first and last event gets a row
+    carrying the latest observation at or before it (sequence+explode grid,
+    row_number-per-hour for a deterministic last-in-hour, then
+    last(ignoreNulls) carry-forward). The gap-filling operator ts
+    pipelines need before joins/aggregations on a regular grid; one
+    shuffle on user, window over the grid."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    h = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    bounds = h.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hr"),
+    )
+    wlast = W.partitionBy("user_id", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        h.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hr", F.col("value").alias("v"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from near-dup pairs: connected components (min-
     label propagation) over the >=95-similarity graph — the dedup-pipeline
@@ -1473,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_measures": q_doc_pair_measures,
         "media_image_metadata": q_media_image_metadata,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "events_resample_1h": q_events_resample_1h,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
@@ -1889,6 +1936,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "events_resample_1h": """
+            WITH h AS (
+                SELECT user_id, date_trunc('hour', ts) AS hr, value, ts, event_id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY user_id),
+            grid AS (
+                SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                FROM b
+            ),
+            obs AS (
+                SELECT user_id, hr, value AS v FROM (
+                    SELECT user_id, hr, value,
+                           ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM h
+                ) WHERE rn = 1
+            )
+            SELECT g.user_id,
+                   strftime(g.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+                   last_value(o.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.hr
+                       ROWS UNBOUNDED PRECEDING) AS value_ffill
+            FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
         """,
         "events_stream_stateful": """
             SELECT user_id, COUNT(*) AS n_events,
