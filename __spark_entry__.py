@@ -88,6 +88,86 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_REV_DEC = (
+    lambda: (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+)
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — 4-table join
+    (two broadcastable dims), date-range + flag filters pushed to the
+    scans, decimal-exact revenue, deterministic top-20 (revenue desc,
+    custkey tiebreak mirrored in the oracle)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_REV_DEC()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue percentage — conditional aggregation
+    over a fact⋈dim join in one pass (CASE inside SUM; no second scan),
+    decimal-exact numerator/denominator divided as doubles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _REV_DEC()).otherwise(
+        F.lit(0).cast("decimal(38,8)")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("__pr"),
+            F.sum(_REV_DEC()).cast("double").alias("__tr"),
+        )
+        .select(
+            F.round(100.0 * F.col("__pr") / F.col("__tr"), 6).alias("promo_pct")
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction-of-conjunctions join predicate (brand x
+    size x quantity branches) — Catalyst extracts the common p_partkey
+    equi-key and evaluates the OR as a post-join filter instead of a
+    cartesian; revenue decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 25)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch1 | branch2)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_REV_DEC()).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS decorrelation (TPC-H Q4 shape): orders with >=1 returned
     lineitem (our lineitem lacks commit/receipt dates; returnflag plays the
@@ -1472,6 +1552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_exists": q_tpch_q4,
+        "tpch_q10_returned_revenue": q_tpch_q10,
+        "tpch_q14_promo_pct": q_tpch_q14,
+        "tpch_q19_disjunctive_join": q_tpch_q19,
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q12_case_agg": q_tpch_q12,
         "tpch_q17_correlated_avg": q_tpch_q17,
@@ -1936,6 +2019,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "tpch_q10_returned_revenue": """
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q14_promo_pct": """
+            WITH agg AS (
+                SELECT
+                    CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                             AS DECIMAL(38,8))
+                        ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE) AS pr,
+                    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DOUBLE) AS tr
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+            )
+            SELECT ROUND(100.0 * pr / tr, 6) AS promo_pct FROM agg
+        """,
+        "tpch_q19_disjunctive_join": """
+            SELECT COUNT(*) AS n_items,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 5 AND 25)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 40)
         """,
         "events_resample_1h": """
             WITH h AS (
