@@ -789,6 +789,27 @@ def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling — the reproducible train/eval
+    split a data pipeline needs (rand()-based sampleBy can't be replayed
+    across engines or runs): bucket = md5(doc_id) mod 100, keep buckets
+    < 10 for an exact 10% expected-rate sample, plus per-lang kept/total
+    accounting. Pure Column exprs; the oracle reproduces the identical
+    bucketing."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        docs.withColumn("__b", bucket)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__b") < 10, 1).otherwise(0)).alias("n_sampled"),
+        )
+    )
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from near-dup pairs: connected components (min-
     label propagation) over the >=95-similarity graph — the dedup-pipeline
@@ -1603,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_metadata": q_media_image_metadata,
         "doc_dup_clusters": q_doc_dup_clusters,
         "events_resample_1h": q_events_resample_1h,
+        "doc_hash_sample": q_doc_hash_sample,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
@@ -2208,6 +2230,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, landmark, MIN(d) AS distance
             FROM bfs GROUP BY id, landmark
+        """,
+        "doc_hash_sample": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT % 100 < 10
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+            FROM documents GROUP BY lang
         """,
         "doc_dup_clusters": f"""
             WITH RECURSIVE {edge_cte},
