@@ -133,6 +133,66 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on Spark 4's transformWithState API
+    (StatefulProcessor + ValueState, RocksDB-backed) — the successor to
+    applyInPandasWithState with explicitly-typed state and timer support.
+    Both forms are kept: one operator, two stateful-API generations.
+
+    Environment note: transformWithStateInPandas talks to the JVM over a
+    protobuf channel, so it needs the ``google.protobuf`` package at
+    runtime — absent in this container (verified: the streaming runner
+    crashes with ImportError on StateMessage_pb2). The implementation is
+    complete and the test exercises it wherever protobuf exists
+    (test_transform_with_state_running_totals skips otherwise);
+    ``running_user_totals`` is the env-independent production path here."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # --- runner -----------------------------------------------------------------
 
 

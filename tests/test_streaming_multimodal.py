@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from scabillmatch_spark.io.sources import read_table
@@ -160,3 +161,24 @@ def test_real_frame_sampling_and_wav(spark):
     assert audio.duration_s == 100 / 16000
     samples = np.arange(-100, 100, dtype=np.float64)
     assert abs(audio.rms - float(np.sqrt(np.mean(samples ** 2)))) < 1e-9
+
+
+def test_transform_with_state_running_totals(spark, sf_small):
+    """transformWithStateInPandas twin must produce the same final state as
+    the applyInPandasWithState form and the batch groupBy. Needs
+    google.protobuf at runtime (the API's JVM<->Python state channel) —
+    skipped where absent (this container; see running_user_totals_tws)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    stream = SE.read_events_stream(spark, sf_small)
+    out = SE.run_available_now(
+        SE.running_user_totals_tws(stream), output_mode="update"
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in out.collect()}
+    batch = read_table(spark, sf_small, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("t")
+    )
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
