@@ -83,3 +83,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_q19_disjunction_extracts_equi_key(spark):
+    """The OR-of-conjunctions predicate must ride a hash join on p_partkey
+    as a residual, never degrade to a nested-loop/cartesian join."""
+    plan = _formatted(entrymod.queries()["tpch_q19_disjunctive_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_brp_bucket_join_carries_no_vectors(spark):
+    """The BRP bucket self-join must shuffle (vec_id, bucket) only — the
+    64-dim embedding arrays attach after pair dedup."""
+    df = entrymod.queries()["emb_brp_euclidean_join"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert joins, plan
+    # the first (deepest-output) join line is the final vector attach; the
+    # bucket self-join is the one whose condition references bkt
+    bucket_joins = [l for l in joins if "bkt" in l]
+    assert bucket_joins and all("v#" not in l for l in bucket_joins), bucket_joins

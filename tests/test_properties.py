@@ -63,3 +63,40 @@ def test_salted_two_phase_agg_exact(spark):
         for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()
     }
     assert got == want
+
+def test_rolling_hash_shingle_ids_match_reference(spark):
+    """The integer rolling-hash shingle ids (text.ngram_ids_from_token_ids)
+    must equal a direct Python evaluation of the spec: fold
+    (acc*B + id mod P) mod P over each 3-token window of md5 token ids —
+    including short docs, repeated tokens, and digit-stripped input."""
+    import hashlib
+    import re
+
+    from scabillmatch_spark.functions import text as TX
+
+    def ref_ids(text: str, n: int = 3) -> list[int]:
+        cleaned = re.sub(r"[0-9,:;?!.]", "", text.lower())
+        toks = [t for t in cleaned.split(" ") if t]
+        ids = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        out = set()
+        for i in range(len(ids) - n + 1):
+            acc = 0
+            for x in ids[i : i + n]:
+                acc = (acc * TX.SHINGLE_B + x % TX.HASH_PRIME) % TX.HASH_PRIME
+            out.add(acc)
+        return sorted(out)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a a a a a",                      # repeated tokens -> one shingle id
+        "only two",                       # shorter than n -> empty
+        "",                               # empty text
+        "mix3d d1g1ts, and punct!? here." # cleaning path
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r.i: list(r.s)
+        for r in df.select("i", TX.ngram_id_set("text", 3).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_ids(t), (i, t)
