@@ -144,6 +144,8 @@ def cmd_graph(args) -> None:
         out = graph.pagerank(edges, reset_prob=args.reset_prob, max_iter=args.iters)
     elif args.algo == "triangles":
         out = graph.triangle_count_per_vertex(edges)
+    elif args.algo == "components":
+        out = graph.connected_components(edges, max_iter=args.iters)
     else:
         out = graph.shortest_paths(edges, args.landmark, max_depth=args.iters)
     out.write.mode("overwrite").parquet(args.output)
@@ -207,7 +209,9 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("graph", help="graph analytics over scored pairs")
     g.add_argument("--scored", required=True)
     g.add_argument("--output", required=True)
-    g.add_argument("--algo", choices=["pagerank", "triangles", "bfs"], default="pagerank")
+    g.add_argument(
+        "--algo", choices=["pagerank", "triangles", "bfs", "components"], default="pagerank"
+    )
     g.add_argument("--reset-prob", type=float, default=0.15)
     g.add_argument("--iters", type=int, default=10)
     g.add_argument("--landmark", default=None)

@@ -73,3 +73,14 @@ def test_cli_wordcount(spark, corpus, tmp_path):
     counts = spark.read.parquet(out)
     top = counts.first()
     assert top["count"] >= 20  # repeated base phrases dominate
+
+def test_cli_graph_components(spark, tmp_path):
+    scored = str(tmp_path / "scored")
+    spark.createDataFrame(
+        [("a", "b", 97.0), ("b", "c", 96.0), ("x", "y", 99.0)],
+        ["pk1", "pk2", "similarity"],
+    ).write.parquet(scored)
+    out = str(tmp_path / "cc")
+    cli.main(["graph", "--scored", scored, "--output", out, "--algo", "components"])
+    got = {(r.id, r.component) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
