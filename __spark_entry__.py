@@ -304,9 +304,14 @@ def _banded_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection would checkpoint to storage once.
     """
     docs = corpus.doc_token_sets(spark, sf_dir)
+    # min_jaccard=90: every consumer of the scored relation filters at
+    # >=90 (near-dup) or >=95 (graph edges), so the size-ratio prune is
+    # lossless — the oracle needs no band-CTE change because pruned pairs
+    # all fail the similarity threshold on both sides anyway
     cands = blocking.lsh_candidate_pairs(
         docs.select("doc", "toks"), "doc", "toks",
         num_hashes=DOC_LSH_HASHES, num_bands=DOC_LSH_BANDS,
+        min_jaccard=90.0,
     )
     m1 = docs.select(
         F.col("doc").alias("pk1"),

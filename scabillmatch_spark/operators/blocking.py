@@ -195,6 +195,7 @@ def lsh_candidate_pairs(
     num_bands: int = 8,
     group_col: str | None = None,
     same_group: bool = True,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH banded candidate generation -> DataFrame(pk1, pk2).
 
@@ -205,15 +206,24 @@ def lsh_candidate_pairs(
 
     Pairs colliding in >=1 band survive; caller re-scores with the exact
     measure. rows_per_band = num_hashes // num_bands controls precision.
-    """
+
+    ``min_jaccard`` (0-100): LOSSLESS candidate prune for callers that
+    re-score with a Jaccard threshold — J(A,B) <= min|A|,|B| / max|A|,|B|,
+    so any pair failing 100*min_size >= t*max_size can never pass the
+    threshold. Rides the band join as an integer residual (set sizes travel
+    with the banded rows), cutting pair dedup + verify-join work without
+    changing any thresholded result."""
     rows_per_band = num_hashes // num_bands
     df = _ensure_parallelism(df)
     keep = [id_col] + ([group_col] if group_col else [])
+    sz = [F.size(F.col(set_col)).alias("__sz")] if min_jaccard is not None else []
     sig = df.select(
-        *keep, TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig")
+        *keep, *sz, TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig")
     )
     banded = sig.select(
-        *keep, F.explode(TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)).alias("__band")
+        *keep,
+        *([F.col("__sz")] if min_jaccard is not None else []),
+        F.explode(TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
     )
     # both self-join sides read this projection; persisting it computes the
     # num_hashes minhash passes ONCE instead of once per side (the banded
@@ -223,6 +233,12 @@ def lsh_candidate_pairs(
     cond = (F.col("a.__band") == F.col("b.__band")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    if min_jaccard is not None:
+        cond = (
+            cond
+            & (100 * F.col("a.__sz") >= min_jaccard * F.col("b.__sz"))
+            & (100 * F.col("b.__sz") >= min_jaccard * F.col("a.__sz"))
+        )
     if group_col is not None and not same_group:
         cond = cond & (F.col(f"a.{group_col}") != F.col(f"b.{group_col}"))
     return (

@@ -77,7 +77,8 @@ def minhash_dedup_pairs(
             TX.ngram_id_set(text_col, shingle_n).alias("__set"),
         ).persist()
     cands = blocking.lsh_candidate_pairs(
-        sets, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands
+        sets, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands,
+        min_jaccard=jaccard_threshold,  # lossless: J <= size-ratio bound
     )
     s1 = sets.select(F.col("__id").alias("pk1"), F.col("__set").alias("__s1"))
     s2 = sets.select(F.col("__id").alias("pk2"), F.col("__set").alias("__s2"))

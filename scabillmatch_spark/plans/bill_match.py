@@ -52,6 +52,7 @@ def document_match(
     cands = blocking.lsh_candidate_pairs(
         docs, id_col="primary_key", set_col="tokens",
         num_hashes=num_hashes, num_bands=num_bands,
+        min_jaccard=threshold,  # lossless: J <= size-ratio bound
     )
     scored = pairs.score_pairs(
         cands, docs, SIM.jaccard, id_col="primary_key", feature_col="tokens"

@@ -50,7 +50,8 @@ def flagship_time(spark, docs) -> float:
     ).persist()
     t0 = time.perf_counter()
     cands = blocking.lsh_candidate_pairs(
-        sets, "primary_key", "tokens", num_hashes=32, num_bands=4
+        sets, "primary_key", "tokens", num_hashes=32, num_bands=4,
+        min_jaccard=90.0,
     )
     scored = pairs.score_pairs(cands, sets, SIM.jaccard, "primary_key", "tokens")
     pairs.top_n(scored.filter(F.col("similarity") >= 90.0), 1000).collect()
