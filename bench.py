@@ -57,6 +57,7 @@ def main() -> None:
         "ml_lda_topics",
         "ml_lsa_projection",
         "ml_minhash_reference_join",
+        "ml_dimsum_lsa_invariants",
         "emb_ivf_ann",
         # per-key pandas-state overhead (one Arrow batch + pd.DataFrame per
         # user key through applyInPandasWithState) dominates its wall time;
@@ -65,6 +66,10 @@ def main() -> None:
         # correctness gate like everything else.
         "events_stream_stateful",
     }
+    # Guard against silent drift as the registry reorders/renames: a SKIP
+    # name that no longer exists means the headline set changed semantics.
+    unknown = SKIP - set(entrymod.queries())
+    assert not unknown, f"bench SKIP names not in queries(): {sorted(unknown)}"
 
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
     run("flagship_doc_match", lambda: document_match(spark, sf_dir, top=1000))
