@@ -141,13 +141,18 @@ def cmd_graph(args) -> None:
     scored = spark.read.parquet(args.scored)
     edges = scored.select(F.col("pk1").alias("src"), F.col("pk2").alias("dst"))
     if args.algo == "pagerank":
-        out = graph.pagerank(edges, reset_prob=args.reset_prob, max_iter=args.iters)
+        out = graph.pagerank(
+            edges, reset_prob=args.reset_prob, max_iter=args.iters or 10
+        )
     elif args.algo == "triangles":
         out = graph.triangle_count_per_vertex(edges)
     elif args.algo == "components":
-        out = graph.connected_components(edges, max_iter=args.iters)
+        # components converge in graph-diameter rounds (early-stopped), so
+        # the budget only needs to be an upper bound — 50 covers any
+        # plausible near-dup graph; connected_components warns if exhausted
+        out = graph.connected_components(edges, max_iter=args.iters or 50)
     else:
-        out = graph.shortest_paths(edges, args.landmark, max_depth=args.iters)
+        out = graph.shortest_paths(edges, args.landmark, max_depth=args.iters or 10)
     out.write.mode("overwrite").parquet(args.output)
 
 
@@ -213,7 +218,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--algo", choices=["pagerank", "triangles", "bfs", "components"], default="pagerank"
     )
     g.add_argument("--reset-prob", type=float, default=0.15)
-    g.add_argument("--iters", type=int, default=10)
+    # default None -> per-algo default in cmd_graph (components needs
+    # graph-diameter rounds, far more than pagerank's damped fixpoint)
+    g.add_argument("--iters", type=int, default=None)
     g.add_argument("--landmark", default=None)
     g.set_defaults(fn=cmd_graph)
     return p

@@ -70,11 +70,17 @@ def min_one_sided_jaccard_distance(a: Column, b: Column) -> Column:
 def weighted_jaccard(
     a: Column, b: Column, alpha: float = 0.2, skew: float = 5.0
 ) -> Column:
-    """Skew-regularized Jaccard (SimilarityMeasure.scala:113-143): when the
-    set-size ratio exceeds ``skew``, the larger side's non-overlap is
-    down-weighted by w = 1/(alpha*ratio); else plain Jaccard. Column-expr
-    twin of the ml.kernels pandas form — CASE branches guard the divisions
-    so ANSI mode never sees a zero denominator on the taken path."""
+    """Skew-regularized Jaccard — an intentionally simplified SET-BASED
+    analogue of the reference's weighted measure (SimilarityMeasure.scala:
+    113-143), not a restatement of it: the reference gates its skew branch
+    on |x-y|/sqrt(x*y) > 5 over vector L1 norms and computes an
+    L1-norm-weighted similarity, while this measure gates on the set-size
+    ratio (max/min > ``skew``) and down-weights the larger side's
+    non-overlap by w = 1/(alpha*ratio); else plain Jaccard. Same intent
+    (don't let a lopsided pair's big side swamp the score) on index sets
+    instead of weighted vectors. Column-expr twin of the ml.kernels pandas
+    form — CASE branches guard the divisions so ANSI mode never sees a zero
+    denominator on the taken path."""
     inter = _inter_size(a, b)
     sa = F.size(a).cast("double")
     sb = F.size(b).cast("double")

@@ -15,11 +15,12 @@ this module implements the public Apache Avro 1.x specification directly:
 
 Spark-first shape: ``read_avro`` lists the files with the built-in
 ``binaryFile`` source (one row per file, lazily materialized content) and
-decodes **on the executors** via ``mapInPandas`` — per-file task
-parallelism, Arrow-batched rows out, schema inferred once on the driver
-from the first file header (exactly what spark-avro does). The decode loop
-is per-record Python — the honest cost of a boundary format; downstream
-operators run on the resulting DataFrame JVM-side.
+decodes **on the executors** via ``mapInArrow`` — per-file task
+parallelism, Arrow-batched rows out (built straight from pylists, so SQL
+NULL vs double NaN survives the exchange), schema inferred once on the
+driver from the first file header (exactly what spark-avro does). The
+decode loop is per-record Python — the honest cost of a boundary format;
+downstream operators run on the resulting DataFrame JVM-side.
 
 Scale notes: parallelism = number of files (the reference's layout is
 many per-state files). Splitting one huge container file on its sync
@@ -362,8 +363,19 @@ def _compile_encoder(sch):
             v.encode("utf-8") if isinstance(v, str) else str(v).encode("utf-8")
         )
     if t == "union":
-        null_idx = next(i for i, s in enumerate(sch) if _type_name(s) == "null")
-        other_idx = next(i for i, s in enumerate(sch) if _type_name(s) != "null")
+        names = [_type_name(s) for s in sch]
+        null_idxs = [i for i, n in enumerate(names) if n == "null"]
+        other_idxs = [i for i, n in enumerate(names) if n != "null"]
+        if len(null_idxs) != 1 or len(other_idxs) != 1:
+            # The writer only ever produces nullable-style unions
+            # (spark_to_avro_schema emits ["null", X]); any other shape has
+            # no unambiguous branch for a bare Python value — fail loudly at
+            # schema-compile time instead of StopIteration (no null branch)
+            # or silently encoding with the first non-null branch.
+            raise ValueError(
+                f"avro writer supports only [null, X] unions, got {names}"
+            )
+        null_idx, other_idx = null_idxs[0], other_idxs[0]
         enc_other = _compile_encoder(sch[other_idx])
 
         def enc_union(w, v):
@@ -468,6 +480,49 @@ def write_avro_file(path: str, schema, records, codec: str = "null") -> None:
 # ---------------------------------------------------------------------------
 
 
+def _spark_to_arrow_type(dt: T.DataType):
+    """Spark DataType -> pyarrow type for the types an Avro-derived schema
+    can contain (kept local: no dependency on pyspark's internal
+    pandas.types converters, whose signatures move between releases).
+    TimestampType maps to UTC-instant micros, matching Spark's Arrow
+    exchange convention."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_spark_to_arrow_type(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return pa.map_(
+            _spark_to_arrow_type(dt.keyType), _spark_to_arrow_type(dt.valueType)
+        )
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [pa.field(f.name, _spark_to_arrow_type(f.dataType)) for f in dt.fields]
+        )
+    raise ValueError(f"unsupported spark type for arrow exchange: {dt}")
+
+
 def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Avro container files -> DataFrame.
 
@@ -491,18 +546,35 @@ def read_avro(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if not isinstance(spark_schema, T.StructType):
         raise ValueError("top-level avro schema must be a record")
     sch_json = json.dumps(sch)
-    cols = [f.name for f in spark_schema.fields]
 
     def decode_files(batches):
+        import pyarrow as pa
+
         reader_sch = json.loads(sch_json)
-        for pdf in batches:
-            for content in pdf["content"]:
+        arrow_sch = pa.schema(
+            [pa.field(f.name, _spark_to_arrow_type(f.dataType)) for f in spark_schema.fields]
+        )
+        for batch in batches:
+            for content in batch.column(0).to_pylist():
                 data = decode_container_columns(bytes(content), schema=reader_sch)
-                yield pd.DataFrame({c: data[c] for c in cols}, columns=cols)
+                arrays = []
+                for field in arrow_sch:
+                    vals = data[field.name]
+                    if pa.types.is_timestamp(field.type):
+                        # decoder yields naive UTC datetimes; the naive ->
+                        # tz-aware cast treats them as UTC instants
+                        arrays.append(
+                            pa.array(vals, pa.timestamp("us")).cast(field.type)
+                        )
+                    else:
+                        # pa.array keeps None -> null and NaN -> NaN double
+                        # (a pandas hop here conflated the two)
+                        arrays.append(pa.array(vals, field.type))
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_sch)
 
     src = path if not os.path.isdir(path) else os.path.join(path, "*.avro")
     files = spark.read.format("binaryFile").load(src).select("content")
-    return files.mapInPandas(decode_files, schema=spark_schema)
+    return files.mapInArrow(decode_files, schema=spark_schema)
 
 
 def spark_to_avro_schema(schema: T.StructType, name: str = "Row") -> dict:
@@ -556,69 +628,95 @@ def write_avro(df: DataFrame, dir_path: str, codec: str = "null") -> int:
     local/NFS; an object store would need a Hadoop OutputFormat). Returns
     the number of files written.
 
-    Hot path is ``mapInPandas`` (Arrow column transfer — no JVM->Python row
-    pickling) with one container BLOCK per Arrow batch streamed into the
-    partition's file, so executor memory is bounded by the batch size, not
-    the partition. Column prep is vectorized (``Series.tolist`` per column,
-    null-mask fixups only when a batch actually contains nulls); the
-    per-record work is just the compiled field encoders."""
+    Hot path is ``mapInArrow`` (Arrow column transfer — no JVM->Python row
+    pickling, and no pandas materialization) with one container BLOCK per
+    Arrow batch streamed into the partition's file, so executor memory is
+    bounded by the batch size, not the partition. Null handling comes from
+    the Arrow validity mask via ``Array.to_pylist`` (true SQL NULL -> None),
+    which — unlike ``Series.isna`` — leaves a genuine double NaN encoded as
+    NaN instead of rewriting it to Avro null.
+
+    Task-retry/speculation safety: each task writes
+    ``.part-<partitionId>.avro.inprogress-<taskAttemptId>`` and atomically
+    ``os.replace``s it to the deterministic ``part-<partitionId>.avro`` on
+    commit — a retried or speculative attempt overwrites the same final
+    name instead of adding a duplicate uuid file, and a failed attempt
+    leaves only a dot-prefixed temp that the next driver-side cleanup (or
+    the read glob, which matches ``*.avro`` only) ignores."""
+    import pyarrow as pa
+
     os.makedirs(dir_path, exist_ok=True)
-    # overwrite semantics: executor part names are uuid-based, so stale
-    # files from a previous write must go before the new action starts
+    # overwrite semantics: clear previous outputs (the new write may have
+    # fewer partitions than the old, so deterministic names alone don't
+    # cover every stale file) and any orphaned in-progress temps
     for old in os.listdir(dir_path):
-        if old.endswith(".avro"):
+        if old.endswith(".avro") or ".avro.inprogress-" in old:
             os.remove(os.path.join(dir_path, old))
     avro_sch = spark_to_avro_schema(df.schema)
     sch_json = json.dumps(avro_sch)
     cols = [f.name for f in df.schema.fields]
     ts_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)}
+    date_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.DateType)}
+    map_cols = {f.name for f in df.schema.fields if isinstance(f.dataType, T.MapType)}
 
     def write_part(batches):
-        import uuid
+        from pyspark import TaskContext
 
         sch = json.loads(sch_json)
         field_encs = [_compile_encoder(f["type"]) for f in sch["fields"]]
         sync = b"\x07" * _SYNC_SIZE
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        final = os.path.join(dir_path, f"part-{pid:05d}.avro")
+        tmp = os.path.join(dir_path, f".part-{pid:05d}.avro.inprogress-{attempt}")
         fh = None
         n_files = 0
         try:
-            for pdf in batches:
+            for batch in batches:
                 col_lists = []
-                for c in cols:
-                    s = pdf[c]
+                for i, c in enumerate(cols):
+                    arr = batch.column(i)
                     if c in ts_cols:
-                        # tz/naive datetime64[ns] -> micros since epoch (UTC)
-                        if getattr(s.dtype, "tz", None) is not None:
-                            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-                        vals = (s.values.astype("int64") // 1000).tolist()
-                        if s.isna().any():
-                            mask = s.isna().tolist()
-                            vals = [None if m else v for v, m in zip(vals, mask)]
-                        col_lists.append(vals)
+                        # timestamp(us[, tz]) -> micros since epoch; the
+                        # underlying int64 is already the UTC instant
+                        if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+                            arr = arr.cast(pa.timestamp("us", tz=arr.type.tz))
+                        vals = arr.cast(pa.int64()).to_pylist()
+                    elif c in date_cols:
+                        # date32 -> days since epoch (avro logical date)
+                        vals = arr.cast(pa.int32()).to_pylist()
+                    elif c in map_cols:
+                        # arrow map scalars materialize as (k, v) tuples
+                        vals = [None if v is None else dict(v) for v in arr.to_pylist()]
                     else:
-                        vals = s.tolist()
-                        if s.dtype == object or s.isna().any():
-                            mask = s.isna().tolist()
-                            if any(mask):
-                                vals = [None if m else v for v, m in zip(vals, mask)]
-                        col_lists.append(vals)
+                        # validity mask -> None; double NaN stays NaN
+                        vals = arr.to_pylist()
+                    col_lists.append(vals)
                 body = _Writer()
-                n = len(pdf)
+                n = batch.num_rows
                 for rec in zip(*col_lists):
                     for enc, v in zip(field_encs, rec):
                         enc(body, v)
                 if n:
                     if fh is None:
-                        part = os.path.join(dir_path, f"part-{uuid.uuid4().hex}.avro")
-                        fh = open(part, "wb")
+                        fh = open(tmp, "wb")
                         fh.write(_container_header(sch, codec, sync))
-                        n_files = 1
                     fh.write(_container_block(n, body.getvalue(), codec, sync))
-        finally:
+        except BaseException:
             if fh is not None:
                 fh.close()
-        yield pd.DataFrame({"n": [n_files]})
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+            raise
+        if fh is not None:
+            fh.close()
+            os.replace(tmp, final)  # atomic commit of this attempt's output
+            n_files = 1
+        yield pa.RecordBatch.from_pylist([{"n": n_files}])
 
-    counts = df.mapInPandas(write_part, schema="n long")
+    counts = df.mapInArrow(write_part, schema="n long")
     total = counts.agg({"n": "sum"}).first()[0]
     return int(total or 0)

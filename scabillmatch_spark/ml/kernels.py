@@ -145,9 +145,14 @@ def _max_asym_jaccard(v1, v2) -> float:
 
 
 def _weighted_jaccard(v1, v2, alpha: float = 0.2, skew: float = 5.0) -> float:
-    """SimilarityMeasure.scala:113-143: if the index-set size ratio exceeds
-    ``skew``, use an alpha-regularized weighted formula that down-weights the
-    larger document; else plain Jaccard."""
+    """Intentionally simplified set-based analogue of the reference's
+    weighted measure (SimilarityMeasure.scala:113-143) — same intent,
+    different formula: the reference gates on |x-y|/sqrt(x*y) > 5 over
+    vector L1 norms and computes an L1-norm-weighted similarity; this
+    kernel gates on the index-set size ratio and, past ``skew``, uses an
+    alpha-regularized denominator that down-weights the larger document;
+    else plain Jaccard. Kept in lockstep with
+    functions.similarity.weighted_jaccard and the DuckDB oracle."""
     s1 = set(map(int, _to_index_values(v1)[0]))
     s2 = set(map(int, _to_index_values(v2)[0]))
     if not s1 or not s2:

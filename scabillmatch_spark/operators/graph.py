@@ -144,6 +144,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             e.join(comp, e.src == comp.id)
@@ -162,10 +163,23 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        done = nxt.filter(F.col("__improved")).isEmpty()
+        converged = nxt.filter(F.col("__improved")).isEmpty()
         comp = nxt.select("id", "component")
-        if done:
+        if converged:
             break
+    if not converged:
+        # labels still propagating when the round budget ran out (rounds
+        # needed = graph diameter, e.g. a path graph longer than max_iter):
+        # the returned labels would silently split real components
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; returned components may be split (raise max_iter — "
+            "rounds needed equals the graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return comp
 
 

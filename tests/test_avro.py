@@ -117,3 +117,75 @@ def test_unions_maps_enums_fixed():
 def test_bad_magic_rejected():
     with pytest.raises(ValueError, match="magic"):
         A.decode_container(b"PAR1" + b"\x00" * 32)
+
+
+def test_write_avro_preserves_nan_vs_null(spark, tmp_path):
+    """SQL NULL and a genuine double NaN are different values: the writer
+    must map the Arrow validity mask to Avro null and keep NaN as an
+    encoded IEEE NaN (pandas isna() used to conflate the two)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, None), (2, float("nan")), (3, 1.5)], "id long, x double"
+    )
+    out = str(tmp_path / "nan_out")
+    A.write_avro(df, out)
+    back = {r.id: r.x for r in A.read_avro(spark, out).collect()}
+    assert back[1] is None
+    assert back[2] is not None and math.isnan(back[2])
+    assert back[3] == 1.5
+
+
+def test_write_avro_nan_in_non_nullable_double(tmp_path):
+    """A NaN in a NON-nullable double field encodes as NaN (previously the
+    isna() mask fed None to the plain 'double' encoder -> TypeError)."""
+    import math
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "x", "type": "double"}],
+    }
+    data = A.encode_container(sch, [{"x": float("nan")}, {"x": 2.0}])
+    got = A.decode_container(data)
+    assert math.isnan(got[0]["x"]) and got[1]["x"] == 2.0
+
+
+def test_write_avro_deterministic_part_names(spark, tmp_path):
+    """Part files are named by partition id (retry/speculation overwrites
+    the same name via atomic rename), and a re-run leaves no temp files or
+    stale parts behind."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, v string")
+    out = str(tmp_path / "det_out")
+    n1 = A.write_avro(df.repartition(4), out)
+    names1 = sorted(os.listdir(out))
+    assert n1 == len(names1)
+    assert all(n.startswith("part-") and n.endswith(".avro") for n in names1)
+    assert names1 == sorted(set(names1))
+    # second write with fewer partitions replaces the old layout entirely
+    n2 = A.write_avro(df.repartition(2), out)
+    names2 = sorted(os.listdir(out))
+    assert n2 == len(names2) <= 2
+    assert not any(".inprogress" in n for n in names2)
+    back = A.read_avro(spark, out)
+    assert back.count() == 20
+
+
+def test_union_encoder_rejects_non_nullable_unions():
+    """Writer unions must be [null, X]; other shapes raise a clear error at
+    schema-compile time instead of StopIteration or silently picking the
+    first non-null branch."""
+    no_null = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "u", "type": ["int", "string"]}],
+    }
+    with pytest.raises(ValueError, match="union"):
+        A.encode_container(no_null, [{"u": 1}])
+    multi = {
+        "type": "record",
+        "name": "R2",
+        "fields": [{"name": "u", "type": ["null", "int", "string"]}],
+    }
+    with pytest.raises(ValueError, match="union"):
+        A.encode_container(multi, [{"u": None}])

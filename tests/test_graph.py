@@ -66,3 +66,26 @@ def test_weighted_shortest_paths(spark):
     )
     d = {r.id: r.distance for r in graph.weighted_shortest_paths(edges, 1).collect()}
     assert d == {1: 0.0, 2: 2.0, 3: 4.0, 4: 5.0}
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    """A path graph needs diameter rounds; an exhausted budget must warn
+    (silent split components was the failure mode)."""
+    import warnings
+
+    from scabillmatch_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iter=2)
+        out.collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    # and with enough rounds: one component, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        full = connected_components(edges, max_iter=20)
+        assert full.select("component").distinct().count() == 1
+        assert not any("did not converge" in str(x.message) for x in w)
