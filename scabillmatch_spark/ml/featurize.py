@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scabillmatch_spark.functions import text as TX
+from scabillmatch_spark.ml.stopwords import BILL_STOPWORDS
 
 
 @dataclass
@@ -47,6 +48,10 @@ class FeatureConfig:
     vocab_size: int = 2**16            # CountVectorizer vocabSize
     ngram: int | None = None           # n-gram granularity; None = unigrams
     min_token_len: int = 3             # smallWordRemover drops <=2-letter words
+    # the reference unconditionally appends its 104-entry bill-domain list
+    # (state names/fragments, statute codes, boilerplate) to the english
+    # defaults (feature/Utils.scala:190-198); on by default for parity
+    use_bill_stopwords: bool = True
     extra_stopwords: list[str] = field(default_factory=list)
     stem: bool = False
 
@@ -63,11 +68,16 @@ def build_pipeline(cfg: FeatureConfig) -> Pipeline:
     )
     stages.append(tokenizer)
 
+    domain = BILL_STOPWORDS if cfg.use_bill_stopwords else []
     remover = (
         StopWordsRemover()
         .setInputCol("__tokens")
         .setOutputCol("__filtered")
-        .setStopWords(StopWordsRemover.loadDefaultStopWords("english") + cfg.extra_stopwords)
+        .setStopWords(
+            StopWordsRemover.loadDefaultStopWords("english")
+            + domain
+            + cfg.extra_stopwords
+        )
     )
     stages.append(remover)
 

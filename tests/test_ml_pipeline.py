@@ -100,3 +100,51 @@ def test_dimsum(spark):
     sims = lsh.dimsum_column_similarities(df).collect()
     by_pair = {(r.i, r.j): r.similarity for r in sims}
     assert by_pair[(0, 2)] == pytest.approx(1.0 / (2**0.5) / 1.0, rel=1e-6)
+
+def test_bill_stopwords_dropped(spark):
+    """The packaged bill-domain list (state names/demonym fragments, statute
+    codes, boilerplate — feature/Utils.scala:190-198) is appended to the
+    english defaults by default: state-name tokens must not reach the TF
+    stage, while ordinary policy vocabulary survives."""
+    from pyspark.ml.feature import StopWordsRemover
+
+    from scabillmatch_spark.ml.stopwords import BILL_STOPWORDS
+
+    assert len(BILL_STOPWORDS) == 104  # byte-faithful to the reference list
+    df = spark.createDataFrame(
+        [("1", "California Nevada whereas budget appropriation firearm"),
+         ("2", "new hampshire rcw education statute")],
+        "primary_key string, content string",
+    )
+    cfg = featurize.FeatureConfig(num_features=64, use_idf=False)
+    model_stages = featurize.build_pipeline(cfg).fit(
+        df.withColumn("__clean", F.lower(F.col("content")))
+    ).stages
+    remover = next(s for s in model_stages if isinstance(s, StopWordsRemover))
+    sw = set(remover.getStopWords())
+    for tok in ("california", "nevada", "whereas", "hampshire", "rcw", "new"):
+        assert tok in sw
+    for tok in ("budget", "appropriation", "firearm", "education", "statute"):
+        assert tok not in sw
+    # end-to-end: featurized vectors for pure-stopword content are empty
+    out, _ = featurize.extract_features(
+        spark.createDataFrame(
+            [("1", "california nevada whereas new hampshire")],
+            "primary_key string, content string",
+        ),
+        cfg,
+    )
+    vec = out.select("features").first()[0]
+    assert vec.numNonzeros() == 0
+    # opt-out restores the plain english-defaults behavior
+    cfg_off = featurize.FeatureConfig(
+        num_features=64, use_idf=False, use_bill_stopwords=False
+    )
+    out_off, _ = featurize.extract_features(
+        spark.createDataFrame(
+            [("1", "california nevada budget")],
+            "primary_key string, content string",
+        ),
+        cfg_off,
+    )
+    assert out_off.select("features").first()[0].numNonzeros() == 3
