@@ -1339,6 +1339,128 @@ def _emb_brp_oracle() -> str:
     """
 
 
+_ND_PLANES, _ND_BANDS = 16, 4
+_ND_VARIANT_OFFSET = 100_000
+_ND_COS_THRESHOLD = 0.98
+
+
+def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DETECTION (the dedup-tier sibling of
+    the ANN queries): find all vector pairs with cosine >= 0.98 via banded
+    random-hyperplane LSH — 16 deterministic md5-seeded ±1 planes split
+    into 4 bands of 4 sign bits, band equi-join, exact cosine verify.
+    OR-amplification over bands puts candidate recall at ~99.95% for the
+    planted 0.99-cosine pairs (p_agree ≈ 0.96/plane -> 1-(1-0.96^4)^4),
+    where emb_lsh_ann's single 8-bit bucket would miss ~half.
+
+    The synthetic embeddings are i.i.d. (max pairwise cosine ~0.51), so the
+    query PLANTS deterministic near-dups in-plan: a variant copy of every
+    vector with its first coordinate zeroed (cosine(v, v') =
+    sqrt(1 - v1^2/|v|^2) ≈ 0.992 at dim 64). Detection then runs over the
+    union — planted pairs stand in for the re-encoded/near-identical
+    embeddings a real dedup pass hunts. Everything (planes, variant
+    derivation, banding) is deterministic, so the DuckDB oracle reproduces
+    the exact candidate set and result.
+
+    Scale shape: same discipline as the BRP join — the 64-dim vectors stay
+    OUT of the band self-join shuffle (ids + band keys only, vectors
+    re-attach by equi-join afterwards); band width (bits per band) is the
+    precision/recall knob a 100 TB run would raise to 8-16 bits per band.
+    """
+    planes = _hyperplanes(_ND_PLANES, 64, salt="nd:")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    variant = emb.select(
+        (F.col("vec_id") + _ND_VARIANT_OFFSET).alias("vec_id"),
+        F.concat(F.array(F.lit(0.0)), F.slice("v", 2, 63)).alias("v"),
+    )
+    allv = blocking.ensure_parallelism(emb.unionByName(variant)).persist()
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    rows = _ND_PLANES // _ND_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(b)), *[bit.cast("string") for bit in bits[b * rows : (b + 1) * rows]]
+            )
+            for b in range(_ND_BANDS)
+        ]
+    )
+    banded = allv.select("vec_id", F.explode(bands).alias("band")).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    v1 = allv.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    v2 = allv.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn(
+            "cos_sim", F.round(SIM.cosine_similarity(F.col("v1"), F.col("v2")), 6)
+        )
+        .filter(F.col("cos_sim") >= _ND_COS_THRESHOLD)
+        .select("id1", "id2", "cos_sim")
+    )
+
+
+def _emb_near_dup_oracle() -> str:
+    planes = _hyperplanes(_ND_PLANES, 64, salt="nd:")
+    bit_exprs = [
+        f"(CASE WHEN list_dot_product(v, {plane}) > 0 THEN 1 ELSE 0 END)"
+        for plane in planes
+    ]
+    rows = _ND_PLANES // _ND_BANDS
+    band_items = ", ".join(
+        "concat_ws('|', '{b}', {bits})".format(
+            b=b,
+            bits=", ".join(
+                f"CAST({e} AS VARCHAR)" for e in bit_exprs[b * rows : (b + 1) * rows]
+            ),
+        )
+        for b in range(_ND_BANDS)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        var AS (
+            SELECT vec_id + {_ND_VARIANT_OFFSET} AS vec_id,
+                   list_concat([0.0], v[2:64]) AS v
+            FROM e
+        ),
+        allv AS (SELECT * FROM e UNION ALL SELECT * FROM var),
+        banded AS (SELECT vec_id, unnest([{band_items}]) AS band FROM allv),
+        cand AS (
+            SELECT a.vec_id AS id1, b.vec_id AS id2
+            FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        ),
+        scored AS (
+            SELECT c.id1, c.id2,
+                   ROUND(list_dot_product(x.v, y.v)
+                         / (sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+            FROM cand c
+            JOIN allv x ON x.vec_id = c.id1
+            JOIN allv y ON y.vec_id = c.id2
+        )
+        SELECT id1, id2, cos_sim FROM scored WHERE cos_sim >= {_ND_COS_THRESHOLD}
+    """
+
+
 def _featured_docs(spark: SparkSession, sf_dir: str):
     """documents -> ml TF-IDF features (shared by the ML queries)."""
     from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
@@ -1738,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "pairs_postprocess_sample": q_pairs_postprocess_sample,
         "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
         # -- r3 driver-green, kept inside the window
         "semi_anti_join": q_semi_anti_join,
         "events_json_agg": q_events_json,
@@ -1774,9 +1897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_stateful": q_events_stream_stateful,
+        # -- stable rows past the 50-query window — still verified every
+        #    pytest run by tests/test_oracle.py (approx_sketch_stats: r3
+        #    driver-green invariant row; TPC-H/window: hash-green r1+r2+r3)
         "approx_sketch_stats": q_approx_sketch_stats,
-        # -- stable since r1 (hash-green 3 rounds running) — past the window,
-        #    still verified every pytest run by tests/test_oracle.py
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_exists": q_tpch_q4,
@@ -2020,6 +2144,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT TRUE AS exact_ok, (SELECT COUNT(*) FROM documents) AS n_docs,
                    TRUE AS pairs_match, TRUE AS range_ok, TRUE AS triangular_ok
         """,
+        "emb_cosine_near_dup": _emb_near_dup_oracle(),
         "pairs_postprocess_sample": f"""
             WITH {_banded_pairs_cte(_DUCK_TOKIDSET)},
             sp AS (

@@ -43,6 +43,33 @@ def corpus(spark, sf_dir: str, copies: int):
     return out
 
 
+def dedup_time(spark, docs) -> float:
+    """minhash_lsh_dedup pipeline (shingle MinHash-LSH banded candidates +
+    exact verify) — the heaviest non-flagship dedup pipeline; linearity here
+    guards the band-join's work ∝ true-collisions property.
+
+    The shingle-set projection is materialized OUTSIDE the timed region
+    (mirroring flagship_time's treatment of tokenization): the scan is
+    trivially linear, and timing it would mostly measure whether Spark's
+    plan-matched cache from a previous identical-plan run was still warm —
+    the first version of this check reported 1.97s/19.8s/17.7s for exactly
+    that reason (cache hit at 1x, misses at 2x/4x)."""
+    from scabillmatch_spark.operators import dedup
+
+    sets = docs.select(
+        "doc_id", TX.ngram_id_set("text", 3).alias("shingles")
+    ).persist()
+    sets.count()
+    t0 = time.perf_counter()
+    dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=32, num_bands=8,
+        jaccard_threshold=70.0, sets=sets,
+    ).count()
+    dt = time.perf_counter() - t0
+    sets.unpersist()
+    return round(dt, 2)
+
+
 def flagship_time(spark, docs) -> float:
     sets = docs.select(
         F.col("doc_id").cast("string").alias("primary_key"),
@@ -74,10 +101,11 @@ def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
 
     base = entrymod._doc_edges(spark, sf_dir).select("src", "dst").persist()
     lm0 = base.agg(F.min("src")).first()[0]
-    # warm the edge materialization + BFS codegen so copies=1 isn't charged
-    # for one-time costs the larger copies don't pay
+    # warm the edge materialization + BFS/CC codegen so copies=1 isn't
+    # charged for one-time costs the larger copies don't pay
     graph.shortest_paths(base, [lm0], max_depth=2).count()
-    bfs_res, w_res = {}, {}
+    graph.connected_components(base, max_iter=3).count()
+    bfs_res, w_res, cc_res = {}, {}, {}
     for copies in (1, 2, 4):
         parts = [
             base.select(
@@ -101,34 +129,57 @@ def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
         t0 = time.perf_counter()
         graph.weighted_shortest_paths(we, lm0, max_iter=6).count()
         w_res[copies] = round(time.perf_counter() - t0, 2)
+        # dedup-clustering closer (doc_dup_clusters): CC over the scaled
+        # graph — disjoint copies keep per-component diameter constant, so
+        # rounds stay flat and wall time should track edge count
+        t0 = time.perf_counter()
+        graph.connected_components(e, max_iter=30).count()
+        cc_res[copies] = round(time.perf_counter() - t0, 2)
         e.unpersist()
         print(
             f"# graph copies={copies} edges={n_edges} bfs={bfs_res[copies]}s"
-            f" weighted={w_res[copies]}s",
+            f" weighted={w_res[copies]}s cc={cc_res[copies]}s",
             file=sys.stderr,
         )
-    return bfs_res, w_res
+    return bfs_res, w_res, cc_res
 
 
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale_check")
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warmup
-    results = {}
+    # throwaway full-pipeline runs: the 1x points must be steady-state, not
+    # charged for JIT/codegen/broadcast warmup the 2x/4x points don't pay
+    warm = corpus(spark, sf_dir, 1)
+    flagship_time(spark, warm)
+    dedup_time(spark, warm)
+    results, dedup_results = {}, {}
     for copies in (1, 2, 4):
+        # keep scale points cache-independent: minhash_dedup_pairs persists
+        # internal projections it cannot unpersist before its action, and
+        # Spark's plan-matched cache would otherwise gift the 1x rerun the
+        # warmup's data while 2x/4x pay full price
+        spark.catalog.clearCache()
         docs = corpus(spark, sf_dir, copies)
         n = docs.count()
         results[copies] = flagship_time(spark, docs)
-        print(f"# copies={copies} docs={n} time={results[copies]}s", file=sys.stderr)
-    bfs_res, w_res = graph_times(spark, sf_dir)
+        dedup_results[copies] = dedup_time(spark, docs)
+        print(
+            f"# copies={copies} docs={n} flagship={results[copies]}s"
+            f" dedup={dedup_results[copies]}s",
+            file=sys.stderr,
+        )
+    bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
     print(
         json.dumps(
             {
                 "metric": "flagship_scaling",
                 "unit": "sec",
                 "copies": results,
+                "dedup": dedup_results,
                 "graph_bfs": bfs_res,
                 "graph_weighted": w_res,
+                "graph_cc": cc_res,
             }
         )
     )
