@@ -1060,6 +1060,24 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.run_available_now(SE.running_user_totals(stream), "update")
 
 
+def q_events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the remaining Structured Streaming
+    operator class): purchases joined to the same user's clicks in the 15
+    minutes preceding each purchase, both sides watermarked so join state
+    is evictable (streaming/events.interval_join). Over bounded
+    AvailableNow input the streaming inner join emits exactly the batch
+    range join, so the oracle is the plain SQL interval join."""
+    from scabillmatch_spark.streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    joined = SE.interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        lag_minutes=15,
+    )
+    return SE.run_available_now(joined, "append")
+
+
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HyperLogLog++
     (approx_count_distinct) and the Greenwald-Khanna quantile sketch
@@ -1893,13 +1911,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sections": q_doc_sections,
         "emb_vector_measures": q_emb_vector_measures,
         "io_avro_roundtrip": q_io_avro_roundtrip,
-        "events_sliding_window": q_events_sliding_window,
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_interval_join": q_events_stream_interval_join,
         "events_stream_stateful": q_events_stream_stateful,
         # -- stable rows past the 50-query window — still verified every
-        #    pytest run by tests/test_oracle.py (approx_sketch_stats: r3
-        #    driver-green invariant row; TPC-H/window: hash-green r1+r2+r3)
+        #    pytest run by tests/test_oracle.py (sliding window /
+        #    approx_sketch_stats: r3 driver-green; TPC-H/window queries:
+        #    hash-green r1+r2+r3)
+        "events_sliding_window": q_events_sliding_window,
         "approx_sketch_stats": q_approx_sketch_stats,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
@@ -2320,6 +2340,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND epoch_us(b.ts) > epoch_us(a.ts)
              AND epoch_us(b.ts) - epoch_us(a.ts) <= 120000000
+        """,
+        "events_stream_interval_join": """
+            SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS us_before
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'purchase' AND r.event_type = 'click'
+             AND epoch_us(r.ts) >= epoch_us(l.ts) - 900000000
+             AND epoch_us(r.ts) <= epoch_us(l.ts)
         """,
         "graph_weighted_paths": _weighted_paths_oracle(6),
         "doc_sections": """

@@ -91,6 +91,56 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lag_minutes: int = 15,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: pair each left event with the
+    right events of the same user in the ``lag_minutes`` window ending at
+    the left event's timestamp (the canonical attribution join — purchase
+    joined to the clicks that preceded it).
+
+    Both sides carry a watermark and the join condition includes the
+    time-range bound, which is exactly what lets Structured Streaming evict
+    join state (unbounded state otherwise — the #1 stream-stream join
+    mistake). Applied to batch DataFrames, ``withWatermark`` is a no-op and
+    the same code degenerates to a plain range join — the DuckDB-oracle
+    twin, per this module's shared batch/stream design rule.
+
+    Scale shape: state per key is bounded by watermark + lag; the join
+    shuffles both sides on user_id once.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {int(lag_minutes)} MINUTES"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "left_id",
+            "right_id",
+            (F.unix_micros(F.col("l_ts")) - F.unix_micros(F.col("r_ts"))).alias(
+                "us_before"
+            ),
+        )
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running (event count, value sum) maintained across micro-batches —

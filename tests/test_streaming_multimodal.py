@@ -69,6 +69,29 @@ def test_stateful_running_totals(spark, sf_small):
         assert abs(got[k][1] - want[k][1]) < 1e-6
 
 
+def test_stream_interval_join_equals_batch(spark, sf_small):
+    """Stream-stream interval join over bounded input == batch range join
+    (the module's shared batch/stream design rule)."""
+    stream = SE.read_events_stream(spark, sf_small)
+    got = SE.run_available_now(
+        SE.interval_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            lag_minutes=15,
+        ),
+        "append",
+    )
+    ev = read_table(spark, sf_small, "events")
+    want = SE.interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        lag_minutes=15,
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
 def test_stream_to_parquet_sink(spark, sf_small, tmp_path):
     stream = SE.read_events_stream(spark, sf_small)
     out = str(tmp_path / "sink")
