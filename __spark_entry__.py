@@ -251,6 +251,136 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — pure scan-side predicate
+    stack (date range, discount band, quantity cap, all pushed to parquet
+    row groups) and one decimal-exact product aggregation. The baseline
+    'how fast can you scan' query."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * F.col("l_discount").cast("decimal(18,4)")
+    ).cast("decimal(38,8)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count DISTRIBUTION — left outer join
+    (customers with zero orders must appear), per-customer count, then a
+    second aggregation over the counts. Exercises outer-join null semantics
+    feeding an aggregation chain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-count per part attribute with a NOT-IN
+    exclusion — countDistinct over a fact join, minus suppliers from an
+    anti-join list (negative account balance stands in for the reference
+    query's complaint-comment pattern; no partsupp table in this schema, so
+    lineitem provides the part->supplier relation). Top-20 deterministic."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15, 20))
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(20)
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS correlated pair — suppliers
+    that are the SOLE returning supplier on a multi-supplier final order
+    (returnflag='R' plays the late-delivery role; the schema has no
+    commit/receipt dates). Plan: semi-join for the exists arm, anti-join
+    for the not-exists arm, both against per-order supplier aggregates."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # exists: another supplier shipped in the same order
+    others = l1.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    # not exists: another supplier ALSO returned in the same order
+    other_returns = (
+        l1.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    failed = l1.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    with_other = failed.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        other_returns,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti-join — customers
+    with above-average positive balance (global scalar aggregate broadcast
+    into the filter) and NO orders (anti-join), grouped by market segment
+    (stands in for the phone country code)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 window: top-3 orders per customer by totalprice (row_number)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1976,6 +2106,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
+        # -- round-4 SQL-breadth additions (scan-agg, outer-join
+        #    distribution, NOT-IN countDistinct, EXISTS+NOT-EXISTS pair,
+        #    scalar-subquery + anti-join); born past the driver window,
+        #    verified by the pytest oracle gate
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
     }
 
 
@@ -2474,6 +2613,78 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 5 AND 25)
                OR (p_brand = 'Brand#4' AND p_size BETWEEN 10 AND 30
                    AND l_quantity BETWEEN 10 AND 40)
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+                       AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q13_order_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                  AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_size IN (5, 10, 15, 20)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+            LIMIT 20
+        """,
+        "tpch_q21_sole_returner": """
+            WITH l1 AS (
+                SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+            ),
+            failed AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM l1 WHERE l_returnflag = 'R'
+            )
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM failed f
+            JOIN supplier s ON s.s_suppkey = f.l_suppkey
+            WHERE EXISTS (
+                    SELECT 1 FROM l1 x
+                    WHERE x.l_orderkey = f.l_orderkey
+                      AND x.l_suppkey <> f.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM l1 y
+                    WHERE y.l_orderkey = f.l_orderkey
+                      AND y.l_suppkey <> f.l_suppkey
+                      AND y.l_returnflag = 'R')
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name ASC
+            LIMIT 20
+        """,
+        "tpch_q22_dormant_customers": """
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 4) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (
+                    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "events_resample_1h": """
             WITH h AS (
