@@ -1207,7 +1207,10 @@ def q_events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         stream.filter(F.col("event_type") == "click"),
         lag_minutes=15,
     )
-    return SE.run_available_now(joined, "append")
+    # 8 state-store partitions: two join state stores per partition and
+    # bounded per-user state — store-count overhead, not data, dominated at
+    # the batch default of 32 (see run_available_now docstring)
+    return SE.run_available_now(joined, "append", shuffle_partitions=8)
 
 
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

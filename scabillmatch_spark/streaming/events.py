@@ -268,19 +268,40 @@ def stream_to_parquet(
     q.awaitTermination()
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (Trigger.AvailableNow) into a memory sink; return the result as a batch
-    DataFrame. Gives deterministic, oracle-checkable streaming results."""
-    name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    DataFrame. Gives deterministic, oracle-checkable streaming results.
+
+    ``shuffle_partitions`` sizes the STATE STORES for this query:
+    Structured Streaming partitions stateful operators by
+    ``spark.sql.shuffle.partitions`` as of the first query start (baked
+    into the checkpoint thereafter), and per-micro-batch overhead scales
+    with store count — a stream-stream join at the batch default of 32 ran
+    3x slower than at 8 purely on store setup/commit (measured: 9.0s vs
+    3.1s at sf0.1). Size it to expected state volume, not to batch
+    parallelism. The session conf is set for the query's lifetime and
+    restored afterwards."""
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name)
     return result
