@@ -105,3 +105,16 @@ def test_brp_bucket_join_carries_no_vectors(spark):
     # bucket self-join is the one whose condition references bkt
     bucket_joins = [l for l in joins if "bkt" in l]
     assert bucket_joins and all("v#" not in l for l in bucket_joins), bucket_joins
+
+
+def test_near_dup_cascade_shuffles_no_vectors(spark):
+    """The emb_cosine_near_dup band self-join and Hamming prefilter must
+    carry ids/band keys/packed signatures only — the 64-dim vectors attach
+    after the prefilter, for cascade survivors."""
+    df = entrymod.queries()["emb_cosine_near_dup"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    band_joins = [l for l in joins if "band" in l]
+    assert band_joins and all("v#" not in l for l in band_joins), band_joins
+    sig_joins = [l for l in joins if "sig" in l and "band" not in l]
+    assert all("v#" not in l for l in sig_joins), sig_joins
