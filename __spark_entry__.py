@@ -2025,6 +2025,96 @@ def q_ml_dimsum_lsa_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data curation tier): train
+    documents sharing at least one 4-gram with the held-out eval split
+    (doc_id % 50 == 0 stands in for the benchmark corpus), with the count
+    of distinct shared 4-grams. Gram ids are the integer rolling hash over
+    the shared corpus cache's ordered token-id arrays — one md5 pass per
+    corpus, no string shingles in flight. 100 TB shape: the distinct eval
+    gram set (benchmarks are MBs) broadcasts, the train side explodes to
+    narrow (id, gram) rows, and no text ever shuffles
+    (operators/curation.decontamination_hits). Oracle: identical rolling
+    hash in DuckDB."""
+    from scabillmatch_spark.operators import curation
+
+    sets = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        TX.ngram_ids_from_token_ids(F.col("tok_ids"), 4).alias("gram_ids"),
+    )
+    is_eval = F.col("doc_id") % 50 == 0
+    return curation.decontamination_hits(
+        sets.filter(~is_eval), sets.filter(is_eval)
+    )
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(3, |stratum|) docs
+    per (lang, source) stratum, chosen as the smallest md5-of-id digests —
+    the replayable balanced split sampleBy's rand() can't give (same rows
+    on every run and engine). One shuffle on the strata key; a hot stratum
+    keeps only k rows past the rank filter
+    (operators/curation.stratified_sample)."""
+    from scabillmatch_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.stratified_sample(docs, ["lang", "source"], 3)
+    return out.select("lang", "source", F.col("__rk").alias("rk"), "doc_id")
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch assembly: per-lang, docs in
+    doc_id order, 2048-token budget; pack_id = floor(running-token-count-
+    before / budget) — start-offset chunking, the scalable deterministic
+    approximation of greedy first-fit (whose running reset is sequential
+    and does not distribute; a pack overflows by at most one doc). One
+    window shuffle on lang; output is per-pack occupancy stats
+    (operators/curation.pack_sequences)."""
+    from scabillmatch_spark.operators import curation, textstats as TS
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TS.token_count("text").alias("n_tokens")
+    )
+    packed = curation.pack_sequences(docs, 2048, ["lang"])
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile — the 'repetitive junk' quality
+    axis corpus-level dedup can't see: duplicate-4-gram fraction (Rae et
+    al.'s repetition metric) and most-common-token share per document.
+    Pure Column exprs, narrow, codegen'd
+    (operators/curation.repetition_stats)."""
+    from scabillmatch_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *curation.repetition_stats("text", 4))
+
+
+def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the remaining §2.12 streaming join class):
+    streaming events enriched against a static per-user dimension (90% of
+    the user's peak value — exact across engines, unlike a float mean),
+    then tumbling counts of above-reference events. The static side
+    broadcasts per micro-batch with zero join state; over AvailableNow
+    input the result equals the batch twin, so the oracle is plain SQL."""
+    from scabillmatch_spark.streaming import events as SE
+
+    batch = SE._normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    dim = batch.groupBy("user_id").agg(
+        (F.max("value") * 0.9).alias("user_ref")
+    )
+    stream = SE.read_events_stream(spark, sf_dir)
+    return SE.run_available_now(
+        SE.stream_static_enrich(stream, dim), shuffle_partitions=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries (CORRECTNESS_r03 windowed at 50 while the registry had
@@ -2053,14 +2143,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_postprocess_sample": q_pairs_postprocess_sample,
         "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "events_stream_static_join": q_events_stream_static_join,
         # -- r3 driver-green, kept inside the window
-        "semi_anti_join": q_semi_anti_join,
-        "events_json_agg": q_events_json,
         "events_tumbling_window": q_events_tumbling,
         "events_sessionization": q_events_sessionization,
-        "histogram_events_value": q_histogram_events,
-        "descriptive_stats": q_descriptive_stats,
-        "pearson_corr": q_pearson_corr,
         "scalar_functions": q_scalar_functions,
         "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
@@ -2095,6 +2185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    hash-green r1+r2+r3)
         "events_sliding_window": q_events_sliding_window,
         "approx_sketch_stats": q_approx_sketch_stats,
+        "semi_anti_join": q_semi_anti_join,
+        "events_json_agg": q_events_json,
+        "histogram_events_value": q_histogram_events,
+        "descriptive_stats": q_descriptive_stats,
+        "pearson_corr": q_pearson_corr,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_exists": q_tpch_q4,
@@ -2380,6 +2475,92 @@ def oracle_sql() -> dict[str, str]:
             FROM sk
             WHERE CAST(('0x' || substr(md5(pk1_smaller || '_' || pk2_larger), 1, 15))
                        AS UBIGINT)::BIGINT % 100 < 50
+        """,
+        "doc_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+            ids AS (
+                -- 4-gram ids: rolling hash (acc*B + x mod P) mod P over
+                -- P-reduced token ids (text.ngram_ids_from_token_ids)
+                SELECT doc_id,
+                       list_sort(list_distinct(list_transform(range(1, len(t) - 2),
+                           i -> list_reduce(
+                               list_transform(t[i:i+3], x -> x % 2038074743),
+                               (acc, x) -> (acc * 1000003 + x) % 2038074743)
+                       ))) AS g
+                FROM toks
+            ),
+            ev AS (
+                SELECT DISTINCT eg FROM (
+                    SELECT unnest(g) AS eg FROM ids WHERE doc_id % 50 = 0
+                )
+            ),
+            tr AS (
+                SELECT doc_id, unnest(g) AS eg FROM ids WHERE doc_id % 50 <> 0
+            )
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM tr JOIN ev USING (eg) GROUP BY doc_id
+        """,
+        "doc_stratified_sample": """
+            SELECT lang, source, rk, doc_id FROM (
+                SELECT lang, source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 3
+        """,
+        "doc_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, lang, len({_DUCK_TOKLIST}) AS n_tokens
+                FROM documents
+            ),
+            p AS (
+                SELECT lang, n_tokens,
+                       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) / 2048) AS BIGINT) AS pack_id
+                FROM t
+            )
+            SELECT lang, pack_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+            FROM p GROUP BY lang, pack_id
+        """,
+        "doc_repetition": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_TOKLIST} AS toks FROM documents),
+            g AS (
+                SELECT doc_id, toks,
+                       list_transform(range(1, len(toks) - 2),
+                           i -> list_reduce(toks[i:i+3],
+                                            (a, b) -> a || ' ' || b)) AS grams
+                FROM t
+            )
+            SELECT doc_id,
+                   len(grams) AS n_grams,
+                   len(list_distinct(grams)) AS n_distinct_grams,
+                   CASE WHEN len(grams) > 0
+                        THEN ROUND((len(grams) - len(list_distinct(grams)))::DOUBLE
+                                   / len(grams), 6)
+                        ELSE 0.0 END AS dup_gram_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN ROUND(list_max(list_transform(list_distinct(toks),
+                                 tk -> len(list_filter(toks, x -> x = tk))))::DOUBLE
+                             / len(toks), 6)
+                        ELSE 0.0 END AS top_token_share
+            FROM g
+        """,
+        "events_stream_static_join": """
+            WITH ur AS (
+                SELECT user_id, MAX(value) * 0.9 AS user_ref
+                FROM events GROUP BY user_id
+            )
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   e.event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN e.value > ur.user_ref THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above_avg
+            FROM events e JOIN ur USING (user_id)
+            GROUP BY 1, 2
         """,
         "doc_token_stats": f"""
             WITH toks AS (SELECT doc_id, text, {_DUCK_TOKLIST} AS t FROM documents)

@@ -1,0 +1,168 @@
+"""Training-data curation operators (LLM-data-pipeline extension):
+benchmark decontamination, deterministic stratified sampling, sequence
+packing, and intra-document repetition profiling.
+
+These are the corpus-hygiene steps a 100 TB pretraining pipeline runs
+between dedup and tokenization. None exist in the reference (its corpus
+is ~100k bills); each is built so the plan scales:
+
+- decontamination: the eval/benchmark side is MBs while the train side
+  is TBs, so the distinct eval n-gram set broadcasts and the train scan
+  never shuffles its text — one narrow explode + broadcast semi-join.
+- stratified sampling: rank-by-content-hash inside each stratum — one
+  shuffle on the strata key, exact-k per stratum, and replayable across
+  runs/engines (no rand()).
+- sequence packing: start-offset chunking by running token count — one
+  window shuffle per partition key; the classic scalable approximation
+  of greedy first-fit (a pack may overflow by at most one document).
+- repetition profiling: pure Column expressions, narrow, codegen'd.
+
+All four are formulated identically in ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions import text as TX
+
+
+def decontamination_hits(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str = "doc_id",
+    gram_col: str = "gram_ids",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination core: train documents sharing at least one
+    n-gram with the eval/benchmark corpus, with the count of distinct
+    shared n-grams.
+
+    Inputs are (id, distinct n-gram-id array) relations — build the arrays
+    with functions.text.ngram_ids_from_token_ids over the shared corpus
+    cache so tokenize+md5 is paid once. Returns (id_col, n_hits) for
+    contaminated train docs only.
+
+    Scale shape: real benchmark suites are a few million n-grams, so the
+    distinct eval-gram set broadcasts (set broadcast_eval=False for an
+    unusually large holdout, which falls back to a shuffle join on the
+    gram id). The train side explodes to (id, gram) — narrow, no text in
+    flight — and the per-doc arrays are already distinct, so the post-join
+    count is the distinct-overlap count without a distinct aggregation.
+    """
+    eval_grams = eval_.select(F.explode(gram_col).alias("__g")).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        train.select(id_col, F.explode(gram_col).alias("__g"))
+        .join(eval_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic balanced sample: exactly min(k, |stratum|) rows per
+    stratum, chosen as the k smallest md5-of-id digests — a replayable
+    rank-by-content-hash (sampleBy's rand() can't be reproduced across
+    engines or runs). Adds ``__rk`` (1-based rank within stratum).
+
+    One shuffle on the strata key; the per-stratum window is safe because
+    strata are balanced by construction here, and at scale a hot stratum
+    only ever keeps k rows after the rank filter (the window sort is
+    (stratum-size log stratum-size) per stratum — for skewed strata,
+    pre-filter on a hash-bucket prefix to cap the sorted set).
+    """
+    digest = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(digest, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    part_cols: list[str],
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing for training-batch assembly: assign documents to
+    fixed-token-budget packs by start-offset chunking — pack_id =
+    floor(running-token-count-before-this-doc / budget) within each
+    partition key, documents taken in ``order_col`` order.
+
+    Semantics (deterministic, one window shuffle): a pack may overflow the
+    budget by less than one document — the scalable approximation of
+    greedy first-fit, whose running reset is inherently sequential and
+    does not distribute. Exactly mirrored in ANSI SQL.
+    """
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_id", F.floor(before / F.lit(budget)).cast("long")
+    )
+
+
+def repetition_stats(
+    text_col: str = "text",
+    gram_n: int = 4,
+) -> list[Column]:
+    """Intra-document repetition profile (the 'repetitive junk' quality
+    axis dedup can't see): returns Columns for
+
+    - n_grams / n_distinct_grams / dup_gram_ratio — share of repeated
+      ``gram_n``-gram slots (Rae et al.'s duplicate-n-gram fraction);
+    - top_token_share — frequency of the most common token over total
+      tokens (catches 'aaaa aaaa ...' degenerate docs).
+
+    Pure Column expressions over the token list — narrow and codegen'd;
+    top_token_share is O(distinct x total) per document, bounded by
+    document length, not corpus size.
+    """
+    toks = TX.tokens(text_col)
+    n_tok = F.size(toks)
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - F.lit(gram_n - 1))
+    grams = F.when(
+        size >= gram_n,
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, gram_n), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup_ratio = F.when(
+        n_grams > 0,
+        F.round((n_grams - n_distinct).cast("double") / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+    top_share = F.when(
+        n_tok > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda t: F.size(F.filter(toks, lambda x: x == t)),
+                )
+            ).cast("double")
+            / n_tok,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return [
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        dup_ratio.alias("dup_gram_ratio"),
+        top_share.alias("top_token_share"),
+    ]

@@ -86,6 +86,49 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    user_dim: DataFrame,
+    window: str = "1 hour",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join — the remaining §2.12 join class after
+    stream-stream: each streaming event enriched against a static per-user
+    dimension carrying a per-user reference value, then tumbling counts of
+    events exceeding their user's reference, per event_type.
+
+    The static side is a batch DataFrame; Spark re-plans it per micro-batch
+    and broadcasts it when small — no streaming state at all for the join
+    (unlike stream-stream, which must buffer both sides). At scale this is
+    the canonical "enrich a TB/h stream against a slowly-changing dimension
+    table" shape; the dimension refresh cadence is the restart cadence.
+    Identical over batch input, so the batch twin is the DuckDB oracle.
+    """
+    dim = user_dim.select("user_id", "user_ref")
+    # explicit hint: micro-batch plans don't get AQE's runtime join
+    # re-planning, so a stats-less dimension source would sort-merge-join
+    # EVERY micro-batch; broadcast_dim=False opts out for a huge dimension
+    # (then pre-bucket both sides on user_id instead)
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return (
+        events.join(dim, "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") > F.col("user_ref"), 1).otherwise(0)
+            ).alias("n_above_avg"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            F.col("n_above_avg").cast("long").alias("n_above_avg"),
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming dedup by event_id with watermarked state eviction."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

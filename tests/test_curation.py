@@ -1,0 +1,116 @@
+"""Unit tests for the training-data curation operators (decontamination,
+stratified sampling, sequence packing, repetition profiling) — semantics on
+hand-built inputs plus the plan shapes that make them scale."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.operators import curation
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _grams(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, gram_ids array<long>")
+
+
+def test_decontamination_hits_semantics(spark):
+    train = _grams(
+        spark,
+        [
+            (1, [10, 20, 30]),  # shares 10, 20
+            (2, [40, 50]),      # shares nothing
+            (3, [20, 99]),      # shares 20
+        ],
+    )
+    eval_ = _grams(spark, [(100, [10, 20]), (101, [20, 60])])
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in curation.decontamination_hits(train, eval_).collect()
+    }
+    # doc 2 is clean and must be absent; hits count DISTINCT shared grams
+    assert out == {1: 2, 3: 1}
+
+
+def test_decontamination_eval_side_broadcasts(spark):
+    train = _grams(spark, [(i, [i, i + 1]) for i in range(20)])
+    eval_ = _grams(spark, [(100, [5, 6])])
+    plan = _formatted(curation.decontamination_hits(train, eval_))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)], "doc_id long, src string"
+    )
+    a = curation.stratified_sample(df, ["src"], 4).collect()
+    b = curation.stratified_sample(df, ["src"], 4).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    per = {}
+    for r in a:
+        per.setdefault(r["src"], []).append(r["__rk"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per.values())
+    # stratum smaller than k: keeps all rows, ranks 1..n
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, src string")
+    assert curation.stratified_sample(tiny, ["src"], 5).count() == 2
+
+
+def test_pack_sequences_start_offset_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 600) for i in range(10)], "doc_id long, lang string, n_tokens long"
+    )
+    out = curation.pack_sequences(df, 1000, ["lang"]).orderBy("doc_id").collect()
+    # running-before counts: 0,600,1200,... -> floor(/1000)
+    assert [r["pack_id"] for r in out] == [0, 0, 1, 1, 2, 3, 3, 4, 4, 5]
+    # start-offset invariant: each doc's pack is its before-count's bucket,
+    # so pack overflow is bounded by one document
+    before = 0
+    for r in out:
+        assert r["pack_id"] == before // 1000
+        before += 600
+
+
+def test_repetition_stats_degenerate_and_clean(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+            (3, "a b"),  # shorter than the gram window
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *curation.repetition_stats("text", 4)).collect()
+    }
+    assert out[1]["top_token_share"] == 1.0
+    assert out[1]["dup_gram_ratio"] > 0.6  # 3 gram slots, 1 distinct
+    assert out[2]["dup_gram_ratio"] == 0.0
+    assert out[2]["n_grams"] == 3 and out[2]["n_distinct_grams"] == 3
+    assert out[3]["n_grams"] == 0 and out[3]["dup_gram_ratio"] == 0.0
+
+
+def test_stream_static_join_has_no_stream_state(spark):
+    """The stream-static join must not plan a streaming join state store —
+    the static side is re-planned per micro-batch (batch twin checked via
+    the oracle; here we check the batch plan broadcasts the dim)."""
+    from scabillmatch_spark.streaming import events as SE
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 7, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dim = spark.createDataFrame([(7, 0.5)], "user_id long, user_ref double")
+    plan = _formatted(SE.stream_static_enrich(ev, dim))
+    assert "BroadcastHashJoin" in plan
+    assert "StreamingSymmetricHashJoin" not in plan
