@@ -381,6 +381,281 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations — a 5-table
+    join where the (supplier nation, customer nation) pair must be one of
+    two orientations, aggregated by nation pair and ship year. Exercises
+    join reordering over two independent dimension arms + a disjunctive
+    pair predicate that must NOT degrade to a cartesian."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — a 6-table snowflake join
+    (lineitem at the center, part/supplier/orders->customer->nation->region
+    arms) feeding a conditional-aggregate ratio per order year. The widest
+    join tree in the suite; every dimension arm must broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nat = nat.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), "c_nationkey")
+        .join(F.broadcast(reg), F.col("c_regionkey") == F.col("r_regionkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(supp_nat), "s_nationkey")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))).alias(
+                "__nat"
+            ),
+            F.sum("volume").alias("__all"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.coalesce(F.col("__nat"), F.lit(0).cast("decimal(38,8)"))
+                .cast("double")
+                / F.col("__all").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year — part/
+    supplier/orders arms around lineitem with a two-term profit expression.
+    The schema has no partsupp, so supply cost is proxied by half the
+    part's retail price per unit (deterministic, decimal-exact); the
+    reference shape's join tree and agg are intact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    # two decimal terms cast to a COMMON (38,8) before subtracting: a triple
+    # (18,4) product would overflow 38 digits and round differently in Spark
+    # (allowPrecisionLoss) vs DuckDB (hard error) — keep every intermediate
+    # precision small and exact
+    term1 = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    term2 = (
+        F.col("p_retailprice").cast("decimal(12,4)")
+        * F.col("l_quantity").cast("decimal(12,4)")
+        * F.lit(0.5).cast("decimal(2,1)")
+    ).cast("decimal(38,8)")
+    amount = term1 - term2
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock — per-group value with a scalar-
+    subquery threshold in HAVING (groups worth more than a fixed fraction
+    of the GLOBAL total). No partsupp in this schema, so 'stock value' is
+    shipped lineitem value per part for suppliers of one nation; the
+    global-total broadcast into the post-agg filter is the shape under
+    test."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    val = F.col("l_extendedprice").cast("decimal(18,4)").cast("decimal(38,8)")
+    scoped = li.join(
+        F.broadcast(sup.select(F.col("s_suppkey").alias("l_suppkey"))), "l_suppkey"
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum(val).alias("__value"))
+    total = per_part.agg(F.sum("__value").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__value").cast("double")
+            > 0.002 * F.col("__total").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("__value").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier — a revenue 'view' (CTE) aggregated
+    per supplier over a quarter, then the supplier(s) hitting the MAX
+    revenue via a scalar subquery over the view itself (the view is
+    planned once and reused thanks to the self-agg broadcast)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("__rev")
+    )
+    mx = revenue.agg(F.max("__rev").alias("__mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part — the correlated-MIN
+    subquery over a 4-arm dimension join. No partsupp here, so the
+    part->supplier relation comes from lineitem and minimum account
+    balance plays the minimum-cost role; the correlated per-part MIN
+    joined back against the same relation is the shape under test."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    scoped = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_bal = scoped.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("s_acctbal").alias("__min_bal")
+    )
+    return (
+        scoped.join(
+            min_bal,
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("s_acctbal") == F.col("__min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested correlated-aggregate semi-join — suppliers
+    who DOMINATED shipment of some PROMO part in 1996 (their quantity for
+    the part exceeds half of everyone's total for it; availqty > 0.5 *
+    shipped in the reference, reshaped without partsupp). Two aggregation
+    levels feed a semi-join into supplier->nation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    scoped = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    per_supp_part = scoped.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__q")
+    )
+    per_part = per_supp_part.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__q").alias("__qtot")
+    )
+    dominant = (
+        per_supp_part.join(per_part, F.col("l_partkey") == F.col("__pk"))
+        .filter(
+            F.col("__q").cast("double") > 0.5 * F.col("__qtot").cast("double")
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(dominant, "s_suppkey", "left_semi")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .select("s_name", "nation")
+        .orderBy("s_name")
+    )
+
+
 def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 window: top-3 orders per customer by totalprice (row_number)."""
     orders = _t(spark, sf_dir, "orders")
@@ -2213,6 +2488,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_cnt": q_tpch_q16,
         "tpch_q21_sole_returner": q_tpch_q21,
         "tpch_q22_dormant_customers": q_tpch_q22,
+        # -- TPC-H completion (all 22 shapes; q2/q9/q11/q20 adapted to the
+        #    reduced schema, which has no partsupp — see docstrings)
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
     }
 
 
@@ -2869,6 +3153,144 @@ def oracle_sql() -> dict[str, str]:
                     SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": """
+            WITH vols AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8)) AS volume,
+                       n1.n_name AS supp_nation
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region   ON n2.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+                  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+            )
+            SELECT o_year,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                                THEN volume END),
+                                       0) AS DOUBLE)
+                         / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+            FROM vols GROUP BY o_year
+        """,
+        "tpch_q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(SUM(
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8))
+                       - CAST(CAST(p_retailprice AS DECIMAL(12,4))
+                              * CAST(l_quantity AS DECIMAL(12,4))
+                              * CAST(0.5 AS DECIMAL(2,1))
+                              AS DECIMAL(38,8))
+                   ) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                                AS DECIMAL(38,8))) AS value_dec
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier WHERE s_nationkey = 7)
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS ps_partkey,
+                   CAST(value_dec AS DOUBLE) AS value
+            FROM per_part
+            WHERE CAST(value_dec AS DOUBLE) >
+                  0.002 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM per_part)
+            ORDER BY value DESC, ps_partkey ASC
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            AS DECIMAL(38,8))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH scoped AS (
+                SELECT DISTINCT p_partkey, s_suppkey, s_name, s_acctbal, n_name
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+                JOIN part     ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+                WHERE p_size = 15 AND r_name = 'EUROPE'
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey
+            FROM scoped s
+            WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM scoped m
+                               WHERE m.p_partkey = s.p_partkey)
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 20
+        """,
+        "tpch_q20_dominant_supplier": """
+            WITH scoped AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(l_quantity AS DECIMAL(18,4)) AS q
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'PROMO'
+                  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            ),
+            per_supp_part AS (
+                SELECT l_partkey, l_suppkey, SUM(q) AS sq
+                FROM scoped GROUP BY l_partkey, l_suppkey
+            ),
+            per_part AS (
+                SELECT l_partkey, SUM(sq) AS qtot
+                FROM per_supp_part GROUP BY l_partkey
+            ),
+            dominant AS (
+                SELECT DISTINCT s.l_suppkey
+                FROM per_supp_part s JOIN per_part p USING (l_partkey)
+                WHERE CAST(s.sq AS DOUBLE) > 0.5 * CAST(p.qtot AS DOUBLE)
+            )
+            SELECT s_name, n_name AS nation
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+            ORDER BY s_name
         """,
         "events_resample_1h": """
             WITH h AS (
