@@ -45,9 +45,14 @@ def get_spark(
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as long, the
         # reader converts to a micros timestamp (matches DuckDB's truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # local mode: the driver JVM is the whole cluster; 16g gives the
-        # 32 executor threads spill headroom without long-full-GC risk
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode: the driver JVM is the whole cluster, so the driver
+        # heap IS executor memory. 16g thrashed GC once the shared caches
+        # (corpus token arrays, scored-pair relations, graph edges) of a
+        # dense corpus accumulated across a long query sequence — measured
+        # 3x inflation across the whole bench (296s -> 97s at 48g, same
+        # code/data). On a real cluster this is spark.executor.memory
+        # sizing, not driver sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
