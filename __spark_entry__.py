@@ -711,6 +711,13 @@ def _banded_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection would checkpoint to storage once.
     """
     docs = corpus.doc_token_sets(spark, sf_dir)
+    # NOTE: the flagship's representative collapse is deliberately NOT used
+    # here — this plan's residual predicates (lang/source/n_chars) are
+    # per-document, so they can only prune AFTER expansion, and moving the
+    # exact Jaccard before them (onto representative pairs) evaluates it on
+    # MORE pairs than the residual-pruned direct plan does at this corpus's
+    # 21% dup rate (measured: graph family 2.8 -> 6.1 s). Collapse wins only
+    # when the quadratic measure runs before any per-doc pruning.
     # min_jaccard=90: every consumer of the scored relation filters at
     # >=90 (near-dup) or >=95 (graph edges), so the size-ratio prune is
     # lossless — the oracle needs no band-CTE change because pruned pairs

@@ -37,6 +37,12 @@ def main() -> None:
     small = "/root/testdata/sf0.001"
     if os.path.isdir(small):
         document_match(spark, small, top=10).collect()
+    # pre-spawn the Python worker pool (fork + pyspark/pandas import per
+    # worker): the first pandas-UDF query would otherwise be charged ~2s of
+    # one-time process startup that says nothing about its plan
+    spark.range(256, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     print(f"# warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}

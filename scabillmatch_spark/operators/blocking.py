@@ -187,6 +187,82 @@ def salted_two_phase_agg(
     return partial.groupBy(*key_cols).agg(*final_aggs)
 
 
+def collapse_token_sets(
+    df: DataFrame, id_col: str, set_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Representative collapse for dup-heavy corpora: group documents by the
+    md5 of their (sorted-distinct) element set and return
+
+      reps    — one row per distinct set: (``id_col`` = min member id,
+                ``set_col``, __set_id), the only rows that need banding
+                and pairwise scoring;
+      members — (__set_id, ``id_col``) for the lossless expansion back to
+                document pairs.
+
+    Any set-based measure m satisfies m(A, C) = m(B, C) whenever A and B
+    hold the same set, and identical sets produce identical MinHash bands,
+    so banding + scoring representatives and then expanding (cross-group
+    pairs via two member joins, intra-group pairs at similarity 100) yields
+    EXACTLY the pairs-and-scores of banding every document — with the
+    quadratic stage shrunk by the duplication factor squared. Real
+    pretraining corpora are 20-50% exact-dup; scoring them pairwise first
+    is pure waste.
+    """
+    tagged = df.withColumn("__set_id", F.md5(F.concat_ws(",", F.col(set_col))))
+    members = tagged.select("__set_id", id_col)
+    others = [c for c in df.columns if c not in (id_col, set_col)]
+    # non-set columns take an arbitrary member's value — pass them through
+    # only when they are set-determined or unused downstream (a per-pair
+    # predicate on such a column must instead be applied after expansion)
+    reps = tagged.groupBy("__set_id").agg(
+        F.min(id_col).alias(id_col),
+        F.first(set_col).alias(set_col),
+        *[F.first(c).alias(c) for c in others],
+    )
+    return reps, members
+
+
+def expand_rep_pairs(
+    rep_scored: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Inverse of collapse_token_sets over a scored representative-pair
+    relation carrying __sid1/__sid2/similarity: two member joins expand
+    cross-group pairs, and every group with >1 member contributes its
+    intra-group pairs at similarity 100 (identical sets). Output
+    (pk1 < pk2, similarity) is bit-identical to scoring all document pairs
+    directly. The joins are output-bound — no set arithmetic happens here."""
+    m1 = members.select(F.col("__set_id").alias("__sid1"), F.col(id_col).alias("__p1"))
+    m2 = members.select(F.col("__set_id").alias("__sid2"), F.col(id_col).alias("__p2"))
+    cross = (
+        rep_scored.join(m1, "__sid1")
+        .join(m2, "__sid2")
+        .select(
+            F.least("__p1", "__p2").alias("pk1"),
+            F.greatest("__p1", "__p2").alias("pk2"),
+            "similarity",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.__set_id") == F.col("y.__set_id"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("pk1"),
+            F.col(f"y.{id_col}").alias("pk2"),
+            F.lit(100.0).alias("similarity"),
+        )
+    )
+    if threshold is not None and threshold > 100.0:
+        intra = intra.filter(F.lit(False))
+    return cross.unionByName(intra)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,

@@ -46,17 +46,31 @@ def document_match(
         .select(
             F.col("doc").cast("string").alias("primary_key"),
             F.col("toks").alias("tokens"),
-            "lang",
         )
     )
+    # representative collapse: identical token sets band identically and
+    # score identically against any third set, so the quadratic stages run
+    # over DISTINCT sets only (21% duplication in this corpus -> ~1.6x less
+    # band-join + rescore work; a real dup-heavy crawl gains far more) and
+    # expand_rep_pairs restores the exact all-documents pair relation
+    reps, members = blocking.collapse_token_sets(
+        docs, id_col="primary_key", set_col="tokens"
+    )
     cands = blocking.lsh_candidate_pairs(
-        docs, id_col="primary_key", set_col="tokens",
+        reps, id_col="__set_id", set_col="tokens",
         num_hashes=num_hashes, num_bands=num_bands,
         min_jaccard=threshold,  # lossless: J <= size-ratio bound
-    )
-    scored = pairs.score_pairs(
-        cands, docs, SIM.jaccard, id_col="primary_key", feature_col="tokens"
+    ).select(F.col("pk1").alias("__sid1"), F.col("pk2").alias("__sid2"))
+    rep_scored = pairs.score_pairs(
+        cands.select(F.col("__sid1").alias("pk1"), F.col("__sid2").alias("pk2")),
+        reps.select("__set_id", "tokens"),
+        SIM.jaccard, id_col="__set_id", feature_col="tokens",
+    ).select(
+        F.col("pk1").alias("__sid1"), F.col("pk2").alias("__sid2"), "similarity"
     ).filter(F.col("similarity") >= threshold)
+    scored = blocking.expand_rep_pairs(
+        rep_scored, members, id_col="primary_key", threshold=threshold
+    )
     return pairs.top_n(scored, top).select(
         "pk1", "pk2", F.round("similarity", 4).alias("similarity")
     )
