@@ -1413,6 +1413,41 @@ def q_io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-maintenance tier end-to-end: fragment the events table into
+    40 small files, compact them (io.sources.compact_parquet, Hadoop-FS
+    sized) into a range-clustered layout sorted by ts
+    (io.sources.write_sorted — disjoint per-file ranges, monotone row-group
+    min/max, the row-group-pruning enabler), then answer a time-range
+    aggregate from the compacted layout. The oracle computes the same
+    aggregate straight from the original parquet — data loss, duplication,
+    or a sort/compaction bug breaks the hash; the pruning-enabling layout
+    properties are footer-asserted in test_io_maintenance."""
+    import tempfile
+
+    from scabillmatch_spark.io.sources import compact_parquet, write_sorted
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    frag = os.path.join(tempfile.gettempdir(), f"scabillmatch_frag_{tag}")
+    compacted = os.path.join(tempfile.gettempdir(), f"scabillmatch_compact_{tag}")
+    ev = _t(spark, sf_dir, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(frag)
+    compact_parquet(
+        spark, frag, compacted, target_file_bytes=512 * 1024, sort_cols=["ts"]
+    )
+    back = spark.read.parquet(compacted)
+    lo, hi = "2024-01-08 00:00:00", "2024-01-15 00:00:00"
+    return (
+        back.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            _dec_sum("value", "sum_value"),
+        )
+    )
+
+
 def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sectioned documents (dataformat/secformat_for_df.py: per-section rows
     with compound pk "{j}_{pk}"); here sections = 'the'-delimited chunks of
@@ -2430,10 +2465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_repetition": q_doc_repetition,
         "events_stream_static_join": q_events_stream_static_join,
+        "io_sorted_compact": q_io_sorted_compact,
         # -- r3 driver-green, kept inside the window
         "events_tumbling_window": q_events_tumbling,
         "events_sessionization": q_events_sessionization,
-        "scalar_functions": q_scalar_functions,
         "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2472,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events_value": q_histogram_events,
         "descriptive_stats": q_descriptive_stats,
         "pearson_corr": q_pearson_corr,
+        "scalar_functions": q_scalar_functions,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_exists": q_tpch_q4,
@@ -2840,6 +2876,14 @@ def oracle_sql() -> dict[str, str]:
                              / len(toks), 6)
                         ELSE 0.0 END AS top_token_share
             FROM g
+        """,
+        "io_sorted_compact": """
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE ts >= '2024-01-08 00:00:00' AND ts < '2024-01-15 00:00:00'
+            GROUP BY event_type
         """,
         "events_stream_static_join": """
             WITH ur AS (

@@ -148,6 +148,61 @@ def write_bucketed(
     )
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet sink: repartitionByRange on ``sort_cols``
+    (disjoint value ranges per file) + sortWithinPartitions (monotone
+    row-group min/max inside each file). This is what makes later range
+    and point predicates prune at the ROW-GROUP level instead of scanning
+    every file — the single biggest scan lever for an append-mostly 100 TB
+    fact table queried by time/key ranges. Without it, row-group min/max
+    stats of a hash-shuffled write all span the full domain and prune
+    nothing (asserted from the parquet footers in test_io_maintenance).
+    """
+    parts = df.repartitionByRange(*sort_cols) if num_files is None else (
+        df.repartitionByRange(num_files, *sort_cols)
+    )
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files, optionally range-clustered
+    by ``sort_cols`` (see write_sorted). Streaming sinks and fine-grained
+    partitionBy writes accumulate kilobyte files whose per-file open/footer
+    cost dominates scans at scale; compaction is the standing maintenance
+    job that keeps file count proportional to data size. Returns the
+    target file count. Uses the JVM Hadoop FS API for sizing — no local-FS
+    assumption, works against any supported filesystem."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        write_sorted(df, dst, sort_cols, num_files=n)
+    else:
+        # coalesce, not repartition: no shuffle — each output task reads a
+        # contiguous run of small files
+        df.coalesce(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
     """JSON sink; ``single_file`` mirrors the reference's repartition(1) skim
     output (Postprocessor.scala:31) — only for small post-processed results."""

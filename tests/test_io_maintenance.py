@@ -1,0 +1,81 @@
+"""Storage-maintenance operators: sorted (range-clustered) writes must
+produce row-group stats that actually enable pruning, and compaction must
+shrink file counts without changing data."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.io.sources import compact_parquet, write_sorted
+
+
+def _files(path):
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_write_sorted_rowgroups_are_disjoint(spark, tmp_path):
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(df, out, ["k"], num_files=8)
+    files = _files(out)
+    assert len(files) >= 2
+    # per-file [min,max] ranges over k must be pairwise disjoint (range
+    # partitioning) and row groups monotone inside each file (sorted) —
+    # the two properties parquet row-group pruning feeds on
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = md.schema.to_arrow_schema().get_field_index("k")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        assert mins == sorted(mins) and maxs == sorted(maxs)
+        spans.append((mins[0], maxs[-1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # and the data survives intact
+    assert spark.read.parquet(out).count() == 100_000
+
+
+def test_write_sorted_enables_rowgroup_pruning(spark, tmp_path):
+    """DSv2 scan metrics: a narrow range predicate over the sorted layout
+    must skip most row groups entirely (numRowGroups pruned via min/max)."""
+    df = spark.range(0, 200_000).select(F.col("id").alias("k"))
+    out = str(tmp_path / "clustered")
+    write_sorted(df, out, ["k"], num_files=8)
+    narrow = spark.read.parquet(out).filter((F.col("k") >= 1000) & (F.col("k") < 2000))
+    assert narrow.count() == 1000
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,1000)" in plan
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    spark.range(0, 50_000).repartition(40).write.parquet(src)
+    assert len(_files(src)) == 40
+    n = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    assert n == 1
+    assert len(_files(dst)) == 1
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def test_compact_parquet_sorted_variant(spark, tmp_path):
+    src = str(tmp_path / "many2")
+    dst = str(tmp_path / "fewsorted")
+    spark.range(0, 50_000).repartition(16).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_bytes=10_000, sort_cols=["id"])
+    files = _files(dst)
+    assert len(files) >= 2
+    assert spark.read.parquet(dst).count() == 50_000
