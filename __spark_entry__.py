@@ -2466,15 +2466,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "events_stream_static_join": q_events_stream_static_join,
         "io_sorted_compact": q_io_sorted_compact,
-        # -- r3 driver-green, kept inside the window
+        "events_stream_interval_join": q_events_stream_interval_join,
+        # -- round-4 TPC-H additions (q6/q13/q16/q21/q22 SQL-breadth shapes
+        #    + the completion set: all 22 shapes, q2/q9/q11/q20 adapted to
+        #    the partsupp-less schema — see docstrings). In the window so
+        #    every registry entry has at least one driver-green round.
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        # -- r3 driver-green, kept inside the window (the heavier shared-
+        #    cache pipelines and one representative per operator family)
         "events_tumbling_window": q_events_tumbling,
         "events_sessionization": q_events_sessionization,
-        "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_stats": q_doc_token_stats,
         "doc_quality_lang": q_doc_quality_lang,
-        "doc_fingerprint": q_doc_fingerprint,
         "doc_simhash": q_doc_simhash,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -2482,24 +2496,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_triangle_count": q_graph_triangles,
         "graph_shortest_paths": q_graph_shortest_paths,
-        "orders_rollup": q_orders_rollup,
-        "pivot_lineitem": q_pivot_lineitem,
-        "probe_search": q_probe_search,
+        "graph_weighted_paths": q_graph_weighted_paths,
         "emb_ivf_ann": q_emb_ivf_ann,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
-        "graph_weighted_paths": q_graph_weighted_paths,
-        "doc_sections": q_doc_sections,
-        "emb_vector_measures": q_emb_vector_measures,
         "io_avro_roundtrip": q_io_avro_roundtrip,
+        # -- stable rows past the 50-query window — every one hash-green in
+        #    at least one earlier driver round AND re-verified every pytest
+        #    run by tests/test_oracle.py's mirror of the driver gate
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_interval_join": q_events_stream_interval_join,
         "events_stream_stateful": q_events_stream_stateful,
-        # -- stable rows past the 50-query window — still verified every
-        #    pytest run by tests/test_oracle.py (sliding window /
-        #    approx_sketch_stats: r3 driver-green; TPC-H/window queries:
-        #    hash-green r1+r2+r3)
+        "doc_5gram_wordcount": q_doc_5gram_wordcount,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_sections": q_doc_sections,
+        "emb_vector_measures": q_emb_vector_measures,
+        "orders_rollup": q_orders_rollup,
+        "pivot_lineitem": q_pivot_lineitem,
+        "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
         "approx_sketch_stats": q_approx_sketch_stats,
         "semi_anti_join": q_semi_anti_join,
@@ -2522,24 +2538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
-        # -- round-4 SQL-breadth additions (scan-agg, outer-join
-        #    distribution, NOT-IN countDistinct, EXISTS+NOT-EXISTS pair,
-        #    scalar-subquery + anti-join); born past the driver window,
-        #    verified by the pytest oracle gate
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q16_supplier_cnt": q_tpch_q16,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        # -- TPC-H completion (all 22 shapes; q2/q9/q11/q20 adapted to the
-        #    reduced schema, which has no partsupp — see docstrings)
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
     }
 
 
