@@ -2411,6 +2411,50 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *curation.repetition_stats("text", 4))
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit (curation tier): per-doc url/email/ipv4/phone
+    hit counts plus the post-redaction length — the release gate a
+    pretraining pipeline runs last. Patterns stay inside the common
+    RE2/Java regex subset so DuckDB reproduces every hit; this synthetic
+    corpus is PII-free, so the oracle also proves the ABSENCE audit
+    (all-zero counts, redacted length = original) — the operator's
+    positive-hit behavior is unit-tested on constructed strings
+    (test_curation.py)."""
+    from scabillmatch_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *curation.pii_counts("text"),
+        F.length(curation.redact_pii("text")).alias("redacted_len"),
+    )
+
+
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-percentile gate (curation tier): keep documents at or above
+    the corpus-median quality score and report per-lang survivor stats —
+    the scalar quantile broadcast into a filter, computed EXACTLY on both
+    engines (Spark percentile() and DuckDB quantile_cont interpolate with
+    the same formula on the same doubles). At 100 TB the exact percentile
+    becomes percentile_approx with an error budget; the plan shape
+    (aggregate -> broadcast -> filter -> re-aggregate) is identical."""
+    from scabillmatch_spark.operators import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TS.quality_score("text").alias("q")
+    )
+    med = docs.agg(F.expr("percentile(q, 0.5)").alias("__med"))
+    return (
+        docs.crossJoin(F.broadcast(med))
+        .filter(F.col("q") >= F.col("__med"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
 def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join (the remaining §2.12 streaming join class):
     streaming events enriched against a static per-user dimension (90% of
@@ -2466,6 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "events_stream_static_join": q_events_stream_static_join,
         "io_sorted_compact": q_io_sorted_compact,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
         "events_stream_interval_join": q_events_stream_interval_join,
         # -- round-4 TPC-H additions (q6/q13/q16/q21/q22 SQL-breadth shapes
         #    + the completion set: all 22 shapes, q2/q9/q11/q20 adapted to
@@ -2488,8 +2534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": q_events_tumbling,
         "events_sessionization": q_events_sessionization,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_quality_lang": q_doc_quality_lang,
-        "doc_simhash": q_doc_simhash,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
@@ -2508,6 +2552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_stateful": q_events_stream_stateful,
         "doc_5gram_wordcount": q_doc_5gram_wordcount,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_simhash": q_doc_simhash,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2874,6 +2920,52 @@ def oracle_sql() -> dict[str, str]:
                              / len(toks), 6)
                         ELSE 0.0 END AS top_token_share
             FROM g
+        """,
+        "doc_pii_scrub": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_url,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                   len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{7,}\\d')) AS n_phone,
+                   length(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(text,
+                           'https?://[^\\s]+', '<URL>', 'g'),
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+                           '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g')
+                   ) AS redacted_len
+            FROM documents
+        """,
+        "doc_quality_filter": f"""
+            WITH toks AS (SELECT doc_id, lang, text, {_DUCK_TOKLIST} AS t FROM documents),
+            m AS (
+                SELECT doc_id, lang,
+                       len(t) AS ntok,
+                       len(list_filter(t, x -> list_contains({_EN_SW}, x))) AS sw,
+                       CASE WHEN length(text) > 0 THEN
+                            (length(text) - length(regexp_replace(text, '[,:;?!.]', '', 'g')))::DOUBLE / length(text)
+                            ELSE 0.0 END AS punct,
+                       CASE WHEN length(text) > 0 THEN
+                            (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                            ELSE 0.0 END AS dig
+                FROM toks
+            ),
+            scored AS (
+                SELECT doc_id, lang,
+                       ROUND(0.4 * least(ntok / 100.0, 1.0)
+                             + 0.4 * least((CASE WHEN ntok > 0 THEN sw::DOUBLE / ntok ELSE 0.0 END) * 5.0, 1.0)
+                             + 0.2 * (1.0 - least((punct + dig) * 5.0, 1.0)), 6) AS q
+                FROM m
+            )
+            SELECT lang, COUNT(*) AS n_kept, ROUND(AVG(q), 6) AS avg_quality
+            FROM scored
+            WHERE q >= (SELECT quantile_cont(q, 0.5) FROM scored)
+            GROUP BY lang
         """,
         "io_sorted_compact": """
             SELECT event_type, COUNT(*) AS n,

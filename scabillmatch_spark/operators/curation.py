@@ -115,6 +115,39 @@ def pack_sequences(
     )
 
 
+# PII patterns kept inside the common RE2/Java regex subset (no lookaround,
+# no backrefs) so the Spark expressions and the DuckDB oracle match hit for
+# hit. Redaction order matters: URLs first (they may embed @ and digits).
+PII_PATTERNS = {
+    "url": r"https?://[^\s]+",
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def pii_counts(text_col: Column | str) -> list[Column]:
+    """Per-document PII hit counts (url/email/ipv4/phone) — the scrubbing
+    audit a pretraining pipeline runs before release. Pure regexp_count
+    Column exprs, narrow and codegen'd."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Replace every PII span with a typed placeholder token (url first —
+    URLs can embed emails/digits). Chained regexp_replace: one projection,
+    no UDF."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = c
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
 def repetition_stats(
     text_col: str = "text",
     gram_n: int = 4,

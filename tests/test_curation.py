@@ -100,6 +100,32 @@ def test_repetition_stats_degenerate_and_clean(spark):
     assert out[3]["n_grams"] == 0 and out[3]["dup_gram_ratio"] == 0.0
 
 
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at jo.doe+x@example.org or https://ex.com/a?b=1 now"),
+            (2, "server 10.0.255.7 answered; call +1 609-555-0199 today"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from scabillmatch_spark.operators.curation import pii_counts, redact_pii
+
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *pii_counts("text"), redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 1
+    assert out[3]["n_email"] == out[3]["n_url"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+    assert "<EMAIL>" in out[1]["red"] and "<URL>" in out[1]["red"]
+    assert "example.org" not in out[1]["red"]
+    assert "<IPV4>" in out[2]["red"] and "<PHONE>" in out[2]["red"]
+    assert out[3]["red"] == "no pii here at all"
+
+
 def test_stream_static_join_has_no_stream_state(spark):
     """The stream-static join must not plan a streaming join state store —
     the static side is re-planned per micro-batch (batch twin checked via
