@@ -1506,7 +1506,12 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.streaming import events as SE
 
     stream = SE.read_events_stream(spark, sf_dir)
-    return SE.run_available_now(SE.running_user_totals(stream), "update")
+    # 16 state-store partitions: ample for the key cardinality, half the
+    # per-micro-batch store overhead of the batch default (see
+    # run_available_now docstring); restored after the query
+    return SE.run_available_now(
+        SE.running_user_totals(stream), "update", shuffle_partitions=16
+    )
 
 
 def q_events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,13 +65,13 @@ def main() -> None:
         "ml_minhash_reference_join",
         "ml_dimsum_lsa_invariants",
         "emb_ivf_ann",
-        # per-key pandas-state overhead (one Arrow batch + pd.DataFrame per
-        # user key through applyInPandasWithState) dominates its wall time;
-        # the streaming plan shapes the bench should track are covered by
-        # events_stream_tumbling / events_stream_dedup. Still in the
-        # correctness gate like everything else.
-        "events_stream_stateful",
     }
+    # events_stream_stateful is back in the headline (round-3 verdict item):
+    # with the worker pool pre-spawned and 16 state-store partitions it runs
+    # ~2s — comparable to events_stream_dedup. The per-KEY pandas overhead
+    # of applyInPandasWithState remains its scale caveat (documented; the
+    # transformWithState successor is implemented but env-blocked on
+    # protobuf).
     # Guard against silent drift as the registry reorders/renames: a SKIP
     # name that no longer exists means the headline set changed semantics.
     unknown = SKIP - set(entrymod.queries())

@@ -156,6 +156,59 @@ def cmd_graph(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_curate(args) -> None:
+    from scabillmatch_spark.functions import text as TX
+    from scabillmatch_spark.operators import curation, textstats as TS
+
+    spark = _spark(args)
+    docs = _read_docs(spark, args.input)
+    tc, idc = args.text_col, args.id_col
+    if args.op == "decontaminate":
+        grams = docs.select(
+            F.col(idc),
+            TX.ngram_ids_from_token_ids(
+                TX.ordered_token_ids(tc), args.ngram
+            ).alias("gram_ids"),
+        )
+        ev = _read_docs(spark, args.eval_docs).select(
+            F.col(idc),
+            TX.ngram_ids_from_token_ids(
+                TX.ordered_token_ids(tc), args.ngram
+            ).alias("gram_ids"),
+        )
+        out = curation.decontamination_hits(grams, ev, id_col=idc)
+    elif args.op == "stratified-sample":
+        out = curation.stratified_sample(
+            docs, args.strata.split(","), args.k, id_col=idc
+        )
+    elif args.op == "pack":
+        sized = docs.withColumn("n_tokens", TS.token_count(tc))
+        out = curation.pack_sequences(
+            sized, args.budget, args.strata.split(","), order_col=idc
+        )
+    elif args.op == "pii-scrub":
+        out = docs.select(
+            idc, *curation.pii_counts(tc), curation.redact_pii(tc).alias("redacted")
+        )
+    else:  # repetition
+        out = docs.select(idc, *curation.repetition_stats(tc, args.ngram))
+    out.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_compact(args) -> None:
+    from scabillmatch_spark.io.sources import compact_parquet
+
+    spark = _spark(args)
+    n = compact_parquet(
+        spark,
+        args.input,
+        args.output,
+        target_file_bytes=args.target_bytes,
+        sort_cols=args.sort_by.split(",") if args.sort_by else None,
+    )
+    print(f"compacted into {n} file(s)", file=sys.stderr)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="scabillmatch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +276,30 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--iters", type=int, default=None)
     g.add_argument("--landmark", default=None)
     g.set_defaults(fn=cmd_graph)
+
+    cu = sub.add_parser("curate", help="training-data curation ops over a doc table")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument(
+        "--op",
+        choices=["decontaminate", "stratified-sample", "pack", "pii-scrub", "repetition"],
+        required=True,
+    )
+    cu.add_argument("--text-col", default="content")
+    cu.add_argument("--id-col", default="primary_key")
+    cu.add_argument("--eval-docs", help="benchmark/eval corpus (decontaminate)")
+    cu.add_argument("--ngram", type=int, default=4)
+    cu.add_argument("--k", type=int, default=100, help="rows per stratum (sample)")
+    cu.add_argument("--budget", type=int, default=2048, help="tokens per pack")
+    cu.add_argument("--strata", default="state", help="comma-separated stratum/pack cols")
+    cu.set_defaults(fn=cmd_curate)
+
+    co = sub.add_parser("compact", help="small-file compaction / sorted rewrite")
+    co.add_argument("--input", required=True)
+    co.add_argument("--output", required=True)
+    co.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    co.add_argument("--sort-by", default=None, help="comma-separated range-cluster cols")
+    co.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -84,3 +84,35 @@ def test_cli_graph_components(spark, tmp_path):
     cli.main(["graph", "--scored", scored, "--output", out, "--algo", "components"])
     got = {(r.id, r.component) for r in spark.read.parquet(out).collect()}
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_cli_curate_ops(spark, corpus, tmp_path):
+    out = str(tmp_path / "cur")
+    cli.main(["curate", "--input", corpus, "--output", out + "/pii",
+              "--op", "pii-scrub"])
+    pii = spark.read.parquet(out + "/pii")
+    assert pii.count() == 4 and "n_email" in pii.columns
+    cli.main(["curate", "--input", corpus, "--output", out + "/rep",
+              "--op", "repetition", "--ngram", "3"])
+    rep = spark.read.parquet(out + "/rep")
+    # the corpus rows are sentence * 20 repeats -> dup ratio near 1
+    assert rep.agg(F.max("dup_gram_ratio")).collect()[0][0] > 0.9
+    cli.main(["curate", "--input", corpus, "--output", out + "/dec",
+              "--op", "decontaminate", "--eval-docs", corpus, "--ngram", "3"])
+    dec = spark.read.parquet(out + "/dec")
+    assert dec.count() == 4  # self-decontamination: every doc overlaps itself
+    cli.main(["curate", "--input", corpus, "--output", out + "/pack",
+              "--op", "pack", "--budget", "50", "--strata", "state"])
+    pack = spark.read.parquet(out + "/pack")
+    assert "pack_id" in pack.columns and pack.count() == 4
+
+
+def test_cli_compact(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000).repartition(12).write.parquet(src)
+    cli.main(["compact", "--input", src, "--output", dst,
+              "--target-bytes", str(64 * 1024 * 1024)])
+    import glob, os
+    assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 1
+    assert spark.read.parquet(dst).count() == 10_000
