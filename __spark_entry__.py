@@ -1361,6 +1361,20 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("distance").cast("long").alias("distance"))
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the similarity graph (k=3): the maximal subgraph where
+    every document keeps >=3 near-dup neighbors — separates dense template
+    families from incidental pairwise matches (a graph capability beyond
+    the reference's PageRank/paths/triangles). Iterative peeling with
+    per-round localCheckpoint (operators/graph.k_core); the oracle unrolls
+    the peeling rounds in SQL — at sf0.01 the fixpoint lands well inside
+    the unroll and the early-stopped Spark result matches exactly."""
+    from scabillmatch_spark.operators import graph
+
+    edges = _doc_edges(spark, sf_dir)
+    return graph.k_core(edges, k=3)
+
+
 def q_emb_vector_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dense-vector measure family on real columns (SimilarityMeasure
     .scala:23-75,168-175): manhattan100, hamming100, densejaccard100 over
@@ -2546,13 +2560,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_count": q_graph_triangles,
         "graph_shortest_paths": q_graph_shortest_paths,
         "graph_weighted_paths": q_graph_weighted_paths,
+        "graph_kcore": q_graph_kcore,
         "emb_ivf_ann": q_emb_ivf_ann,
         "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
         "io_avro_roundtrip": q_io_avro_roundtrip,
         # -- stable rows past the 50-query window — every one hash-green in
         #    at least one earlier driver round AND re-verified every pytest
         #    run by tests/test_oracle.py's mirror of the driver gate
+        "events_range_join": q_events_range_join,
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_stateful": q_events_stream_stateful,
@@ -2747,6 +2762,34 @@ def _emb_lsh_ann_oracle() -> str:
             FROM cand
         ) WHERE rk <= 3
     """
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled k-core peeling over the shared edge CTE (und = undirected
+    (s,d) edges): each round keeps edges whose BOTH endpoints currently
+    have degree >= k. Mirrors graph.k_core's early-stopped loop exactly as
+    long as the fixpoint lands within ``rounds`` (it does at sf0.01; a
+    too-shallow unroll would hash-fail loudly, not silently pass)."""
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
+    # AS MATERIALIZED: each round references its predecessor three times —
+    # inlined CTEs would re-expand the whole banded chain per reference
+    # (exponential scan count; DuckDB runs out of file handles)
+    sql = f"""
+    WITH {cte},
+    c0 AS MATERIALIZED (SELECT s, d FROM und)"""
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    k{i} AS MATERIALIZED (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k}),
+    c{i} AS MATERIALIZED (
+        SELECT s, d FROM {prev}
+        WHERE s IN (SELECT s FROM k{i}) AND d IN (SELECT s FROM k{i})
+    )"""
+        prev = f"c{i}"
+    sql += f"""
+    SELECT s AS id, COUNT(*) AS degree FROM {prev}
+    GROUP BY s HAVING COUNT(*) >= {k}"""
+    return sql
 
 
 def _weighted_paths_oracle(rounds: int = 6) -> str:
@@ -3145,6 +3188,7 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(r.ts) <= epoch_us(l.ts)
         """,
         "graph_weighted_paths": _weighted_paths_oracle(6),
+        "graph_kcore": _kcore_oracle(3, 10),
         "doc_sections": """
             WITH s AS (
                 SELECT doc_id,

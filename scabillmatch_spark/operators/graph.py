@@ -203,6 +203,47 @@ def connected_components(
     return comp
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    undirected: bool = True,
+) -> DataFrame:
+    """The k-core of the graph: the maximal induced subgraph where every
+    vertex keeps degree >= k. Returns (id, degree) — degree WITHIN the
+    core. On a near-dup similarity graph the k-core isolates the dense
+    duplication clusters from incidental pairwise matches (a template
+    family is a core; a chance collision is peeled away).
+
+    Algorithm: iterative peeling — drop vertices with current degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint. Each
+    round is one aggregation + two semi-joins over the shrinking edge set,
+    localCheckpoint'd per round (same lineage discipline as BFS/CC); rounds
+    needed = peeling depth, small for dense-core graphs. At cluster scale
+    every round is one shuffle over the surviving edges — the edge set only
+    shrinks, so the heaviest round is the first.
+    """
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).localCheckpoint()
+    for _ in range(max_iter):
+        deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        nxt = (
+            e.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        done = nxt.count() == e.count()
+        e = nxt
+        if done:
+            break
+    return (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
 def weighted_shortest_paths(
     edges: DataFrame,
     landmark,

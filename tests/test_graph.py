@@ -89,3 +89,19 @@ def test_connected_components_warns_when_not_converged(spark):
         full = connected_components(edges, max_iter=20)
         assert full.select("component").distinct().count() == 1
         assert not any("did not converge" in str(x.message) for x in w)
+
+
+def test_k_core_peels_tail_and_keeps_clique(spark):
+    """K4 clique + a pendant path: 3-core = the clique alone (every clique
+    vertex keeps degree 3); the path peels away over successive rounds."""
+    from scabillmatch_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + path, "src long, dst long")
+    out = {r["id"]: r["degree"] for r in k_core(edges, 3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    # 1-core keeps everything (no vertex has degree 0): 7 vertices total
+    assert k_core(edges, 1).count() == 7
+    # 4-core of K4 is empty (max degree is 3)
+    assert k_core(edges, 4).count() == 0
