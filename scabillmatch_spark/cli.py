@@ -163,6 +163,8 @@ def cmd_curate(args) -> None:
     spark = _spark(args)
     docs = _read_docs(spark, args.input)
     tc, idc = args.text_col, args.id_col
+    if args.op == "decontaminate" and not args.eval_docs:
+        sys.exit("curate --op decontaminate requires --eval-docs")
     if args.op == "decontaminate":
         grams = docs.select(
             F.col(idc),

@@ -196,10 +196,15 @@ def compact_parquet(
     df = spark.read.parquet(src)
     if sort_cols:
         write_sorted(df, dst, sort_cols, num_files=n)
-    else:
-        # coalesce, not repartition: no shuffle — each output task reads a
-        # contiguous run of small files
+    elif n <= df.rdd.getNumPartitions():
+        # merging small files: coalesce, not repartition — no shuffle, each
+        # output task reads a contiguous run of inputs
         df.coalesce(n).write.mode("overwrite").parquet(dst)
+    else:
+        # splitting oversized files needs MORE partitions than the scan
+        # provides; coalesce cannot increase the count, so this path pays
+        # one round-robin shuffle
+        df.repartition(n).write.mode("overwrite").parquet(dst)
     return n
 
 

@@ -207,8 +207,16 @@ def collapse_token_sets(
     quadratic stage shrunk by the duplication factor squared. Real
     pretraining corpora are 20-50% exact-dup; scoring them pairwise first
     is pure waste.
+
+    Empty sets are EXCLUDED: jaccard(∅, X) = 0 for every X (including ∅),
+    so an empty-set doc can never reach any positive similarity threshold —
+    but the intra-group expansion would wrongly stamp two empty-set docs
+    as similarity 100. Valid for thresholded consumers (threshold > 0),
+    which is every caller here.
     """
-    tagged = df.withColumn("__set_id", F.md5(F.concat_ws(",", F.col(set_col))))
+    tagged = df.filter(F.size(F.col(set_col)) > 0).withColumn(
+        "__set_id", F.md5(F.concat_ws(",", F.col(set_col)))
+    )
     members = tagged.select("__set_id", id_col)
     others = [c for c in df.columns if c not in (id_col, set_col)]
     # non-set columns take an arbitrary member's value — pass them through

@@ -166,10 +166,9 @@ def repetition_stats(
     """
     toks = TX.tokens(text_col)
     n_tok = F.size(toks)
-    size = F.size(toks)
-    idx = F.sequence(F.lit(1), size - F.lit(gram_n - 1))
+    idx = F.sequence(F.lit(1), n_tok - F.lit(gram_n - 1))
     grams = F.when(
-        size >= gram_n,
+        n_tok >= gram_n,
         F.transform(
             idx, lambda i: F.array_join(F.slice(toks, i, gram_n), " ")
         ),

@@ -224,6 +224,8 @@ def k_core(
     shrinks, so the heaviest round is the first.
     """
     e = (undirect(edges) if undirected else edges.select("src", "dst")).localCheckpoint()
+    n_edges = e.count()
+    converged = False
     for _ in range(max_iter):
         deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("id")
@@ -233,10 +235,23 @@ def k_core(
             .select("src", "dst")
             .localCheckpoint()
         )
-        done = nxt.count() == e.count()
-        e = nxt
-        if done:
+        n_next = nxt.count()
+        converged = n_next == n_edges
+        e, n_edges = nxt, n_next
+        if converged:
             break
+    if not converged:
+        # a long path with k=2 peels only two endpoints per round: an
+        # exhausted budget would silently return a SUPERSET of the k-core
+        import warnings
+
+        warnings.warn(
+            f"k_core did not converge within max_iter={max_iter} peeling "
+            "rounds; the returned subgraph may be a superset of the true "
+            f"{k}-core (raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("degree"))

@@ -60,10 +60,9 @@ def document_match(
         reps, id_col="__set_id", set_col="tokens",
         num_hashes=num_hashes, num_bands=num_bands,
         min_jaccard=threshold,  # lossless: J <= size-ratio bound
-    ).select(F.col("pk1").alias("__sid1"), F.col("pk2").alias("__sid2"))
+    )
     rep_scored = pairs.score_pairs(
-        cands.select(F.col("__sid1").alias("pk1"), F.col("__sid2").alias("pk2")),
-        reps.select("__set_id", "tokens"),
+        cands, reps.select("__set_id", "tokens"),
         SIM.jaccard, id_col="__set_id", feature_col="tokens",
     ).select(
         F.col("pk1").alias("__sid1"), F.col("pk2").alias("__sid2"), "similarity"

@@ -67,6 +67,24 @@ def test_collapse_expand_is_lossless(spark):
     assert got[(1, 2)] == 100.0 and got[(2, 4)] == 100.0 and got[(5, 6)] == 100.0
 
 
+def test_collapse_excludes_empty_sets(spark):
+    """jaccard(∅, X) = 0 everywhere, so empty-set docs can never reach a
+    positive threshold — the intra-group expansion must NOT stamp two
+    empty-set docs as similarity 100 (the direct plan scores them 0)."""
+    docs = spark.createDataFrame(
+        [(1, []), (2, []), (3, [7, 8, 9]), (4, [7, 8, 9])],
+        "pk long, toks array<long>",
+    )
+    out = sorted(
+        map(tuple, _collapsed(docs, 50.0).select("pk1", "pk2", "similarity").collect())
+    )
+    assert out == [(3, 4, 100.0)]
+    direct = sorted(
+        map(tuple, _direct(docs, 50.0).select("pk1", "pk2", "similarity").collect())
+    )
+    assert out == direct
+
+
 def test_collapse_shrinks_quadratic_side(spark):
     docs = _docs(spark)
     reps, members = blocking.collapse_token_sets(docs, id_col="pk", set_col="toks")

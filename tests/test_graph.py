@@ -105,3 +105,21 @@ def test_k_core_peels_tail_and_keeps_clique(spark):
     assert k_core(edges, 1).count() == 7
     # 4-core of K4 is empty (max degree is 3)
     assert k_core(edges, 4).count() == 0
+
+
+def test_k_core_warns_when_not_converged(spark):
+    """A long path with k=2 peels two endpoints per round — an exhausted
+    budget must warn rather than silently return a superset core."""
+    import warnings
+
+    from scabillmatch_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        k_core(edges, 2, max_iter=2).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    # with budget: the 2-core of a path is empty
+    assert k_core(edges, 2, max_iter=20).count() == 0
