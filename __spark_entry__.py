@@ -365,8 +365,14 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stands in for the phone country code)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    # decimal-exact avg (q17 discipline): a raw double avg is partial-agg
+    # order dependent, so a balance within an ulp of the mean could flip
+    # in/out cross-engine
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -1871,7 +1877,9 @@ def _emb_brp_oracle() -> str:
 
 _ND_PLANES, _ND_BANDS = 32, 4      # 4 bands x 8 sign bits from a 32-plane signature
 _ND_HAM_MAX = 8                    # Hamming prefilter: <= 8 of 32 bits differ
-_ND_VARIANT_OFFSET = 100_000
+# variant ids must never collide with real vec_ids; 10^12 needs a trillion-
+# row embeddings table to reach (vec_id is BIGINT — headroom to 9.2*10^18)
+_ND_VARIANT_OFFSET = 1_000_000_000_000
 _ND_COS_THRESHOLD = 0.98
 
 
@@ -2388,14 +2396,17 @@ def q_ml_dimsum_lsa_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.coalesce(F.col("similarity"), F.lit(0.0)))).alias("max_abs"),
         F.max(one_sided).alias("one_sided"),
     ).collect()[0]
+    # empty comparison frame (degenerate corpus) -> NULL aggregates; the
+    # invariants hold vacuously (no pair disagrees), matching the constant
+    # oracle — previously this path raised TypeError on None < float
     return spark.createDataFrame(
         [
             (
-                bool(stats["max_diff"] < 1e-6),
+                bool(stats["max_diff"] is None or stats["max_diff"] < 1e-6),
                 int(n_docs),
-                bool(stats["one_sided"] == 0),
-                bool(stats["max_abs"] <= 1.0 + 1e-9),
-                bool(stats["tri"] == 1),
+                bool(stats["one_sided"] is None or stats["one_sided"] == 0),
+                bool(stats["max_abs"] is None or stats["max_abs"] <= 1.0 + 1e-9),
+                bool(stats["tri"] is None or stats["tri"] == 1),
             )
         ],
         "exact_ok boolean, n_docs long, pairs_match boolean, range_ok boolean, triangular_ok boolean",
@@ -2663,6 +2674,22 @@ _DUCK_TOKIDSET = (
     " x -> x <> ''),"
     " t -> CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT)))"
 )
+
+
+def _duck_gram_ids(tok_ids_expr: str, n: int) -> str:
+    """DuckDB expression: sorted distinct n-gram rolling-hash ids over an
+    ordered BIGINT token-id list — the single mirror of
+    functions/text.ngram_ids_from_token_ids (acc*B + x mod P, P-reduced
+    window), shared by every oracle that shingles."""
+    from scabillmatch_spark.functions.text import HASH_PRIME, SHINGLE_B
+
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, len({tok_ids_expr}) - {n - 2}), "
+        f"i -> list_reduce("
+        f"list_transform({tok_ids_expr}[i:i+{n - 1}], x -> x % {HASH_PRIME}), "
+        f"(acc, x) -> (acc * {SHINGLE_B} + x) % {HASH_PRIME}))))"
+    )
 
 
 def _minhash_sig_sql(ids_expr: str, num_hashes: int = 16) -> str:
@@ -2940,14 +2967,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
             ids AS (
-                -- 4-gram ids: rolling hash (acc*B + x mod P) mod P over
-                -- P-reduced token ids (text.ngram_ids_from_token_ids)
-                SELECT doc_id,
-                       list_sort(list_distinct(list_transform(range(1, len(t) - 2),
-                           i -> list_reduce(
-                               list_transform(t[i:i+3], x -> x % 2038074743),
-                               (acc, x) -> (acc * 1000003 + x) % 2038074743)
-                       ))) AS g
+                -- 4-gram rolling-hash ids (shared _duck_gram_ids mirror of
+                -- text.ngram_ids_from_token_ids)
+                SELECT doc_id, {_duck_gram_ids('t', 4)} AS g
                 FROM toks
             ),
             ev AS (
@@ -3149,14 +3171,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": f"""
             WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
             ids AS (
-                -- 3-gram shingle ids: rolling hash (acc*B + x mod P) mod P
-                -- over P-reduced token ids (text.ngram_ids_from_token_ids)
-                SELECT doc_id,
-                       list_sort(list_distinct(list_transform(range(1, len(t) - 1),
-                           i -> list_reduce(
-                               list_transform(t[i:i+2], x -> x % 2038074743),
-                               (acc, x) -> (acc * 1000003 + x) % 2038074743)
-                       ))) AS s
+                -- 3-gram shingle ids (shared _duck_gram_ids mirror of
+                -- text.ngram_ids_from_token_ids)
+                SELECT doc_id, {_duck_gram_ids('t', 3)} AS s
                 FROM toks
             ),
             sigs AS (SELECT doc_id, s, {_minhash_sig_sql('s', SHINGLE_LSH_HASHES)} AS sig FROM ids),
@@ -3380,7 +3397,9 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(c_acctbal), 4) AS totacctbal
             FROM customer c
             WHERE c_acctbal > (
-                    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+                    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                           / COUNT(*)
+                    FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (
                     SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             GROUP BY c_mktsegment

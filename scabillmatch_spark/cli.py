@@ -142,7 +142,7 @@ def cmd_graph(args) -> None:
     edges = scored.select(F.col("pk1").alias("src"), F.col("pk2").alias("dst"))
     if args.algo == "pagerank":
         out = graph.pagerank(
-            edges, reset_prob=args.reset_prob, max_iter=args.iters or 10
+            edges, reset_prob=args.reset_prob, max_iter=10 if args.iters is None else args.iters
         )
     elif args.algo == "triangles":
         out = graph.triangle_count_per_vertex(edges)
@@ -150,9 +150,9 @@ def cmd_graph(args) -> None:
         # components converge in graph-diameter rounds (early-stopped), so
         # the budget only needs to be an upper bound — 50 covers any
         # plausible near-dup graph; connected_components warns if exhausted
-        out = graph.connected_components(edges, max_iter=args.iters or 50)
+        out = graph.connected_components(edges, max_iter=50 if args.iters is None else args.iters)
     else:
-        out = graph.shortest_paths(edges, args.landmark, max_depth=args.iters or 10)
+        out = graph.shortest_paths(edges, args.landmark, max_depth=10 if args.iters is None else args.iters)
     out.write.mode("overwrite").parquet(args.output)
 
 
