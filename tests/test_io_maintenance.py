@@ -79,3 +79,23 @@ def test_compact_parquet_sorted_variant(spark, tmp_path):
     files = _files(dst)
     assert len(files) >= 2
     assert spark.read.parquet(dst).count() == 50_000
+
+
+def test_partitionby_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy layout must show PartitionFilters in the scan
+    (directory-level pruning — the coarse-grained complement of
+    write_sorted's row-group pruning)."""
+    from scabillmatch_spark.io.sources import write_parquet
+
+    df = spark.range(0, 9_000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    out = str(tmp_path / "parted")
+    write_parquet(df, out, partition_by=["part"])
+    narrow = spark.read.parquet(out).filter(F.col("part") == "1")
+    assert narrow.count() == 3_000
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    # the predicate lands in PartitionFilters (directory pruning), not as a
+    # post-scan Filter over all partitions
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert "(part#" in plan.split("PartitionFilters:")[1].split("]")[0]
