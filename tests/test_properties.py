@@ -100,3 +100,99 @@ def test_rolling_hash_shingle_ids_match_reference(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref_ids(t), (i, t)
+
+
+# --- curation-operator properties -------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc id
+        st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=25),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy, docs_strategy)
+def test_decontamination_matches_bruteforce(spark, train_rows, eval_rows):
+    """decontamination_hits == the python brute-force distinct-overlap count
+    on arbitrary gram-id sets (ids used directly as grams)."""
+    from scabillmatch_spark.operators.curation import decontamination_hits
+
+    train = spark.createDataFrame(
+        [(i, sorted(set(g))) for i, g in train_rows], "doc_id long, gram_ids array<long>"
+    )
+    eval_ = spark.createDataFrame(
+        [(i, sorted(set(g))) for i, g in eval_rows], "doc_id long, gram_ids array<long>"
+    )
+    got = {
+        r["doc_id"]: r["n_hits"] for r in decontamination_hits(train, eval_).collect()
+    }
+    egrams = set().union(*(set(g) for _, g in eval_rows)) if eval_rows else set()
+    want = {
+        i: len(set(g) & egrams) for i, g in train_rows if set(g) & egrams
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=300),
+)
+def test_pack_sequences_matches_running_sum(spark, rows, budget):
+    """pack_id == floor(run-sum-before / budget) in doc order, per the
+    start-offset contract, for arbitrary token counts and budgets."""
+    from scabillmatch_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "g", n) for i, n in rows], "doc_id long, lang string, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(df, budget, ["lang"]).collect()
+    }
+    before = 0
+    for i, n in sorted(rows):
+        assert got[i] == before // budget
+        before += n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_stratified_sample_is_exact_k_and_stable(spark, rows, k):
+    from scabillmatch_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_sample(df, ["src"], k).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["src"], []).append(r["doc_id"])
+    sizes = {s: len([1 for _, x in rows if x == s]) for s in {x for _, x in rows}}
+    for s, ids in per.items():
+        assert len(ids) == min(k, sizes[s])
+    # replayable: second run picks identical rows
+    again = stratified_sample(df, ["src"], k).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
