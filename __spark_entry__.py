@@ -1408,6 +1408,41 @@ def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_space_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking economics audit (docs/tuning_kmeans.md's npermutations
+    math; A12/J7 family — operators/stats.pair_space_accounting): per-block
+    n*(n-1)/2 candidate-pair counts over the (lang, source) blocking key,
+    the unblocked corpus pair space, and the reduction ratio — the
+    reference's headline blocking claim (~27x with k-means k=150) computed
+    as one aggregation. Pure integer/decimal math; fully oracled."""
+    from scabillmatch_spark.operators import stats as STATS
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__block", F.concat_ws("|", "lang", "source")
+    )
+    per = STATS.pair_space_accounting(docs, "__block")
+    total_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("npermutations").cast("long").alias("blocked_pairs"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(total_docs))
+        .select(
+            "n_blocks",
+            "blocked_pairs",
+            (F.col("n_total") * (F.col("n_total") - 1) / 2)
+            .cast("long")
+            .alias("unblocked_pairs"),
+            F.round(
+                (F.col("n_total") * (F.col("n_total") - 1) / 2)
+                / F.col("blocked_pairs"),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the similarity graph (k=3): the maximal subgraph where
     every document keeps >=3 near-dup neighbors — separates dense template
@@ -2614,11 +2649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_paths": q_graph_weighted_paths,
         "graph_kcore": q_graph_kcore,
         "emb_pq_ann": q_emb_pq_ann,
+        "pair_space_accounting": q_pair_space_accounting,
         "emb_ivf_ann": q_emb_ivf_ann,
-        "events_asof_join": q_events_asof_join,
         # -- stable rows past the 50-query window — every one hash-green in
         #    at least one earlier driver round AND re-verified every pytest
         #    run by tests/test_oracle.py's mirror of the driver gate
+        "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "io_avro_roundtrip": q_io_avro_roundtrip,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -3952,6 +3988,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
                    TRUE AS per_query_k_ok, TRUE AS recall_ok, TRUE AS range_ok
             FROM embeddings WHERE vec_id < 10
+        """,
+        "pair_space_accounting": """
+            WITH per AS (
+                SELECT lang || '|' || source AS blk, COUNT(*) AS n
+                FROM documents GROUP BY 1
+            ),
+            t AS (SELECT COUNT(*) AS n_total FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS blocked_pairs,
+                   CAST((SELECT n_total * (n_total - 1) / 2 FROM t) AS BIGINT)
+                       AS unblocked_pairs,
+                   ROUND((SELECT n_total * (n_total - 1) / 2 FROM t)
+                         / SUM(n * (n - 1) / 2), 6) AS reduction_ratio
+            FROM per
         """,
         "emb_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
