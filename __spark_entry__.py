@@ -1519,11 +1519,15 @@ def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate straight from the original parquet — data loss, duplication,
     or a sort/compaction bug breaks the hash; the pruning-enabling layout
     properties are footer-asserted in test_io_maintenance."""
+    import shutil
     import tempfile
 
     from scabillmatch_spark.io.sources import compact_parquet, write_sorted
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # pid-keyed paths: bench + the pytest oracle gate can run concurrently
+    # against the same sf dir, and a shared fixed path would let one run
+    # clobber the other's fragment/compacted dirs mid-query
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
     frag = os.path.join(tempfile.gettempdir(), f"scabillmatch_frag_{tag}")
     compacted = os.path.join(tempfile.gettempdir(), f"scabillmatch_compact_{tag}")
     ev = _t(spark, sf_dir, "events")
@@ -1533,7 +1537,7 @@ def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(compacted)
     lo, hi = "2024-01-08 00:00:00", "2024-01-15 00:00:00"
-    return (
+    out = (
         back.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
         .groupBy("event_type")
         .agg(
@@ -1542,6 +1546,12 @@ def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum("value", "sum_value"),
         )
     )
+    # the compacted dir must outlive this call (the driver collects the
+    # returned DataFrame lazily), so materialize now and clean up eagerly
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(compacted, ignore_errors=True)
+    return out
 
 
 def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2582,78 +2592,248 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Version labels for the synthetic latest-version metadata: the reference's
+# 7-entry priority list (LatestVersionExtracter.scala:50-59) + one unknown
+# label to exercise the rank-last fallback.
+_LVF_VERSIONS = [
+    "Enacted", "Enrolled", "Adopted", "Substituted", "Amended",
+    "Reintroduced", "Introduced", "Draft",
+]
+
+
+def q_latest_version_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatestVersionExtracter end-to-end (LatestVersionExtracter.scala:10-99;
+    F5/F6 month-name date parse, F7 pk concat/split, A3 family window, J5
+    attach join): synthesize version metadata deterministically from
+    documents — family = doc_id % 40, versionDate = 'January 5, 2005'-style
+    string (1-in-17 rows malformed to exercise the 1900-12-31 fallback),
+    version label from an 8-entry list whose last is unknown to the priority
+    table — then run latest_versions (try_to_timestamp 'MMMM d, yyyy' ->
+    priority rank -> one window shuffle) and attach_latest (semi-join
+    keep-latest) and return one row per family with its attached-bill count.
+    Ties in (ts, priority, filePath) imply identical output rows (filePath
+    determines family+version), so the result is engine-deterministic. The
+    DuckDB oracle rebuilds identical metadata and mirrors parse + window +
+    join (try_strptime '%B %-d, %Y')."""
+    from scabillmatch_spark.operators import latest_version as LV
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ver = F.element_at(
+        F.array(*[F.lit(v) for v in _LVF_VERSIONS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    fam_num = F.col("doc_id") % 40
+    date = F.date_add(
+        F.to_date(F.lit("2005-01-01")), (F.col("doc_id") % 1000).cast("int")
+    )
+    base = docs.select(
+        "doc_id",
+        fam_num.alias("__fam"),
+        ver.alias("version"),
+        date.alias("__d"),
+    )
+    meta = base.select(
+        F.concat(
+            F.lit("data/bills_"), F.col("__fam").cast("string"),
+            F.lit("_"), F.col("version"), F.lit(".txt"),
+        ).alias("filePath"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("not a date"))
+        .otherwise(F.date_format("__d", "MMMM d, yyyy"))
+        .alias("versionDate"),
+        "version",
+    )
+    latest = LV.latest_versions(meta)
+    bills = base.select(
+        F.concat(
+            F.lit("bills_"), F.col("__fam").cast("string"),
+            F.lit("_"), F.col("version"),
+        ).alias("primary_key")
+    )
+    counts = (
+        LV.attach_latest(bills, meta)
+        .groupBy("primary_key")
+        .agg(F.count(F.lit(1)).alias("n_bills"))
+    )
+    return latest.join(
+        counts,
+        F.concat_ws("_", F.col("family"), F.col("version"))
+        == F.col("primary_key"),
+        "left",
+    ).select(
+        "family",
+        "filePath",
+        "version",
+        F.date_format("versionTs", "yyyy-MM-dd").alias("version_date"),
+        F.coalesce("n_bills", F.lit(0)).alias("n_bills"),
+    )
+
+
+def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4/S6/S8/S9 in one verifiable roundtrip: write the documents table
+    through the S4 JSON sink into two doc_id-parity splits (one multi-part,
+    one single_file), read both back through the S1 explicit-schema scan on
+    an S8 glob-union path (no inference pass — ExtractCandidates.scala:98 +
+    docs/3state_test.md step 0), re-read the single-file split with the S6
+    wholetext scan (file + line counts), and apply an S9 predicate whose id
+    list is loaded from a local driver file (feature/Utils.scala:284-305).
+    Aggregates to one row; the oracle recomputes everything from parquet —
+    any serialization/escaping/row-loss bug on the JSON path breaks the
+    hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from scabillmatch_spark.functions.pk import in_list
+    from scabillmatch_spark.io.sources import read_whole_text, write_json
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), f"scabillmatch_json_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_json(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(3),
+        os.path.join(base, "split_even"),
+    )
+    write_json(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        os.path.join(base, "split_odd"),
+        single_file=True,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(os.path.join(base, "split_*"))
+    # S9: the IN-list arrives via a local file on the driver, as in the
+    # reference's bill-id probe files — written here so the query is
+    # self-contained, then read back before building the predicate.
+    ids_path = os.path.join(base, "keep_ids.txt")
+    with open(ids_path, "w") as f:
+        f.write("\n".join(str(i) for i in range(100)))
+    with open(ids_path) as f:
+        keep_ids = [line.strip() for line in f if line.strip()]
+    wt = read_whole_text(
+        spark, os.path.join(base, "split_odd", "part-*.json")
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.size(F.split("value", "\n", -1)) - 1).alias("n_lines"),
+    )
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(
+            F.when(in_list(F.col("doc_id").cast("string"), keep_ids), 1)
+            .otherwise(0)
+        ).alias("n_in_list"),
+    )
+    out = agg.crossJoin(wt)  # 1 row x 1 row
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def q_ml_stemmer_bisecting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 Porter stemmer + M9 BisectingKMeans (feature/Utils.scala:200-204
+    external spark-stemming jar; :138 commented-out BisectingKMeans
+    blocking). Model fits aren't SQL-reproducible, so the query returns
+    asserted invariants the oracle states literally (the ml_* pattern):
+      - stem_*: Porter stems of published example words computed through the
+        Arrow-batched pandas UDF (ml/stemmer.py:173) — the oracle states the
+        Porter-correct literals, so an algorithm regression hash-fails;
+      - vocab_shrunk: distinct stems <= distinct raw tokens over the corpus
+        (the UDF at corpus scale, not just on the probe row);
+      - clusters_ok / labels_ok: k=8 bisecting fit on stem=True TF-IDF
+        features yields >= 4 non-empty clusters with labels inside [0, 8);
+      - n_docs: row count preserved through featurize+fit, computed by BOTH
+        engines."""
+    from scabillmatch_spark.ml.cluster import bisecting_kmeans_labels
+    from scabillmatch_spark.ml.featurize import FeatureConfig, extract_features
+    from scabillmatch_spark.ml.stemmer import stem_tokens_expr
+
+    words = ["running", "flies", "happily", "relational", "generously"]
+    probe = spark.createDataFrame([(words,)], "toks array<string>")
+    stems = probe.select(
+        stem_tokens_expr()(F.col("toks")).alias("stems")
+    ).first()["stems"]
+
+    docs = _t(spark, sf_dir, "documents")
+    tok_df = docs.select(TX.tokens("text").alias("toks")).persist()
+    n_tok = (
+        tok_df.select(F.explode("toks").alias("t"))
+        .agg(F.count_distinct("t"))
+        .first()[0]
+    )
+    n_stem = (
+        tok_df.select(stem_tokens_expr()(F.col("toks")).alias("s"))
+        .select(F.explode("s").alias("t"))
+        .agg(F.count_distinct("t"))
+        .first()[0]
+    )
+    tok_df.unpersist()
+
+    bills = docs.select(
+        F.col("doc_id").cast("string").alias("primary_key"),
+        F.col("text").alias("content"),
+    )
+    feats, _ = extract_features(
+        bills, FeatureConfig(num_features=2**12, stem=True)
+    )
+    labeled = bisecting_kmeans_labels(feats, k=8, max_iter=10).persist()
+    n_docs = labeled.count()
+    lab = labeled.agg(
+        F.count_distinct("prediction").alias("k"),
+        F.min("prediction").alias("lo"),
+        F.max("prediction").alias("hi"),
+    ).first()
+    labeled.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                stems[0], stems[1], stems[2], stems[3], stems[4],
+                bool(n_stem <= n_tok),
+                bool(lab["k"] >= 4),
+                bool(lab["lo"] >= 0 and lab["hi"] < 8),
+            )
+        ],
+        "n_docs long, stem_running string, stem_flies string, "
+        "stem_happily string, stem_relational string, stem_generously string, "
+        "vocab_shrunk boolean, clusters_ok boolean, labels_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # registry entries (CORRECTNESS_r03 windowed at 50 while the registry had
-    # grown to 62).  Order is therefore deliberate, not alphabetical:
-    #   1. queries that have never had a driver-verified row (r3 additions +
-    #      the 4 ml invariant oracles) lead;
-    #   2. the rest of the r3-green set follows, staying inside the window;
-    #   3. the longest-stable rows (TPC-H + plain window queries, hash-green
-    #      in r1+r2+r3 and still covered by tests/test_oracle.py's mirror of
-    #      the driver gate) rotate past the window.
+    # registry entries. Order is therefore deliberate, not alphabetical —
+    # the round-5 rotation (VERDICT r4 item #2):
+    #   1. the 3 queries new this round (never driver-checked) lead;
+    #   2. the 39 queries whose latest driver row is r3 (they sat past r4's
+    #      window) fill the rest of the window, restoring max staleness of
+    #      one round for every registry entry;
+    #   3. 8 r4-green queries whose code paths changed this round
+    #      (io_sorted_compact pid-keyed temp paths; the collapse digest now
+    #      md5(to_json) — flagship-adjacent dedup queries; emb_pq_ann's
+    #      dim%m assert) complete the 50;
+    #   4. the remaining r4-green rows rotate past the window, all still
+    #      re-verified every pytest run by tests/test_oracle.py's mirror of
+    #      the driver gate.
     return {
-        # -- never driver-checked (past r3's 50-row window) — lead the window
-        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
-        "ml_lda_topics": q_ml_lda_topics,
-        "ml_lsa_projection": q_ml_lsa_projection,
-        "ml_minhash_reference_join": q_ml_minhash_reference_join,
-        "doc_pair_measures": q_doc_pair_measures,
-        "media_image_metadata": q_media_image_metadata,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "events_resample_1h": q_events_resample_1h,
-        "doc_hash_sample": q_doc_hash_sample,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "emb_lsh_ann": q_emb_lsh_ann,
-        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
-        # -- new in round 4
-        "pairs_postprocess_sample": q_pairs_postprocess_sample,
-        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
-        "emb_cosine_near_dup": q_emb_cosine_near_dup,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_repetition": q_doc_repetition,
-        "events_stream_static_join": q_events_stream_static_join,
-        "io_sorted_compact": q_io_sorted_compact,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_quality_filter": q_doc_quality_filter,
-        "events_stream_interval_join": q_events_stream_interval_join,
-        # -- round-4 TPC-H additions (q6/q13/q16/q21/q22 SQL-breadth shapes
-        #    + the completion set: all 22 shapes, q2/q9/q11/q20 adapted to
-        #    the partsupp-less schema — see docstrings). In the window so
-        #    every registry entry has at least one driver-green round.
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q16_supplier_cnt": q_tpch_q16,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
-        # -- r3 driver-green, kept inside the window (the heavier shared-
-        #    cache pipelines and one representative per operator family)
-        "events_tumbling_window": q_events_tumbling,
-        "events_sessionization": q_events_sessionization,
-        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_triangle_count": q_graph_triangles,
-        "graph_shortest_paths": q_graph_shortest_paths,
-        "graph_weighted_paths": q_graph_weighted_paths,
-        "graph_kcore": q_graph_kcore,
-        "emb_pq_ann": q_emb_pq_ann,
-        "pair_space_accounting": q_pair_space_accounting,
-        "emb_ivf_ann": q_emb_ivf_ann,
-        # -- stable rows past the 50-query window — every one hash-green in
-        #    at least one earlier driver round AND re-verified every pytest
-        #    run by tests/test_oracle.py's mirror of the driver gate
+        # -- new in round 5 — never driver-checked
+        "latest_version_family": q_latest_version_family,
+        "io_json_roundtrip": q_io_json_roundtrip,
+        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
+        # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "io_avro_roundtrip": q_io_avro_roundtrip,
@@ -2693,6 +2873,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
+        # -- r4-green but code-path-adjacent to this round's edits
+        "io_sorted_compact": q_io_sorted_compact,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "pairs_postprocess_sample": q_pairs_postprocess_sample,
+        "emb_pq_ann": q_emb_pq_ann,
+        "graph_pagerank": q_graph_pagerank,
+        # ---- 50-row window boundary ----
+        # -- r4-green rows past the window (max staleness one round); all
+        #    re-verified every pytest run via tests/test_oracle.py
+        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
+        "ml_lda_topics": q_ml_lda_topics,
+        "ml_lsa_projection": q_ml_lsa_projection,
+        "ml_minhash_reference_join": q_ml_minhash_reference_join,
+        "doc_pair_measures": q_doc_pair_measures,
+        "media_image_metadata": q_media_image_metadata,
+        "events_resample_1h": q_events_resample_1h,
+        "doc_hash_sample": q_doc_hash_sample,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
+        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "events_stream_static_join": q_events_stream_static_join,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
+        "events_stream_interval_join": q_events_stream_interval_join,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        "events_tumbling_window": q_events_tumbling,
+        "events_sessionization": q_events_sessionization,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "graph_triangle_count": q_graph_triangles,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_weighted_paths": q_graph_weighted_paths,
+        "graph_kcore": q_graph_kcore,
+        "pair_space_accounting": q_pair_space_accounting,
+        "emb_ivf_ann": q_emb_ivf_ann,
     }
 
 
@@ -2965,6 +3199,72 @@ def oracle_sql() -> dict[str, str]:
         "ml_dimsum_lsa_invariants": """
             SELECT TRUE AS exact_ok, (SELECT COUNT(*) FROM documents) AS n_docs,
                    TRUE AS pairs_match, TRUE AS range_ok, TRUE AS triangular_ok
+        """,
+        # Porter stems of the probe words are stated literally (the published
+        # Porter-correct values); vocab/cluster invariants literal TRUE;
+        # n_docs computed by both engines.
+        "ml_stemmer_bisecting": """
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   'run' AS stem_running, 'fli' AS stem_flies,
+                   'happili' AS stem_happily, 'relat' AS stem_relational,
+                   'gener' AS stem_generously,
+                   TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Rebuild the identical synthetic metadata from documents and mirror
+        # month-name parse -> priority rank -> family window -> attach join.
+        "latest_version_family": f"""
+            WITH meta AS (
+                SELECT doc_id, doc_id % 40 AS fam,
+                       {_LVF_VERSIONS!r}[(doc_id % 8 + 1)::INT] AS version,
+                       DATE '2005-01-01' + ((doc_id % 1000)::INT) AS d
+                FROM documents
+            ),
+            m2 AS (
+                SELECT 'data/bills_' || fam || '_' || version || '.txt' AS filePath,
+                       CASE WHEN doc_id % 17 = 0 THEN 'not a date'
+                            ELSE strftime(d, '%B %-d, %Y') END AS versionDate,
+                       version, fam
+                FROM meta
+            ),
+            parsed AS (
+                SELECT filePath, version, fam, 'bills_' || fam AS family,
+                       COALESCE(try_strptime(trim(versionDate), '%B %-d, %Y'),
+                                TIMESTAMP '1900-12-31') AS ts,
+                       CASE WHEN list_position({_LVF_VERSIONS[:7]!r}, version) > 0
+                            THEN list_position({_LVF_VERSIONS[:7]!r}, version)
+                            ELSE 8 END AS prio
+                FROM m2
+            ),
+            win AS (
+                SELECT family, filePath, version, ts,
+                       ROW_NUMBER() OVER (PARTITION BY family
+                           ORDER BY ts DESC, prio ASC, filePath ASC) AS rn
+                FROM parsed
+            ),
+            latest AS (SELECT family, filePath, version, ts FROM win WHERE rn = 1),
+            counts AS (
+                SELECT 'bills_' || fam || '_' || version AS primary_key,
+                       COUNT(*) AS n_bills
+                FROM m2 GROUP BY 1
+            )
+            SELECT l.family, l.filePath, l.version,
+                   strftime(l.ts, '%Y-%m-%d') AS version_date,
+                   COALESCE(c.n_bills, 0) AS n_bills
+            FROM latest l
+            LEFT JOIN counts c ON l.family || '_' || l.version = c.primary_key
+        """,
+        # JSON roundtrip: the oracle recomputes every aggregate straight from
+        # parquet. n_files = 1 is structural (single_file=True sink); n_lines
+        # and n_in_list are real recomputations (odd-parity count; ids 0-99).
+        "io_json_roundtrip": """
+            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   CAST(SUM(CASE WHEN doc_id BETWEEN 0 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_list,
+                   CAST(1 AS BIGINT) AS n_files,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines
+            FROM documents
         """,
         "emb_cosine_near_dup": _emb_near_dup_oracle(),
         "pairs_postprocess_sample": f"""

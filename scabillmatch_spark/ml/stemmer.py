@@ -15,6 +15,11 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+# module-level: with `from __future__ import annotations` the pandas-UDF
+# type hints are strings evaluated against THIS module's globals, so `pd`
+# must be importable here, not inside stem_tokens_expr
+import pandas as pd
+
 _VOWELS = set("aeiou")
 
 
@@ -172,7 +177,6 @@ def porter_stem(word: str) -> str:
 
 def stem_tokens_expr():
     """Arrow-batched pandas UDF: array<string> tokens -> stemmed tokens."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 

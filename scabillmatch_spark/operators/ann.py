@@ -98,6 +98,12 @@ def pq_index(
 
     base = _with_vec(emb, vec_col).select(F.col(id_col).alias("__id"), "__v")
     dim = len(base.select("__v").first()["__v"])
+    if dim % m:
+        # trailing dim % m dimensions would silently drop out of the codes
+        # and the ADC lookup table, weakening the recall knob with no signal
+        # (re-rank stays exact, so results would still be valid — but the
+        # caller asked for a different quantizer than they'd get)
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
     codebooks: list[list[list[float]]] = []
     for s in range(m):

@@ -213,9 +213,15 @@ def collapse_token_sets(
     but the intra-group expansion would wrongly stamp two empty-set docs
     as similarity 100. Valid for thresholded consumers (threshold > 0),
     which is every caller here.
+
+    Set identity uses md5(to_json(set)): JSON array encoding is
+    collision-free for string elements too (a plain ``concat_ws(',')``
+    digest would merge {'a,b'} with {'a','b'} and wrongly stamp them
+    similarity 100 on expansion — current callers pass bigint token-id
+    arrays, but the operator is generic).
     """
     tagged = df.filter(F.size(F.col(set_col)) > 0).withColumn(
-        "__set_id", F.md5(F.concat_ws(",", F.col(set_col)))
+        "__set_id", F.md5(F.to_json(F.col(set_col)))
     )
     members = tagged.select("__set_id", id_col)
     others = [c for c in df.columns if c not in (id_col, set_col)]

@@ -103,6 +103,12 @@ def pack_sequences(
     budget by less than one document — the scalable approximation of
     greedy first-fit, whose running reset is inherently sequential and
     does not distribute. Exactly mirrored in ANSI SQL.
+
+    Determinism requires ``order_col`` to be UNIQUE within each partition
+    key: the ROWS-frame running sum is order-sensitive, so ties would make
+    pack_id assignment depend on the engine's tie order. Callers with
+    non-unique keys should pass a uniquified order column (e.g.
+    ``concat(ts, '|', doc_id)``).
     """
     w = (
         Window.partitionBy(*part_cols)
