@@ -2813,6 +2813,44 @@ def q_ml_stemmer_bisecting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph/sentence-level exact dedup (C4/RefinedWeb
+    boilerplate removal; no reference analog — LLM-pipeline extension):
+    split on ' the ', keep each unit's first global occurrence by
+    (doc_id, position), reassemble. Per-doc row: unit counts before/after +
+    length and md5 of the reassembled text, so the oracle verifies the
+    exact reconstruction without comparing long strings. Scale shape:
+    winner election shuffles only (hash, id, idx) — never text; see
+    operators/curation.dedup_paragraphs."""
+    from scabillmatch_spark.operators.curation import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the synthetic corpus has no punctuation, so ' the ' is the unit
+    # delimiter (same choice as doc_sections); ~2.5 units/doc, ~4% of unit
+    # occurrences are cross-doc duplicates — real dedup work happens
+    return dedup_paragraphs(docs, "doc_id", "text", " the ").select(
+        "doc_id", "n_paras", "n_kept", "clean_len", "clean_md5"
+    )
+
+
+_MIXTURE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}  # zh dropped
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sampler (LLM-pipeline extension; no
+    reference analog): down-sample each language stratum to its configured
+    mixture fraction — en kept whole, de halved, es quartered, fr at 10%,
+    zh (absent from the config) dropped entirely. Membership is replayable
+    rank-by-md5 (curation.mixture_sample), so the oracle reproduces the
+    exact kept set, not just the counts."""
+    from scabillmatch_spark.operators.curation import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, _MIXTURE_FRACTIONS, "lang", "doc_id").select(
+        "doc_id", "lang", F.col("__rk").alias("rk")
+    )
+
+
 def q_pair_measure_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 cross-measure pair join + P9 nested-struct flatten (reference
     README.md:93 correlation studies; stats/AnalysisUtils joins two scored
@@ -2921,6 +2959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
         "pair_measure_correlation": q_pair_measure_correlation,
         "ml_knn_probe": q_ml_knn_probe,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_mixture_sample": q_doc_mixture_sample,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -2966,13 +3006,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
-        "pairs_postprocess_sample": q_pairs_postprocess_sample,
-        "emb_pq_ann": q_emb_pq_ann,
         # ---- 50-row window boundary ----
+        "emb_pq_ann": q_emb_pq_ann,
         # -- r4-green rows past the window (max staleness one round); all
         #    re-verified every pytest run via tests/test_oracle.py
         "emb_cosine_near_dup": q_emb_cosine_near_dup,
         "graph_pagerank": q_graph_pagerank,
+        "pairs_postprocess_sample": q_pairs_postprocess_sample,
         "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
         "ml_lda_topics": q_ml_lda_topics,
         "ml_lsa_projection": q_ml_lsa_projection,
@@ -3297,6 +3337,51 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Mixture sampler: same md5-rank membership rule in SQL — the oracle
+        # reproduces the exact kept SET, not just per-stratum counts.
+        "doc_mixture_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            r AS (
+                SELECT d.doc_id, d.lang,
+                       ROW_NUMBER() OVER (PARTITION BY d.lang
+                           ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS rk,
+                       FLOOR(CASE d.lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                             WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1
+                             ELSE 0.0 END * c.n) AS keep
+                FROM documents d JOIN c USING (lang)
+            )
+            SELECT doc_id, lang, rk FROM r WHERE rk <= keep
+        """,
+        # Paragraph dedup: identical split / first-global-occurrence /
+        # ordered-reassembly pipeline in SQL; clean_md5 verifies the exact
+        # reconstruction byte-for-byte.
+        "doc_paragraph_dedup": """
+            WITH paras AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ' the '), 1) - 1 AS idx,
+                       unnest(string_split(text, ' the ')) AS p
+                FROM documents
+            ),
+            pnz AS (
+                SELECT doc_id, idx, p, md5(p) AS h FROM paras WHERE p <> ''
+            ),
+            win AS (
+                SELECT doc_id, idx, p,
+                       ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+                FROM pnz
+            ),
+            nb AS (SELECT doc_id, COUNT(*) AS n_paras FROM pnz GROUP BY doc_id),
+            re AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(p, ' the ' ORDER BY idx) AS clean_text
+                FROM win WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT nb.doc_id, nb.n_paras,
+                   COALESCE(re.n_kept, 0) AS n_kept,
+                   length(COALESCE(re.clean_text, '')) AS clean_len,
+                   md5(COALESCE(re.clean_text, '')) AS clean_md5
+            FROM nb LEFT JOIN re ON nb.doc_id = re.doc_id
         """,
         # approx k-NN probe: hash tables aren't SQL-reproducible — literal
         # invariants, the ml_* pattern.

@@ -1,6 +1,7 @@
 """Training-data curation operators (LLM-data-pipeline extension):
 benchmark decontamination, deterministic stratified sampling, sequence
-packing, and intra-document repetition profiling.
+packing, intra-document repetition profiling, corpus-wide paragraph
+dedup (boilerplate removal), and deterministic mixture sampling.
 
 These are the corpus-hygiene steps a 100 TB pretraining pipeline runs
 between dedup and tokenization. None exist in the reference (its corpus
@@ -16,8 +17,12 @@ is ~100k bills); each is built so the plan scales:
   window shuffle per partition key; the classic scalable approximation
   of greedy first-fit (a pack may overflow by at most one document).
 - repetition profiling: pure Column expressions, narrow, codegen'd.
+- paragraph dedup: winner election shuffles only (16-byte hash, id, idx)
+  — text never rides the wide shuffle; reassembly is one per-doc agg.
+- mixture sampling: tiny per-stratum count agg broadcast back + one
+  window shuffle on the stratum key; membership is md5-rank, replayable.
 
-All four are formulated identically in ANSI SQL for oracle checking.
+All are formulated identically in ANSI SQL for oracle checking.
 """
 
 from __future__ import annotations
@@ -204,3 +209,118 @@ def repetition_stats(
         dup_ratio.alias("dup_gram_ratio"),
         top_share.alias("top_token_share"),
     ]
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = ". ",
+) -> DataFrame:
+    """Corpus-wide paragraph/sentence-level exact dedup (the C4/RefinedWeb
+    boilerplate-removal step): split every document into units on
+    ``delimiter``, keep only each unit's FIRST global occurrence (ordered by
+    (``id_col``, position)), and reassemble the surviving units in original
+    order. Repeated boilerplate (headers, disclaimers, navigation chrome)
+    survives exactly once — in the earliest document that carries it.
+
+    Returns one row per input document:
+      (id_col, n_paras, n_kept, clean_len, clean_md5, clean_text)
+    where clean_text rejoins kept units with the delimiter (the trailing
+    fragment of the original delimiter is NOT reconstructed — documented
+    contract; clean_md5 = md5(clean_text) lets an oracle verify the exact
+    reconstruction without comparing long strings).
+
+    Scale shape: winner election is a groupBy(md5-unit-hash) ->
+    min(struct(doc, idx)) — map-side-combinable, shuffles only
+    (16-byte hash, id, idx) never text; the only shuffle carrying text is
+    the co-partitioned winner join + the per-doc reassembly. Docs whose
+    units ALL first-occurred elsewhere come back with empty clean_text.
+    """
+    import re as _re
+
+    paras = (
+        df.select(
+            F.col(id_col),
+            # Spark split() takes a REGEX; the delimiter is a literal, so
+            # escape it (". " as a pattern would match any char + space)
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(delimiter), -1)
+            ).alias("__idx", "__p"),
+        )
+        .filter(F.col("__p") != "")
+        .withColumn("__h", F.md5(F.col("__p")))
+    )
+    paras = paras.persist()
+    winners = paras.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__w")
+    ).select(
+        "__h",
+        F.col(f"__w.{id_col}").alias("__wid"),
+        F.col("__w.__idx").alias("__widx"),
+    )
+    kept = paras.join(
+        winners,
+        (paras["__h"] == winners["__h"])
+        & (paras[id_col] == winners["__wid"])
+        & (paras["__idx"] == winners["__widx"]),
+        "left_semi",
+    )
+    n_before = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__p"))),
+                lambda s: s["__p"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+    )
+    return (
+        n_before.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .withColumn("clean_len", F.length("clean_text"))
+        .withColumn("clean_md5", F.md5("clean_text"))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixing sampler: down-sample each stratum (data
+    source / domain) to its configured mixture fraction — the step that
+    turns a raw crawl into a weighted pretraining mix (e.g. wiki 1.0,
+    web 0.3). Keeps exactly floor(frac * |stratum|) rows per stratum,
+    chosen as the smallest md5-of-id digests (replayable across runs and
+    engines — no rand()); strata missing from ``fractions`` keep fraction
+    0.0, i.e. are dropped, so the output mix is exactly what was asked for.
+
+    Scale shape: per-stratum counts are one map-side-combinable agg over a
+    handful of groups (broadcast back), the keep-rank is one window shuffle
+    on the stratum key. Same hot-stratum caveat as stratified_sample.
+    """
+    frac_entries = []
+    for k, v in sorted(fractions.items()):
+        frac_entries.extend([F.lit(k), F.lit(float(v))])
+    frac_map = F.create_map(*frac_entries)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    digest = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(digest, F.col(id_col))
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .withColumn("__keep", F.floor(
+            F.coalesce(frac_map[F.col(stratum_col)], F.lit(0.0)) * F.col("__n")
+        ))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__keep"))
+        .drop("__n", "__keep")
+    )

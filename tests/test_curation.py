@@ -140,3 +140,52 @@ def test_stream_static_join_has_no_stream_state(spark):
     plan = _formatted(SE.stream_static_enrich(ev, dim))
     assert "BroadcastHashJoin" in plan
     assert "StreamingSymmetricHashJoin" not in plan
+
+
+def test_dedup_paragraphs_first_occurrence_and_reassembly(spark):
+    from scabillmatch_spark.operators.curation import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha|shared|beta"),
+            (2, "shared|gamma"),      # 'shared' first occurred in doc 1
+            (3, "shared|shared"),     # all units are dups -> empty doc
+            (4, "|delta|"),           # empty fragments dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(df, "doc_id", "text", "|").collect()
+    }
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "alpha|shared|beta"
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "gamma"
+    # intra-doc duplicate also collapses; doc 3's 'shared' lost to doc 1
+    assert out[3]["n_paras"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["clean_len"] == 0
+    assert out[4]["n_paras"] == 1 and out[4]["clean_text"] == "delta"
+    # regex metachar in delimiter must be treated literally
+    df2 = spark.createDataFrame([(1, "a. b. a. c")], "doc_id long, text string")
+    r2 = dedup_paragraphs(df2, "doc_id", "text", ". ").first()
+    assert r2["n_paras"] == 4 and r2["n_kept"] == 3
+    assert r2["clean_text"] == "a. b. c"
+
+
+def test_mixture_sample_fractions_and_determinism(spark):
+    from scabillmatch_spark.operators.curation import mixture_sample
+
+    rows = [(i, "web" if i < 40 else ("wiki" if i < 60 else "books"))
+            for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    frac = {"web": 0.25, "wiki": 1.0}  # books absent -> dropped
+    out = mixture_sample(df, frac, "src", "doc_id")
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"web": 10, "wiki": 20}  # floor(0.25*40), 1.0*20
+    # replayable: same membership on a second run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  mixture_sample(df, frac, "src", "doc_id").collect())
+    assert ids1 == ids2
