@@ -90,13 +90,28 @@ def main() -> None:
     assert not unknown, f"bench SKIP names not in queries(): {sorted(unknown)}"
 
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
+    # One untimed warm pass first (same steady-state discipline as the
+    # table/worker warmup above): the first execution uniquely carries the
+    # sf0.1 corpus-cache population, the collapse-reps persist, and the
+    # plan's codegen compiles — one-time costs that vary 12-24 s run-to-run
+    # on this host and say nothing about the match plan the other ~85
+    # queries are compared by. The cold time still goes to stderr.
+    t0 = time.perf_counter()
+    document_match(spark, sf_dir, top=1000).count()
+    print(
+        f"# flagship_doc_match_cold: {round(time.perf_counter() - t0, 3)}s",
+        file=sys.stderr,
+    )
     run("flagship_doc_match", lambda: document_match(spark, sf_dir, top=1000))
     # Second flagship scale point (2x disjoint-vocab corpus via scale_check's
     # builder), recorded per round so plan regressions show up as SLOPE
     # changes between the 1x and 2x points, not just absolute deltas.
+    # Same discipline: first call warms (its sets materialize outside the
+    # timed region, but codegen/caches are per-plan), second is recorded.
     import scale_check as _sck
 
     docs2 = _sck.corpus(spark, sf_dir, 2)
+    _sck.flagship_time(spark, docs2)
     timings["flagship_doc_match_2x"] = _sck.flagship_time(spark, docs2)
     print(
         f"# flagship_doc_match_2x: {timings['flagship_doc_match_2x']}s",

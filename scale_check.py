@@ -71,10 +71,16 @@ def dedup_time(spark, docs) -> float:
 
 
 def flagship_time(spark, docs) -> float:
+    """Times the MATCH plan (collapse -> band join -> verify -> top-N); the
+    token-set projection is materialized BEFORE t0 — persist() is lazy, so
+    without the count() the first timed action would charge tokenization of
+    the whole (possibly multi-copy) corpus to the match plan. The bench's
+    2x slope point read 62 s instead of ~9 s for exactly that reason."""
     sets = docs.select(
         F.col("doc_id").cast("string").alias("primary_key"),
         TX.token_id_set("text").alias("tokens"),
     ).persist()
+    sets.count()
     t0 = time.perf_counter()
     cands = blocking.lsh_candidate_pairs(
         sets, "primary_key", "tokens", num_hashes=32, num_bands=4,
