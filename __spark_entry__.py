@@ -2836,6 +2836,33 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup (LLM-pipeline extension; the daily-batch
+    twin of minhash_lsh_dedup): docs with doc_id % 10 == 7 play the NEW
+    batch, the rest the existing corpus. Delta shingle sets are signed and
+    banded fresh; candidates come from (delta x corpus) band collisions
+    only — never corpus x corpus (blocking.lsh_candidate_pairs_two_sided;
+    at 100 TB the corpus band index is a materialized append-only table).
+    Same shingle config and exact-Jaccard verification as the self-join
+    dedup, so the oracle shares its CTE machinery."""
+    from scabillmatch_spark.operators import dedup
+
+    sets = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        TX.ngram_ids_from_token_ids(F.col("tok_ids"), 3).alias("shingles"),
+    )
+    delta = sets.filter(F.col("doc_id") % 10 == 7)
+    base = sets.filter(F.col("doc_id") % 10 != 7)
+    out = dedup.minhash_dedup_delta(
+        base, delta, "doc_id", "shingles",
+        num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
+        jaccard_threshold=70.0,
+    )
+    return out.select(
+        "pk1", "pk2", F.round("similarity", 6).alias("similarity")
+    )
+
+
 _MIXTURE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}  # zh dropped
 
 
@@ -2964,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_knn_probe": q_ml_knn_probe,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "minhash_delta_dedup": q_minhash_delta_dedup,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3008,8 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_sorted_compact": q_io_sorted_compact,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_dup_clusters": q_doc_dup_clusters,
         # ---- 50-row window boundary ----
+        "doc_dup_clusters": q_doc_dup_clusters,
         "emb_pq_ann": q_emb_pq_ann,
         # -- r4-green rows past the window (max staleness one round); all
         #    re-verified every pytest run via tests/test_oracle.py
@@ -3340,6 +3368,40 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Incremental dedup: same shingle/signature/band mirrors as
+        # minhash_lsh_dedup, but candidates are (delta x corpus) band
+        # collisions only; min_jaccard prune is lossless so absent here.
+        "minhash_delta_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+            ids AS (
+                SELECT doc_id, {_duck_gram_ids('t', 3)} AS s
+                FROM toks
+            ),
+            sigs AS (SELECT doc_id, s, {_minhash_sig_sql('s', SHINGLE_LSH_HASHES)} AS sig FROM ids),
+            bands AS (
+                SELECT doc_id,
+                       unnest({_band_sql('sig', SHINGLE_LSH_HASHES, SHINGLE_LSH_BANDS)}) AS band
+                FROM sigs
+            ),
+            cand AS (
+                SELECT d.doc_id AS pk1, c.doc_id AS pk2
+                FROM bands d JOIN bands c
+                  ON d.band = c.band AND d.doc_id <> c.doc_id
+                WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+                GROUP BY d.doc_id, c.doc_id
+            ),
+            scored AS (
+                SELECT c.pk1, c.pk2,
+                       len(list_intersect(i1.s, i2.s)) AS inter,
+                       len(i1.s) + len(i2.s) - len(list_intersect(i1.s, i2.s)) AS uni
+                FROM cand c
+                JOIN ids i1 ON i1.doc_id = c.pk1
+                JOIN ids i2 ON i2.doc_id = c.pk2
+            )
+            SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
+            FROM scored
+            WHERE 100.0 * inter / uni >= 70.0
         """,
         # Mixture sampler: same md5-rank membership rule in SQL — the oracle
         # reproduces the exact kept SET, not just per-stratum counts.

@@ -345,3 +345,62 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("pk1"), F.col(f"b.{id_col}").alias("pk2"))
         .dropDuplicates(["pk1", "pk2"])
     )
+
+
+def lsh_candidate_pairs_two_sided(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    set_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Asymmetric banded candidates: (left x right) band collisions only —
+    the INCREMENTAL-INGEST shape. When a daily delta lands on a world-scale
+    corpus, re-running the self-join dedup would redo corpus x corpus work
+    for a sliver of new data; here only the delta is signed and banded
+    fresh, and the corpus side's banded projection is the thing a 100 TB
+    deployment materializes once as an append-only band index table (this
+    function recomputes it from ``right`` for self-containment — swap in a
+    pre-banded table at scale). The band equi-join's work is proportional
+    to delta collisions, never corpus size squared.
+
+    Returns DataFrame(pk1 = left id, pk2 = right id) candidates; identical
+    ids on both sides are excluded (a delta doc already present in the
+    corpus is an exact-dedup concern, not a near-dup candidate). Same
+    lossless ``min_jaccard`` size-ratio prune as lsh_candidate_pairs.
+    """
+    rows_per_band = num_hashes // num_bands
+
+    def banded(df: DataFrame, tag: str) -> DataFrame:
+        df = _ensure_parallelism(df)
+        sz = [F.size(F.col(set_col)).alias(f"__sz_{tag}")] if min_jaccard is not None else []
+        sig = df.select(
+            F.col(id_col).alias(f"__id_{tag}"),
+            *sz,
+            TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig"),
+        )
+        return sig.select(
+            f"__id_{tag}",
+            *([f"__sz_{tag}"] if min_jaccard is not None else []),
+            F.explode(
+                TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)
+            ).alias(f"__band_{tag}"),
+        )
+
+    lb, rb = banded(left, "l"), banded(right, "r")
+    cond = (F.col("__band_l") == F.col("__band_r")) & (
+        F.col("__id_l") != F.col("__id_r")
+    )
+    if min_jaccard is not None:
+        cond = (
+            cond
+            & (100 * F.col("__sz_l") >= min_jaccard * F.col("__sz_r"))
+            & (100 * F.col("__sz_r") >= min_jaccard * F.col("__sz_l"))
+        )
+    return (
+        lb.join(rb, cond, "inner")
+        .select(F.col("__id_l").alias("pk1"), F.col("__id_r").alias("pk2"))
+        .dropDuplicates(["pk1", "pk2"])
+    )

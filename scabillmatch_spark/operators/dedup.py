@@ -148,3 +148,46 @@ def simhash_dup_pairs(
     return pairs.select("pk1", "pk2", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def minhash_dedup_delta(
+    corpus_sets: DataFrame,
+    delta_sets: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "shingles",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 70.0,
+) -> DataFrame:
+    """Incremental near-dup dedup: MinHash-LSH candidates between a NEW
+    batch (``delta_sets``) and the EXISTING corpus (``corpus_sets``), then
+    exact-Jaccard verification — the daily-ingest shape where the corpus
+    band index is reused instead of re-joining corpus x corpus (see
+    blocking.lsh_candidate_pairs_two_sided). Intra-delta duplicates are the
+    regular minhash_dedup_pairs' job on the delta alone.
+
+    Inputs are (id, shingle-id-set) frames (build via
+    text.ngram_ids_from_token_ids over the corpus cache). Returns
+    (pk1 = delta id, pk2 = corpus id, similarity) for pairs >= threshold.
+    """
+    from scabillmatch_spark.operators import blocking
+
+    d = delta_sets.select(
+        F.col(id_col).alias("__id"), F.col(set_col).alias("__set")
+    ).persist()
+    c = corpus_sets.select(
+        F.col(id_col).alias("__id"), F.col(set_col).alias("__set")
+    ).persist()
+    cands = blocking.lsh_candidate_pairs_two_sided(
+        d, c, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands,
+        min_jaccard=jaccard_threshold,
+    )
+    s1 = d.select(F.col("__id").alias("pk1"), F.col("__set").alias("__s1"))
+    s2 = c.select(F.col("__id").alias("pk2"), F.col("__set").alias("__s2"))
+    return (
+        cands.join(s1, "pk1")
+        .join(s2, "pk2")
+        .withColumn("similarity", SIM.jaccard(F.col("__s1"), F.col("__s2")))
+        .filter(F.col("similarity") >= jaccard_threshold)
+        .select("pk1", "pk2", "similarity")
+    )

@@ -59,3 +59,41 @@ def test_apply_in_pandas_matches_join_form(doc_sets, brute_pairs):
         ).collect()
     }
     assert got == brute_pairs
+
+def test_delta_dedup_matches_self_join_restriction(spark):
+    """Delta-vs-corpus dedup must find exactly the self-join dedup's pairs
+    that cross the delta/corpus boundary (same banding, same threshold)."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.functions import text as TX
+    from scabillmatch_spark.operators import dedup
+
+    rows = []
+    for i in range(30):
+        base = f"w{i} x{i} y{i} z{i} common tail piece"
+        rows.append((i, base))
+        if i < 5:  # near-dup twins landing on both sides of the split
+            rows.append((100 + i, base + " extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = df.select(
+        "doc_id", TX.ngram_id_set("text", 2).alias("shingles")
+    )
+    delta = sets.filter(F.col("doc_id") >= 100)
+    base_ = sets.filter(F.col("doc_id") < 100)
+    inc = {
+        (r["pk1"], r["pk2"])
+        for r in dedup.minhash_dedup_delta(
+            base_, delta, "doc_id", "shingles",
+            num_hashes=16, num_bands=8, jaccard_threshold=50.0,
+        ).collect()
+    }
+    full = dedup.minhash_dedup_pairs(
+        df, "doc_id", "text", shingle_n=2, num_hashes=16, num_bands=8,
+        jaccard_threshold=50.0,
+    ).collect()
+    crossing = {
+        (max(r["pk1"], r["pk2"]), min(r["pk1"], r["pk2"]))
+        for r in full
+        if (r["pk1"] >= 100) != (r["pk2"] >= 100)
+    }
+    assert inc == crossing and len(inc) >= 3
