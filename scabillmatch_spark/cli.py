@@ -104,6 +104,32 @@ def cmd_lsh_join(args) -> None:
     scored.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_dedup_delta(args) -> None:
+    """Incremental ingest: near-dups between a NEW batch and the existing
+    corpus via the asymmetric band join (never corpus x corpus)."""
+    from scabillmatch_spark.functions import text as TX
+    from scabillmatch_spark.operators.dedup import minhash_dedup_delta
+
+    spark = _spark(args)
+
+    def sets_of(path):
+        d = _read_docs(spark, path)
+        return d.select(
+            F.col(args.id_col),
+            TX.ngram_ids_from_token_ids(
+                TX.ordered_token_ids(args.text_col), args.shingle_n
+            ).alias("shingles"),
+        )
+
+    out = minhash_dedup_delta(
+        sets_of(args.corpus), sets_of(args.delta),
+        id_col=args.id_col, set_col="shingles",
+        num_hashes=args.num_hashes, num_bands=args.bands,
+        jaccard_threshold=args.threshold,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def cmd_postprocess(args) -> None:
     from scabillmatch_spark.operators.pairs import enrich_pairs, make_light, make_skim, top_n
 
@@ -191,6 +217,22 @@ def cmd_curate(args) -> None:
     elif args.op == "pii-scrub":
         out = docs.select(
             idc, *curation.pii_counts(tc), curation.redact_pii(tc).alias("redacted")
+        )
+    elif args.op == "paragraph-dedup":
+        out = curation.dedup_paragraphs(
+            docs.select(idc, tc), idc, tc, args.delimiter
+        )
+    elif args.op == "mixture-sample":
+        if not args.mix:
+            sys.exit("curate --op mixture-sample requires --mix k=frac,...")
+        fractions = {}
+        for item in args.mix.split(","):
+            k, _, v = item.partition("=")
+            if not _ or not k:
+                sys.exit(f"bad --mix entry {item!r}; expected stratum=fraction")
+            fractions[k] = float(v)
+        out = curation.mixture_sample(
+            docs, fractions, stratum_col=args.strata.split(",")[0], id_col=idc
         )
     else:  # repetition
         out = docs.select(idc, *curation.repetition_stats(tc, args.ngram))
@@ -284,7 +326,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--output", required=True)
     cu.add_argument(
         "--op",
-        choices=["decontaminate", "stratified-sample", "pack", "pii-scrub", "repetition"],
+        choices=[
+            "decontaminate", "stratified-sample", "pack", "pii-scrub",
+            "repetition", "paragraph-dedup", "mixture-sample",
+        ],
         required=True,
     )
     cu.add_argument("--text-col", default="content")
@@ -294,7 +339,23 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--k", type=int, default=100, help="rows per stratum (sample)")
     cu.add_argument("--budget", type=int, default=2048, help="tokens per pack")
     cu.add_argument("--strata", default="state", help="comma-separated stratum/pack cols")
+    cu.add_argument("--delimiter", default=". ", help="unit delimiter (paragraph-dedup)")
+    cu.add_argument("--mix", help="stratum=fraction,... mixture weights (mixture-sample)")
     cu.set_defaults(fn=cmd_curate)
+
+    dd = sub.add_parser(
+        "dedup-delta", help="incremental near-dup: new batch vs existing corpus"
+    )
+    dd.add_argument("--corpus", required=True, help="existing corpus doc table")
+    dd.add_argument("--delta", required=True, help="new-batch doc table")
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--text-col", default="content")
+    dd.add_argument("--id-col", default="primary_key")
+    dd.add_argument("--shingle-n", type=int, default=3)
+    dd.add_argument("--num-hashes", type=int, default=32)
+    dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument("--threshold", type=float, default=70.0)
+    dd.set_defaults(fn=cmd_dedup_delta)
 
     co = sub.add_parser("compact", help="small-file compaction / sorted rewrite")
     co.add_argument("--input", required=True)

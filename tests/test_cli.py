@@ -116,3 +116,24 @@ def test_cli_compact(spark, tmp_path):
     import glob, os
     assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 1
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_cli_curate_new_ops_and_dedup_delta(spark, corpus, tmp_path):
+    out = str(tmp_path / "new")
+    cli.main(["curate", "--input", corpus, "--output", out + "/pd",
+              "--op", "paragraph-dedup", "--text-col", "content",
+              "--id-col", "primary_key", "--delimiter", " "])
+    pd_ = spark.read.parquet(out + "/pd")
+    assert pd_.count() == 4 and "clean_md5" in pd_.columns
+    cli.main(["curate", "--input", corpus, "--output", out + "/mix",
+              "--op", "mixture-sample", "--strata", "state",
+              "--mix", "9=1.0"])  # keep only state 9 whole; others dropped
+    mix = spark.read.parquet(out + "/mix")
+    assert mix.count() == 1 and mix.first()["state"] == 9
+    cli.main(["dedup-delta", "--corpus", corpus, "--delta", corpus,
+              "--output", out + "/dd", "--shingle-n", "2",
+              "--num-hashes", "16", "--bands", "8", "--threshold", "50"])
+    dd = spark.read.parquet(out + "/dd")
+    # self-vs-self: every doc collides with its duplicate-content peers but
+    # never with itself (identical ids excluded)
+    assert dd.filter(F.col("pk1") == F.col("pk2")).count() == 0
