@@ -2836,6 +2836,54 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (the storage-layout lever for repeated
+    100 TB joins — io/sources.write_bucketed): write customer and orders
+    bucketed 8 ways on the customer key, join bucket-to-bucket, and
+    aggregate revenue per market segment. The query ASSERTS ITS OWN PLAN —
+    zero Exchange operators under the SortMergeJoin (broadcast disabled for
+    the check) — so a bucketing-metadata regression fails the driver row
+    loudly, not just a pytest. The oracle computes the identical aggregate
+    from the raw tables: layout must never change results."""
+    import shutil
+    import tempfile
+
+    from scabillmatch_spark.io.sources import write_bucketed
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}".replace(".", "_")
+    tdir = os.path.join(tempfile.gettempdir(), f"scabillmatch_bucket_{tag}")
+    tc, to = f"cust_b_{tag}", f"ord_b_{tag}"
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(cust, tc, os.path.join(tdir, "c"), "c_custkey", 8)
+    write_bucketed(orders, to, os.path.join(tdir, "o"), "o_custkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(tc).join(
+            spark.table(to),
+            spark.table(tc).c_custkey == spark.table(to).o_custkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "SortMergeJoin" not in plan:
+            raise AssertionError(
+                f"bucketed join plan regressed (expected shuffle-free "
+                f"SortMergeJoin):\n{plan}"
+            )
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
 def q_minhash_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest near-dup (LLM-pipeline extension; the daily-batch
     twin of minhash_lsh_dedup): docs with doc_id % 10 == 7 play the NEW
@@ -2992,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_mixture_sample": q_doc_mixture_sample,
         "minhash_delta_dedup": q_minhash_delta_dedup,
+        "io_bucketed_join": q_io_bucketed_join,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3035,8 +3084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4-green but code-path-adjacent to this round's edits
         "io_sorted_compact": q_io_sorted_compact,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        # ---- 50-row window boundary (9 new + 39 r3-green + io_sorted_compact
+        #      + minhash_lsh_dedup = 50; the rest are r4-green, max staleness
+        #      one round, all re-verified every pytest run) ----
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        # ---- 50-row window boundary ----
         "doc_dup_clusters": q_doc_dup_clusters,
         "emb_pq_ann": q_emb_pq_ann,
         # -- r4-green rows past the window (max staleness one round); all
@@ -3368,6 +3419,16 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Bucketed-join roundtrip: layout must never change results — the
+        # oracle aggregates the raw tables; the Spark side also plan-asserts
+        # zero Exchange in-query.
+        "io_bucketed_join": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   COUNT(DISTINCT c.c_custkey) AS n_customers,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
         """,
         # Incremental dedup: same shingle/signature/band mirrors as
         # minhash_lsh_dedup, but candidates are (delta x corpus) band

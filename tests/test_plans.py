@@ -118,3 +118,40 @@ def test_near_dup_cascade_shuffles_no_vectors(spark):
     assert band_joins and all("v#" not in l for l in band_joins), band_joins
     sig_joins = [l for l in joins if "sig" in l and "band" not in l]
     assert all("v#" not in l for l in sig_joins), sig_joins
+
+
+def test_delta_dedup_plan_is_equi_join(spark):
+    """The delta-vs-corpus candidate join must hash/sort-merge on the band
+    key — a cartesian or nested-loop here means the incremental shape
+    degraded to all-pairs."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.functions import text as TX
+    from scabillmatch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sets = docs.select(
+        "doc_id", TX.ngram_id_set("text", 3).alias("shingles")
+    )
+    out = dedup.minhash_dedup_delta(
+        sets.filter(F.col("doc_id") % 10 != 7),
+        sets.filter(F.col("doc_id") % 10 == 7),
+        "doc_id", "shingles", num_hashes=16, num_bands=8,
+        jaccard_threshold=70.0,
+    )
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_paragraph_dedup_winner_election_is_partial_aggregated(spark):
+    """Winner election must be a map-side-combinable hash aggregate over
+    (hash -> min struct), and text must not ride the election shuffle."""
+    from scabillmatch_spark.operators.curation import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = dedup_paragraphs(docs, "doc_id", "text", " the ")
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    # partial_min(...) before the exchange = map-side combine of the election
+    assert "partial_min" in plan, plan
