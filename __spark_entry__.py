@@ -2836,6 +2836,25 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al. 2021 Appendix A filters as
+    Column exprs — operators/textstats.gopher_rules): per-document word
+    count, mean word length, symbol ratio, alphabetic-word fraction and
+    distinct-stopword count, plus the combined pass flag. Every measure is
+    restated in the DuckDB oracle formula-for-formula."""
+    from scabillmatch_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    # published thresholds (min_words=50, >=2 distinct stopwords) fail every
+    # doc of this synthetic corpus (10-99 words, tiny vocab); 30/1 keep the
+    # operator's defaults published-faithful while the flag discriminates
+    # here (334/500 pass at sf0.01)
+    return docs.select(
+        "doc_id",
+        *gopher_rules("text", min_words=30, min_distinct_stopwords=1),
+    )
+
+
 def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (the storage-layout lever for repeated
     100 TB joins — io/sources.write_bucketed): write customer and orders
@@ -3041,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "minhash_delta_dedup": q_minhash_delta_dedup,
         "io_bucketed_join": q_io_bucketed_join,
+        "doc_gopher_quality": q_doc_gopher_quality,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3083,10 +3103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_union_intersect_except": q_set_ops,
         # -- r4-green but code-path-adjacent to this round's edits
         "io_sorted_compact": q_io_sorted_compact,
+        # ---- 50-row window boundary (10 new + 39 r3-green +
+        #      io_sorted_compact (code changed this round) = 50; the rest
+        #      are r4-green, max staleness one round, all re-verified every
+        #      pytest run) ----
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        # ---- 50-row window boundary (9 new + 39 r3-green + io_sorted_compact
-        #      + minhash_lsh_dedup = 50; the rest are r4-green, max staleness
-        #      one round, all re-verified every pytest run) ----
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
         "emb_pq_ann": q_emb_pq_ann,
@@ -3419,6 +3440,44 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Gopher rules: every measure restated formula-for-formula over the
+        # same raw whitespace words.
+        "doc_gopher_quality": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                           list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                           / len(words) ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(words) > 0 THEN
+                           len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
+                           / len(words) ELSE 0.0 END AS symbol_ratio,
+                       CASE WHEN len(words) > 0 THEN
+                           len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                           / len(words) ELSE 0.0 END AS alpha_word_frac,
+                       len(list_filter(['the','and','of','to','in','is','that','for'],
+                           s -> list_contains(list_transform(words, x -> lower(x)), s)))
+                           AS n_stop_distinct
+                FROM w
+            )
+            SELECT doc_id, n_words,
+                   ROUND(mean_word_len, 6) AS mean_word_len,
+                   ROUND(symbol_ratio, 6) AS symbol_ratio,
+                   ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+                   n_stop_distinct,
+                   (n_words >= 30 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop_distinct >= 1) AS gopher_pass
+            FROM m
         """,
         # Bucketed-join roundtrip: layout must never change results — the
         # oracle aggregates the raw tables; the Spark side also plan-asserts

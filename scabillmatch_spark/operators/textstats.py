@@ -107,3 +107,66 @@ def bottom_k_fingerprint(text_col: Column | str, shingle_n: int = 3, k: int = 4)
     shingles = TX.ngram_set(text_col, shingle_n)
     hashed = F.array_sort(F.transform(shingles, lambda s: F.md5(s)))
     return F.array_join(F.slice(hashed, 1, k), "|")
+
+
+def gopher_rules(
+    text_col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> list[Column]:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, Appendix A —
+    the published MassiveWeb filter, reimplemented as Column expressions):
+
+    - word count within [min_words, max_words]
+    - mean word length within [3, 10] chars
+    - symbol-to-word ratio ('#' or '...' occurrences per word) <= 0.1
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct English stop words present
+
+    Words are raw whitespace tokens of the UNcleaned text (the published
+    rules predate any normalization). Returns the measured columns plus a
+    ``gopher_pass`` boolean; thresholds are keyword-tunable. Pure Column
+    exprs — narrow, codegen'd, oracle-expressible.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.")) 
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    lowered = F.transform(words, lambda w: F.lower(w))
+    n_stop = F.size(
+        F.filter(sw, lambda s: F.array_contains(lowered, s))
+    )
+    gopher_pass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_stop >= min_distinct_stopwords)
+    )
+    return [
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stop_distinct"),
+        gopher_pass.alias("gopher_pass"),
+    ]
