@@ -2836,6 +2836,26 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel view -> click -> purchase
+    (operators/stats.sequential_funnel; conversion analysis, no reference
+    analog): per user, each step's first timestamp strictly after the
+    previous step's, then stage conversion counts. One shuffle on user_id;
+    chained unordered window MINs reuse the exchange. The oracle states the
+    identical strict-after semantics with groupBy+join chains."""
+    from scabillmatch_spark.operators.stats import sequential_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = sequential_funnel(ev, ["view", "click", "purchase"])
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_click_after_view"),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias(
+            "n_purchase_after_click"
+        ),
+    )
+
+
 def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality gate (Rae et al. 2021 Appendix A filters as
     Column exprs — operators/textstats.gopher_rules): per-document word
@@ -3061,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_delta_dedup": q_minhash_delta_dedup,
         "io_bucketed_join": q_io_bucketed_join,
         "doc_gopher_quality": q_doc_gopher_quality,
+        "events_funnel": q_events_funnel,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3086,7 +3107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_events_value": q_histogram_events,
         "descriptive_stats": q_descriptive_stats,
         "pearson_corr": q_pearson_corr,
-        "scalar_functions": q_scalar_functions,
+        # io_sorted_compact takes scalar_functions' window slot: its code
+        # changed this round (pid-keyed temp paths + eager cleanup) so its
+        # r4 row is stale; scalar_functions is the most stable registry
+        # entry (hash-green r1-r3, pure Column exprs, pytest-mirrored)
+        "io_sorted_compact": q_io_sorted_compact,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_exists": q_tpch_q4,
@@ -3102,11 +3127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         # -- r4-green but code-path-adjacent to this round's edits
-        "io_sorted_compact": q_io_sorted_compact,
-        # ---- 50-row window boundary (10 new + 39 r3-green +
-        #      io_sorted_compact (code changed this round) = 50; the rest
-        #      are r4-green, max staleness one round, all re-verified every
-        #      pytest run) ----
+        # ---- 50-row window boundary (11 new + 38 r3-green +
+        #      io_sorted_compact = 50) ----
+        "scalar_functions": q_scalar_functions,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3440,6 +3463,31 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Funnel: strict-after semantics via groupBy+join chains — per-user
+        # step timestamps identical to the window formulation.
+        "events_funnel": """
+            WITH mv AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+                FROM events GROUP BY user_id
+            ),
+            mc AS (
+                SELECT e.user_id, MIN(e.ts) AS t_click
+                FROM events e JOIN mv ON e.user_id = mv.user_id
+                WHERE e.event_type = 'click' AND mv.t_view IS NOT NULL
+                  AND e.ts > mv.t_view
+                GROUP BY e.user_id
+            ),
+            mp AS (
+                SELECT e.user_id, MIN(e.ts) AS t_purchase
+                FROM events e JOIN mc ON e.user_id = mc.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > mc.t_click
+                GROUP BY e.user_id
+            )
+            SELECT (SELECT COUNT(*) FROM mv WHERE t_view IS NOT NULL) AS n_view,
+                   (SELECT COUNT(*) FROM mc) AS n_click_after_view,
+                   (SELECT COUNT(*) FROM mp) AS n_purchase_after_click
         """,
         # Gopher rules: every measure restated formula-for-formula over the
         # same raw whitespace words.

@@ -50,3 +50,41 @@ def pair_space_accounting(df: DataFrame, group_col: str) -> DataFrame:
         "npermutations", F.col("n") * (F.col("n") - 1) / 2
     )
     return per
+
+
+def sequential_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict sequential funnel: per user, the first timestamp of step i
+    that occurs strictly AFTER the user's step-(i-1) timestamp — the
+    conversion-analysis shape (view -> click -> purchase). Returns one row
+    per user with a ``t_<step>`` timestamp column per step (NULL = never
+    reached).
+
+    Plan shape: one shuffle on the user key; each step is an unordered
+    window MIN over the same partitioning (Catalyst reuses the exchange
+    across the chained window selects), so adding funnel steps adds
+    projections, not shuffles. At 100 TB pre-filter ``events`` to the
+    funnel's event types so the shuffle carries only funnel rows.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev: Column | None = None
+    for step in steps:
+        cond = F.col(type_col) == step
+        if prev is not None:
+            # ts > NULL is NULL, so users who never reached the previous
+            # step correctly get NULL for this one too
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        col_name = f"t_{step}"
+        df = df.withColumn(col_name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = col_name
+    return df.select(
+        user_col, *[f"t_{s}" for s in steps]
+    ).dropDuplicates([user_col])

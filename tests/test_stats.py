@@ -40,3 +40,33 @@ def test_pair_space_accounting(spark):
     df = spark.createDataFrame([(0,), (0,), (0,), (1,), (1,)], ["prediction"])
     per = {r.prediction: r.npermutations for r in stats.pair_space_accounting(df, "prediction").collect()}
     assert per == {0: 3.0, 1: 1.0}
+
+def test_sequential_funnel_strict_after_semantics(spark):
+    from datetime import datetime
+
+    from scabillmatch_spark.operators.stats import sequential_funnel
+
+    T = datetime
+    rows = [
+        # user 1: full ordered funnel
+        (1, T(2024, 1, 1, 0), "view"), (1, T(2024, 1, 1, 1), "click"),
+        (1, T(2024, 1, 1, 2), "purchase"),
+        # user 2: purchase BEFORE click -> funnel stops at click
+        (2, T(2024, 1, 1, 0), "view"), (2, T(2024, 1, 1, 2), "click"),
+        (2, T(2024, 1, 1, 1), "purchase"),
+        # user 3: click simultaneous with view -> strict > rejects it
+        (3, T(2024, 1, 1, 0), "view"), (3, T(2024, 1, 1, 0), "click"),
+        # user 4: never viewed -> no stage reached
+        (4, T(2024, 1, 1, 0), "click"), (4, T(2024, 1, 1, 1), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in sequential_funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1]["t_purchase"] is not None
+    assert out[2]["t_click"] is not None and out[2]["t_purchase"] is None
+    assert out[3]["t_view"] is not None and out[3]["t_click"] is None
+    assert out[4]["t_view"] is None and out[4]["t_purchase"] is None
