@@ -2836,6 +2836,41 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered storage (io/sources.write_zorder): rewrite events
+    Morton-interleaved on (user_id, value) — the layout that bounds every
+    file in BOTH dimensions jointly, where write_sorted bounds only its
+    leading column — then answer a 2-D range predicate from the clustered
+    copy. The oracle computes the identical aggregate from raw events:
+    layout must never change results (joint per-file locality is
+    footer-asserted in test_io_maintenance)."""
+    import shutil
+    import tempfile
+
+    from scabillmatch_spark.io.sources import write_zorder
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_zorder_{tag}")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    write_zorder(ev, out_dir, ["user_id", "value"], bits=8, num_files=8)
+    back = spark.read.parquet(out_dir)
+    hi_user = back.agg(F.max("user_id")).first()[0] or 0
+    res = (
+        back.filter(
+            (F.col("user_id") <= hi_user / 2) & (F.col("value") >= 50.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            _dec_sum("value", "sum_value"),
+        )
+    )
+    res = spark.createDataFrame(res.collect(), res.schema)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return res
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict sequential funnel view -> click -> purchase
     (operators/stats.sequential_funnel; conversion analysis, no reference
@@ -3082,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_bucketed_join": q_io_bucketed_join,
         "doc_gopher_quality": q_doc_gopher_quality,
         "events_funnel": q_events_funnel,
+        "io_zorder_roundtrip": q_io_zorder_roundtrip,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3106,11 +3142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_agg": q_events_json,
         "histogram_events_value": q_histogram_events,
         "descriptive_stats": q_descriptive_stats,
-        "pearson_corr": q_pearson_corr,
-        # io_sorted_compact takes scalar_functions' window slot: its code
-        # changed this round (pid-keyed temp paths + eager cleanup) so its
-        # r4 row is stale; scalar_functions is the most stable registry
-        # entry (hash-green r1-r3, pure Column exprs, pytest-mirrored)
+        # io_sorted_compact takes scalar_functions' window slot (its code
+        # changed this round — pid-keyed temp paths + eager cleanup — so
+        # its r4 row is stale); io_zorder_roundtrip takes pearson_corr's.
+        # The two displaced queries are the most stable registry entries
+        # (hash-green r1-r3, pure Column exprs, pytest-mirrored).
         "io_sorted_compact": q_io_sorted_compact,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
@@ -3127,9 +3163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         # -- r4-green but code-path-adjacent to this round's edits
-        # ---- 50-row window boundary (11 new + 38 r3-green +
+        # ---- 50-row window boundary (12 new + 37 r3-green +
         #      io_sorted_compact = 50) ----
         "scalar_functions": q_scalar_functions,
+        "pearson_corr": q_pearson_corr,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3463,6 +3500,17 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Z-order roundtrip: layout must never change results — identical
+        # 2-D range aggregate from the raw table.
+        "io_zorder_roundtrip": """
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE user_id <= (SELECT MAX(user_id) FROM events) / 2
+              AND value >= 50.0
+            GROUP BY event_type
         """,
         # Funnel: strict-after semantics via groupBy+join chains — per-user
         # step timestamps identical to the window formulation.
