@@ -404,3 +404,45 @@ def lsh_candidate_pairs_two_sided(
         .select(F.col("__id_l").alias("pk1"), F.col("__id_r").alias("pk2"))
         .dropDuplicates(["pk1", "pk2"])
     )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_n: int = 16,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: the large side gets a deterministic salt
+    in [0, salt_n) (from ``salt_source``'s hash when given, else from the
+    full row hash), the small side replicates once per salt value, and the
+    join runs on (key, salt) — a hot key spreads over ``salt_n`` reducers
+    instead of landing on one.
+
+    This is the MANUAL lever for the cases AQE's skew-join splitting can't
+    reach: stream-static joins (no runtime re-plan inside a micro-batch),
+    engines/pipelines with AQE disabled, or when the skew is known ahead
+    and the salt_n should be pinned. Replication multiplies the small side
+    by salt_n — apply AFTER filtering it down, and keep salt_n near the
+    hot key's reducer-spread need, not higher. Results are exactly the
+    plain join's (every large row meets every matching small row exactly
+    once — it carries exactly one salt value and the small side covers all
+    of them).
+
+    ``how``: inner or left (right/outer would need null-salt handling on
+    the replicated side — not supported).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_col = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(salt_n))
+        if salt_source
+        else F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt_n))
+    )
+    l = large.withColumn("__salt", salt_col)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    out = l.join(s, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -155,3 +155,33 @@ def test_paragraph_dedup_winner_election_is_partial_aggregated(spark):
     assert "CartesianProduct" not in plan
     # partial_min(...) before the exchange = map-side combine of the election
     assert "partial_min" in plan, plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join must produce exactly the plain join's rows (inner and
+    left, including unmatched left rows), and the join must key on
+    (key, salt) so a hot key spreads across reducers."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.operators.blocking import salted_join
+
+    # hot key: 5000 of 6000 rows share key 1
+    big = spark.range(0, 6000).select(
+        F.when(F.col("id") < 5000, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    for how in ("inner", "left"):
+        plain = big.join(dim, "k", how).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+        )
+        salted = salted_join(big, dim, "k", salt_n=8, how=how).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s")
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, how
+    plan = _formatted(salted_join(big, dim, "k", salt_n=8))
+    assert "__salt" in plan  # the join keys include the salt
