@@ -2985,6 +2985,41 @@ def q_minhash_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup (streaming/ingest.stream_delta_dedup): the
+    delta docs (doc_id % 10 == 7) arrive as 3 one-file micro-batches under
+    Trigger.AvailableNow; each batch foreachBatch-dedups against the
+    static corpus and appends its pairs. The union over micro-batches must
+    equal the one-shot batch delta dedup exactly, so this query SHARES
+    minhash_delta_dedup's oracle — batching must never change results."""
+    import shutil
+    import tempfile
+
+    from scabillmatch_spark.streaming.ingest import stream_delta_dedup
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    work = os.path.join(tempfile.gettempdir(), f"scabillmatch_ingest_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    sets = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        TX.ngram_ids_from_token_ids(F.col("tok_ids"), 3).alias("shingles"),
+    )
+    out = stream_delta_dedup(
+        spark,
+        sets.filter(F.col("doc_id") % 10 != 7),
+        sets.filter(F.col("doc_id") % 10 == 7),
+        work,
+        num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
+        jaccard_threshold=70.0,
+    )
+    res = out.select(
+        "pk1", "pk2", F.round("similarity", 6).alias("similarity")
+    )
+    res = spark.createDataFrame(res.collect(), res.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 _MIXTURE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}  # zh dropped
 
 
@@ -3118,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_quality": q_doc_gopher_quality,
         "events_funnel": q_events_funnel,
         "io_zorder_roundtrip": q_io_zorder_roundtrip,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3141,7 +3177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "events_json_agg": q_events_json,
         "histogram_events_value": q_histogram_events,
-        "descriptive_stats": q_descriptive_stats,
         # io_sorted_compact takes scalar_functions' window slot (its code
         # changed this round — pid-keyed temp paths + eager cleanup — so
         # its r4 row is stale); io_zorder_roundtrip takes pearson_corr's.
@@ -3163,10 +3198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         # -- r4-green but code-path-adjacent to this round's edits
-        # ---- 50-row window boundary (12 new + 37 r3-green +
-        #      io_sorted_compact = 50) ----
+        # ---- 50-row window boundary (13 new + 36 r3-green +
+        #      io_sorted_compact = 50; displaced r3 queries below are the
+        #      most stable entries, hash-green r1-r3, pytest-mirrored) ----
         "scalar_functions": q_scalar_functions,
         "pearson_corr": q_pearson_corr,
+        "descriptive_stats": q_descriptive_stats,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3449,6 +3486,39 @@ def _weighted_paths_oracle(rounds: int = 6) -> str:
     return sql
 
 
+_DELTA_DEDUP_ORACLE = f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+            ids AS (
+                SELECT doc_id, {_duck_gram_ids('t', 3)} AS s
+                FROM toks
+            ),
+            sigs AS (SELECT doc_id, s, {_minhash_sig_sql('s', SHINGLE_LSH_HASHES)} AS sig FROM ids),
+            bands AS (
+                SELECT doc_id,
+                       unnest({_band_sql('sig', SHINGLE_LSH_HASHES, SHINGLE_LSH_BANDS)}) AS band
+                FROM sigs
+            ),
+            cand AS (
+                SELECT d.doc_id AS pk1, c.doc_id AS pk2
+                FROM bands d JOIN bands c
+                  ON d.band = c.band AND d.doc_id <> c.doc_id
+                WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+                GROUP BY d.doc_id, c.doc_id
+            ),
+            scored AS (
+                SELECT c.pk1, c.pk2,
+                       len(list_intersect(i1.s, i2.s)) AS inter,
+                       len(i1.s) + len(i2.s) - len(list_intersect(i1.s, i2.s)) AS uni
+                FROM cand c
+                JOIN ids i1 ON i1.doc_id = c.pk1
+                JOIN ids i2 ON i2.doc_id = c.pk2
+            )
+            SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
+            FROM scored
+            WHERE 100.0 * inter / uni >= 70.0
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     edge_cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
     lang_hits = {
@@ -3588,37 +3658,9 @@ def oracle_sql() -> dict[str, str]:
         # Incremental dedup: same shingle/signature/band mirrors as
         # minhash_lsh_dedup, but candidates are (delta x corpus) band
         # collisions only; min_jaccard prune is lossless so absent here.
-        "minhash_delta_dedup": f"""
-            WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
-            ids AS (
-                SELECT doc_id, {_duck_gram_ids('t', 3)} AS s
-                FROM toks
-            ),
-            sigs AS (SELECT doc_id, s, {_minhash_sig_sql('s', SHINGLE_LSH_HASHES)} AS sig FROM ids),
-            bands AS (
-                SELECT doc_id,
-                       unnest({_band_sql('sig', SHINGLE_LSH_HASHES, SHINGLE_LSH_BANDS)}) AS band
-                FROM sigs
-            ),
-            cand AS (
-                SELECT d.doc_id AS pk1, c.doc_id AS pk2
-                FROM bands d JOIN bands c
-                  ON d.band = c.band AND d.doc_id <> c.doc_id
-                WHERE d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
-                GROUP BY d.doc_id, c.doc_id
-            ),
-            scored AS (
-                SELECT c.pk1, c.pk2,
-                       len(list_intersect(i1.s, i2.s)) AS inter,
-                       len(i1.s) + len(i2.s) - len(list_intersect(i1.s, i2.s)) AS uni
-                FROM cand c
-                JOIN ids i1 ON i1.doc_id = c.pk1
-                JOIN ids i2 ON i2.doc_id = c.pk2
-            )
-            SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
-            FROM scored
-            WHERE 100.0 * inter / uni >= 70.0
-        """,
+        "minhash_delta_dedup": _DELTA_DEDUP_ORACLE,
+        # streaming twin: batching must never change results
+        "stream_ingest_dedup": _DELTA_DEDUP_ORACLE,
         # Mixture sampler: same md5-rank membership rule in SQL — the oracle
         # reproduces the exact kept SET, not just per-stratum counts.
         "doc_mixture_sample": """
