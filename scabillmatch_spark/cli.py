@@ -240,16 +240,32 @@ def cmd_curate(args) -> None:
 
 
 def cmd_compact(args) -> None:
-    from scabillmatch_spark.io.sources import compact_parquet
+    import math
+
+    from scabillmatch_spark.io.sources import compact_parquet, write_zorder
 
     spark = _spark(args)
-    n = compact_parquet(
-        spark,
-        args.input,
-        args.output,
-        target_file_bytes=args.target_bytes,
-        sort_cols=args.sort_by.split(",") if args.sort_by else None,
-    )
+    if args.zorder_by:
+        # Z-order rewrite: size the file count like compact_parquet, then
+        # Morton-cluster on the given columns (multi-dim pruning layout)
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(args.input)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        total = fs.getContentSummary(hpath).getLength()
+        n = max(1, math.ceil(total / args.target_bytes))
+        write_zorder(
+            spark.read.parquet(args.input), args.output,
+            args.zorder_by.split(","), num_files=n,
+            quantile_buckets=args.quantile_buckets,
+        )
+    else:
+        n = compact_parquet(
+            spark,
+            args.input,
+            args.output,
+            target_file_bytes=args.target_bytes,
+            sort_cols=args.sort_by.split(",") if args.sort_by else None,
+        )
     print(f"compacted into {n} file(s)", file=sys.stderr)
 
 
@@ -362,6 +378,10 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--output", required=True)
     co.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     co.add_argument("--sort-by", default=None, help="comma-separated range-cluster cols")
+    co.add_argument("--zorder-by", default=None,
+                    help="comma-separated Z-order cluster cols (overrides --sort-by)")
+    co.add_argument("--quantile-buckets", action="store_true",
+                    help="equal-frequency Z-order bins (for skewed cols)")
     co.set_defaults(fn=cmd_compact)
     return p
 

@@ -237,11 +237,15 @@ def write_zorder(
     bits: int = 8,
     num_files: int | None = None,
     mode: str = "overwrite",
+    quantile_buckets: bool = False,
 ) -> None:
     """Z-order-clustered parquet sink: bucket each cluster column into
-    2^bits even-width bins (bounds from one min/max agg — swap in
-    approxQuantile boundaries for heavily skewed columns), interleave the
-    bucket bits into a Morton code, then range-partition + sort by it.
+    2^bits bins — even-width from one min/max agg by default, or
+    equal-frequency via approxQuantile when ``quantile_buckets`` is set
+    (the right choice for heavily skewed columns, where even-width bins
+    would pile most rows into a few buckets and collapse the interleave's
+    locality) — interleave the bucket bits into a Morton code, then
+    range-partition + sort by it.
 
     Where ``write_sorted`` gives row-group pruning on ONE leading column,
     Z-ordering bounds every file/row-group in EVERY cluster dimension
@@ -251,22 +255,39 @@ def write_zorder(
     sweet spot. The min/max agg is one extra scan at write time — the
     standing-maintenance-job trade, paid once per rewrite.
     """
-    mm = df.agg(
-        *[F.min(c).alias(f"__lo_{c}") for c in cols],
-        *[F.max(c).alias(f"__hi_{c}") for c in cols],
-    ).first()
     nb = 1 << bits
     buckets = []
-    for c in cols:
-        lo, hi = mm[f"__lo_{c}"], mm[f"__hi_{c}"]
-        span = (hi - lo) if hi is not None and lo is not None else None
-        if not span:  # constant or all-null column: single bucket
-            buckets.append(F.lit(0))
-            continue
-        b = F.floor(
-            (F.col(c).cast("double") - F.lit(float(lo))) * nb / F.lit(float(span))
-        ).cast("long")
-        buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(nb - 1)))
+    if quantile_buckets:
+        # equal-frequency bins: nb-1 interior approxQuantile boundaries per
+        # column (sample-based, same machinery repartitionByRange uses);
+        # bucket = count of boundaries <= value, a codegen'd array scan
+        probs = [i / nb for i in range(1, nb)]
+        for c in cols:
+            bounds = df.stat.approxQuantile(c, probs, 0.001)
+            uniq = sorted(set(bounds))
+            if not uniq:  # all-null column: single bucket
+                buckets.append(F.lit(0))
+                continue
+            arr = F.array(*[F.lit(float(x)) for x in uniq])
+            b = F.size(
+                F.filter(arr, lambda x: x <= F.col(c).cast("double"))
+            ).cast("long")
+            buckets.append(F.least(b, F.lit(nb - 1)))
+    else:
+        mm = df.agg(
+            *[F.min(c).alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).alias(f"__hi_{c}") for c in cols],
+        ).first()
+        for c in cols:
+            lo, hi = mm[f"__lo_{c}"], mm[f"__hi_{c}"]
+            span = (hi - lo) if hi is not None and lo is not None else None
+            if not span:  # constant or all-null column: single bucket
+                buckets.append(F.lit(0))
+                continue
+            b = F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo))) * nb / F.lit(float(span))
+            ).cast("long")
+            buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(nb - 1)))
     z = df.withColumn("__z", zorder_value(buckets, bits))
     parts = (
         z.repartitionByRange("__z")

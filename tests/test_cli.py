@@ -137,3 +137,15 @@ def test_cli_curate_new_ops_and_dedup_delta(spark, corpus, tmp_path):
     # self-vs-self: every doc collides with its duplicate-content peers but
     # never with itself (identical ids excluded)
     assert dd.filter(F.col("pk1") == F.col("pk2")).count() == 0
+
+
+def test_cli_compact_zorder(spark, tmp_path):
+    src = str(tmp_path / "zsrc")
+    dst = str(tmp_path / "zdst")
+    spark.range(0, 20_000).selectExpr("id AS x", "(id * 7) % 20000 AS y") \
+        .repartition(8).write.parquet(src)
+    cli.main(["compact", "--input", src, "--output", dst,
+              "--target-bytes", "40000", "--zorder-by", "x,y"])
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert sorted(back.columns) == ["x", "y"]
