@@ -76,4 +76,6 @@ def stream_delta_dedup(
         .start()
     )
     q.awaitTermination()
+    # result lives in parquet now — release the corpus cache
+    corpus_sets.unpersist()
     return spark.read.parquet(out_dir)
