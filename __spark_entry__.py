@@ -3020,6 +3020,23 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_emb_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit (curation.embedding_outliers): per
+    label centroid (exact decimal mean), per-vector squared distance,
+    outlier = d2 > 1.05x label mean — the curation step that prunes
+    mis-embedded samples before training. Per-vector output so the oracle
+    verifies the exact flagged SET; both engines compare identical
+    4-decimal-rounded quantities (see the operator's float-discipline
+    note)."""
+    from scabillmatch_spark.operators.curation import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # factor 1.2, not the 2.0 default: the synthetic embeddings are an
+    # isotropic cloud where d2 concentrates within [0.91, 1.10]x the mean,
+    # so 2x flags nothing; 1.05 flags the genuine upper tail
+    return embedding_outliers(emb, "vec_id", "label", "embedding", 1.05)
+
+
 _MIXTURE_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1}  # zh dropped
 
 
@@ -3154,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "io_zorder_roundtrip": q_io_zorder_roundtrip,
         "stream_ingest_dedup": q_stream_ingest_dedup,
+        "emb_outlier_audit": q_emb_outlier_audit,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3176,7 +3194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_sketch_stats": q_approx_sketch_stats,
         "semi_anti_join": q_semi_anti_join,
         "events_json_agg": q_events_json,
-        "histogram_events_value": q_histogram_events,
         # io_sorted_compact takes scalar_functions' window slot (its code
         # changed this round — pid-keyed temp paths + eager cleanup — so
         # its r4 row is stale); io_zorder_roundtrip takes pearson_corr's.
@@ -3198,12 +3215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         # -- r4-green but code-path-adjacent to this round's edits
-        # ---- 50-row window boundary (13 new + 36 r3-green +
+        # ---- 50-row window boundary (14 new + 35 r3-green +
         #      io_sorted_compact = 50; displaced r3 queries below are the
         #      most stable entries, hash-green r1-r3, pytest-mirrored) ----
         "scalar_functions": q_scalar_functions,
         "pearson_corr": q_pearson_corr,
         "descriptive_stats": q_descriptive_stats,
+        "histogram_events_value": q_histogram_events,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3570,6 +3588,30 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Embedding outliers: exact decimal centroids; d2 and threshold
+        # rounded to 4dp in BOTH engines before comparison.
+        "emb_outlier_audit": """
+            WITH ex AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding::DOUBLE[], 1) - 1 AS pos,
+                       unnest(embedding::DOUBLE[]) AS val
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, pos,
+                       SUM(CAST(val AS DECIMAL(38,12)))::DOUBLE / COUNT(*) AS c
+                FROM ex GROUP BY label, pos
+            ),
+            d2 AS (
+                SELECT e.vec_id, e.label,
+                       ROUND(SUM((e.val - c.c) * (e.val - c.c)), 4) AS d2
+                FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+                GROUP BY e.vec_id, e.label
+            ),
+            thr AS (SELECT label, ROUND(1.05 * AVG(d2), 4) AS t FROM d2 GROUP BY label)
+            SELECT d.vec_id, d.label, d.d2, d.d2 > t.t AS is_outlier
+            FROM d2 d JOIN thr t ON d.label = t.label
         """,
         # Z-order roundtrip: layout must never change results — identical
         # 2-D range aggregate from the raw table.

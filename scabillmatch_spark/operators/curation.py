@@ -324,3 +324,59 @@ def mixture_sample(
         .filter(F.col("__rk") <= F.col("__keep"))
         .drop("__n", "__keep")
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    factor: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outlier audit (the curation step that prunes
+    mis-embedded / off-distribution samples before training): per label,
+    the centroid over all vectors, each vector's squared distance to its
+    label centroid, and the outlier flag d2 > factor * mean(d2).
+
+    Fully relational — posexplode -> (label, pos) centroid agg -> join ->
+    per-vector distance agg; shuffles are bounded by |labels| x dim and
+    |vectors|, dense vectors never materialize engine-side.
+
+    Cross-engine float discipline (this is oracle-checked): centroids use
+    an exact DECIMAL(38,12) sum divided once in double; per-vector d2 and
+    the per-label mean are rounded to 4 decimals BEFORE the comparison, so
+    both engines flag from identical rounded quantities (summation-order
+    noise is ~1e-12, four orders below the rounding grid).
+
+    Returns (id_col, label_col, d2, is_outlier).
+    """
+    ex = emb.select(
+        id_col,
+        label_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    cent = ex.groupBy(label_col, "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__c")
+    )
+    d2 = (
+        ex.join(cent, [label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("__c")) * (F.col("val") - F.col("__c"))),
+                4,
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy(label_col)
+    return d2.withColumn(
+        "__thr", F.round(F.lit(factor) * F.avg("d2").over(w), 4)
+    ).select(
+        id_col,
+        label_col,
+        "d2",
+        (F.col("d2") > F.col("__thr")).alias("is_outlier"),
+    )
