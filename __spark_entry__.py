@@ -3020,6 +3020,43 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (text-analysis tier; the
+    per-doc form of the tfidf_cosine_pairs weighting — same
+    log((N+1)/(df+1)) idf): top-3 terms per doc ranked by ROUNDED score
+    with a term tie-break, so ranking is decided on quantities both
+    engines agree on bit-for-bit. Shuffles bounded by |doc x term| and
+    |vocab| — no dense vectors, the same inverted-index shape that
+    survives large vocabularies."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens("text").alias("toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    sc = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("dfq") + 1.0)), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
 def q_emb_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier audit (curation.embedding_outliers): per
     label centroid (exact decimal mean), per-vector squared distance,
@@ -3172,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_zorder_roundtrip": q_io_zorder_roundtrip,
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "emb_outlier_audit": q_emb_outlier_audit,
+        "doc_keywords": q_doc_keywords,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3193,7 +3231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_window": q_events_sliding_window,
         "approx_sketch_stats": q_approx_sketch_stats,
         "semi_anti_join": q_semi_anti_join,
-        "events_json_agg": q_events_json,
         # io_sorted_compact takes scalar_functions' window slot (its code
         # changed this round — pid-keyed temp paths + eager cleanup — so
         # its r4 row is stale); io_zorder_roundtrip takes pearson_corr's.
@@ -3215,13 +3252,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         # -- r4-green but code-path-adjacent to this round's edits
-        # ---- 50-row window boundary (14 new + 35 r3-green +
+        # ---- 50-row window boundary (15 new + 34 r3-green +
         #      io_sorted_compact = 50; displaced r3 queries below are the
         #      most stable entries, hash-green r1-r3, pytest-mirrored) ----
         "scalar_functions": q_scalar_functions,
         "pearson_corr": q_pearson_corr,
         "descriptive_stats": q_descriptive_stats,
         "histogram_events_value": q_histogram_events,
+        "events_json_agg": q_events_json,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3588,6 +3626,27 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Keywords: identical tf/df/idf/rank formulation; ranking decided
+        # on the rounded score + term tie-break in both engines.
+        "doc_keywords": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+            terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            dfq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term),
+            sc AS (
+                SELECT t.doc_id, t.term,
+                       ROUND(t.tf * ln((n.n + 1.0) / (d.dfq + 1.0)), 6) AS score
+                FROM tf t JOIN dfq d USING (term), n
+            ),
+            rk AS (
+                SELECT doc_id, term, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rk
+                FROM sc
+            )
+            SELECT doc_id, term, score, rk FROM rk WHERE rk <= 3
         """,
         # Embedding outliers: exact decimal centroids; d2 and threshold
         # rounded to 4dp in BOTH engines before comparison.
