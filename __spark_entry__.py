@@ -3020,6 +3020,46 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (the reference's Avro schema-in-file selling
+    point, README.md:11-31, exercised on the parquet path): write the
+    documents table as two generations — v1 without the source column, v2
+    with it plus a new quality column — then unionByName with
+    allowMissingColumns (absent fields null-fill) and aggregate per
+    generation. The oracle rebuilds the same two-generation union from the
+    raw table; a column-alignment or null-fill bug breaks the hash."""
+    import shutil
+    import tempfile
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    base = os.path.join(tempfile.gettempdir(), f"scabillmatch_evo_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source",
+        (F.col("n_chars") / 100.0).alias("quality"),
+    )
+    v1.write.parquet(os.path.join(base, "v1"))
+    v2.write.parquet(os.path.join(base, "v2"))
+    merged = spark.read.parquet(os.path.join(base, "v1")).unionByName(
+        spark.read.parquet(os.path.join(base, "v2")), allowMissingColumns=True
+    )
+    out = (
+        merged.withColumn("generation", F.when(F.col("source").isNull(), 1).otherwise(2))
+        .groupBy("generation", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count("source").alias("n_with_source"),
+            _dec_sum("quality", "sum_quality"),
+        )
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword extraction (text-analysis tier; the
     per-doc form of the tfidf_cosine_pairs weighting — same
@@ -3210,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "emb_outlier_audit": q_emb_outlier_audit,
         "doc_keywords": q_doc_keywords,
+        "io_schema_evolution": q_io_schema_evolution,
         # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
@@ -3230,7 +3271,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
         "approx_sketch_stats": q_approx_sketch_stats,
-        "semi_anti_join": q_semi_anti_join,
         # io_sorted_compact takes scalar_functions' window slot (its code
         # changed this round — pid-keyed temp paths + eager cleanup — so
         # its r4 row is stale); io_zorder_roundtrip takes pearson_corr's.
@@ -3252,7 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         # -- r4-green but code-path-adjacent to this round's edits
-        # ---- 50-row window boundary (15 new + 34 r3-green +
+        # ---- 50-row window boundary (16 new + 33 r3-green +
         #      io_sorted_compact = 50; displaced r3 queries below are the
         #      most stable entries, hash-green r1-r3, pytest-mirrored) ----
         "scalar_functions": q_scalar_functions,
@@ -3260,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descriptive_stats": q_descriptive_stats,
         "histogram_events_value": q_histogram_events,
         "events_json_agg": q_events_json,
+        "semi_anti_join": q_semi_anti_join,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3626,6 +3667,24 @@ def oracle_sql() -> dict[str, str]:
                    'happili' AS stem_happily, 'relat' AS stem_relational,
                    'gener' AS stem_generously,
                    TRUE AS vocab_shrunk, TRUE AS clusters_ok, TRUE AS labels_ok
+        """,
+        # Schema evolution: rebuild the identical two-generation union from
+        # the raw table (gen 1 lacks source/quality -> nulls).
+        "io_schema_evolution": """
+            WITH u AS (
+                SELECT doc_id, lang, n_chars,
+                       NULL AS source, NULL::DOUBLE AS quality, 1 AS generation
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars,
+                       source, n_chars / 100.0 AS quality, 2 AS generation
+                FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT generation, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   COUNT(source) AS n_with_source,
+                   CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) AS sum_quality
+            FROM u GROUP BY generation, lang
         """,
         # Keywords: identical tf/df/idf/rank formulation; ranking decided
         # on the rounded score + term tie-break in both engines.

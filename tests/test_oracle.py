@@ -81,3 +81,16 @@ def test_query_matches_oracle(spark, duck_con, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
+
+
+def test_registry_contract():
+    """Registry invariants the driver relies on: every query has an oracle
+    (full-strength correctness rows, never the weak rows-only fallback),
+    no duplicate names, and enough entries to fill the driver's 50-row
+    correctness window."""
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert set(qs) <= set(osql), sorted(set(qs) - set(osql))
+    assert len(qs) >= 50
+    # every oracle is non-empty SQL text
+    assert all(isinstance(v, str) and v.strip() for v in osql.values())
