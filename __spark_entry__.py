@@ -3218,23 +3218,147 @@ def q_ml_knn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert (operators/merge.merge_into — storage-tier
+    extension, round-5 verdict item #8): apply a deterministic CDC delta to
+    the orders table — updates (keys %97, repriced +100, status 'U'),
+    deletes (keys %89), inserts (fresh keys offset by 10M at half price,
+    status 'N') — as ONE full-outer join plus CASE arbitration, the
+    copy-on-write rewrite every lakehouse MERGE lowers to. The oracle
+    restates the same FULL OUTER JOIN in SQL, so the entire merged table is
+    hash-verified, not just counts. The three delta branches are disjoint
+    by construction (MERGE requires unique source keys)."""
+    from scabillmatch_spark.operators.merge import merge_into
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 89 != 0)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 89 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit(True).alias("is_delete"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"),
+    )
+    delta = updates.unionByName(deletes).unionByName(inserts)
+    return merge_into(orders, delta, ["o_orderkey"], delete_col="is_delete")
+
+
+def q_orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/merge.scd2_history — storage-tier
+    extension): treat orders as a per-customer change log of
+    o_orderpriority over o_orderdate; collapse consecutive no-change rows
+    and emit [effective_from, effective_to) validity ranges with an
+    is_current flag. One shuffle on the customer key; the lead() window
+    reuses the change-collapse window's partitioning."""
+    from scabillmatch_spark.operators.merge import scd2_history
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return scd2_history(orders, "custkey", "ts", ["priority"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-5 rotation (VERDICT r4 item #2):
-    #   1. the 3 queries new this round (never driver-checked) lead;
-    #   2. the 39 queries whose latest driver row is r3 (they sat past r4's
-    #      window) fill the rest of the window, restoring max staleness of
-    #      one round for every registry entry;
-    #   3. 8 r4-green queries whose code paths changed this round
-    #      (io_sorted_compact pid-keyed temp paths; the collapse digest now
-    #      md5(to_json) — flagship-adjacent dedup queries; emb_pq_ann's
-    #      dim%m assert) complete the 50;
-    #   4. the remaining r4-green rows rotate past the window, all still
-    #      re-verified every pytest run by tests/test_oracle.py's mirror of
-    #      the driver gate.
+    # the round-6 rotation (VERDICT r5 item #1):
+    #   1. the 2 queries new this round (never driver-checked) lead;
+    #   2. the 6 queries whose latest driver row is r3 — two rounds stale,
+    #      the oldest debt in the registry — come next;
+    #   3. 42 of the 49 r4-green queries fill the window (the graph/emb/
+    #      curation/ml blocks and the wide TPC-H joins — every entry with a
+    #      non-trivial plan shape);
+    #   4. with 107 registered queries and a 50-row window, 7 entries must
+    #      exceed one round of staleness per cycle — the 7 chosen r4-green
+    #      holdovers (directly past the boundary, so they LEAD the r7
+    #      window) are the simplest pure-Column scans in the registry
+    #      (hash-green since r1/r2, no code-path changes since), and every
+    #      entry is still re-verified at sf0.01 on every pytest run by
+    #      tests/test_oracle.py's mirror of the driver gate.
     return {
-        # -- new in round 5 — never driver-checked
+        # -- new in round 6 — never driver-checked
+        "storage_merge_upsert": q_storage_merge_upsert,
+        "orders_scd2_history": q_orders_scd2_history,
+        # -- latest driver row is r3 (two rounds stale) — oldest debt first
+        "scalar_functions": q_scalar_functions,
+        "pearson_corr": q_pearson_corr,
+        "descriptive_stats": q_descriptive_stats,
+        "histogram_events_value": q_histogram_events,
+        "events_json_agg": q_events_json,
+        "semi_anti_join": q_semi_anti_join,
+        # -- latest driver row is r4 — rotate back inside the window
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "emb_pq_ann": q_emb_pq_ann,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "graph_pagerank": q_graph_pagerank,
+        "pairs_postprocess_sample": q_pairs_postprocess_sample,
+        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
+        "ml_lda_topics": q_ml_lda_topics,
+        "ml_lsa_projection": q_ml_lsa_projection,
+        "ml_minhash_reference_join": q_ml_minhash_reference_join,
+        "doc_pair_measures": q_doc_pair_measures,
+        "media_image_metadata": q_media_image_metadata,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
+        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "events_stream_static_join": q_events_stream_static_join,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
+        "events_stream_interval_join": q_events_stream_interval_join,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        "events_sessionization": q_events_sessionization,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "graph_triangle_count": q_graph_triangles,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_weighted_paths": q_graph_weighted_paths,
+        "graph_kcore": q_graph_kcore,
+        "emb_ivf_ann": q_emb_ivf_ann,
+        # ---- 50-row window boundary (2 new + 6 r3-green + 42 r4-green =
+        #      50). The 7 r4-green holdovers directly below exceed the
+        #      one-round staleness budget this cycle — they are the
+        #      registry's simplest pure-Column scans (hash-green since
+        #      r1/r2, unchanged code paths) and they lead the r7 window. ----
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "doc_hash_sample": q_doc_hash_sample,
+        "events_tumbling_window": q_events_tumbling,
+        "events_resample_1h": q_events_resample_1h,
+        "pair_space_accounting": q_pair_space_accounting,
+        # -- r5-green rows past the window (max staleness one round); all
+        #    re-verified every pytest run via tests/test_oracle.py
         "latest_version_family": q_latest_version_family,
         "io_json_roundtrip": q_io_json_roundtrip,
         "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
@@ -3251,7 +3375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outlier_audit": q_emb_outlier_audit,
         "doc_keywords": q_doc_keywords,
         "io_schema_evolution": q_io_schema_evolution,
-        # -- latest driver row is r3 — rotate back inside the window
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "io_avro_roundtrip": q_io_avro_roundtrip,
@@ -3271,11 +3394,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
         "approx_sketch_stats": q_approx_sketch_stats,
-        # io_sorted_compact takes scalar_functions' window slot (its code
-        # changed this round — pid-keyed temp paths + eager cleanup — so
-        # its r4 row is stale); io_zorder_roundtrip takes pearson_corr's.
-        # The two displaced queries are the most stable registry entries
-        # (hash-green r1-r3, pure Column exprs, pytest-mirrored).
         "io_sorted_compact": q_io_sorted_compact,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
@@ -3291,67 +3409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
-        # -- r4-green but code-path-adjacent to this round's edits
-        # ---- 50-row window boundary (16 new + 33 r3-green +
-        #      io_sorted_compact = 50; displaced r3 queries below are the
-        #      most stable entries, hash-green r1-r3, pytest-mirrored) ----
-        "scalar_functions": q_scalar_functions,
-        "pearson_corr": q_pearson_corr,
-        "descriptive_stats": q_descriptive_stats,
-        "histogram_events_value": q_histogram_events,
-        "events_json_agg": q_events_json,
-        "semi_anti_join": q_semi_anti_join,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "emb_pq_ann": q_emb_pq_ann,
-        # -- r4-green rows past the window (max staleness one round); all
-        #    re-verified every pytest run via tests/test_oracle.py
-        "emb_cosine_near_dup": q_emb_cosine_near_dup,
-        "graph_pagerank": q_graph_pagerank,
-        "pairs_postprocess_sample": q_pairs_postprocess_sample,
-        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
-        "ml_lda_topics": q_ml_lda_topics,
-        "ml_lsa_projection": q_ml_lsa_projection,
-        "ml_minhash_reference_join": q_ml_minhash_reference_join,
-        "doc_pair_measures": q_doc_pair_measures,
-        "media_image_metadata": q_media_image_metadata,
-        "events_resample_1h": q_events_resample_1h,
-        "doc_hash_sample": q_doc_hash_sample,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "emb_lsh_ann": q_emb_lsh_ann,
-        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
-        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_repetition": q_doc_repetition,
-        "events_stream_static_join": q_events_stream_static_join,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_quality_filter": q_doc_quality_filter,
-        "events_stream_interval_join": q_events_stream_interval_join,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q16_supplier_cnt": q_tpch_q16,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
-        "events_tumbling_window": q_events_tumbling,
-        "events_sessionization": q_events_sessionization,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
-        "graph_triangle_count": q_graph_triangles,
-        "graph_shortest_paths": q_graph_shortest_paths,
-        "graph_weighted_paths": q_graph_weighted_paths,
-        "graph_kcore": q_graph_kcore,
-        "pair_space_accounting": q_pair_space_accounting,
-        "emb_ivf_ann": q_emb_ivf_ann,
     }
 
 
@@ -3623,6 +3680,68 @@ def oracle_sql() -> dict[str, str]:
         for lang, arr in _LANG_SW_SQL.items()
     }
     return {
+        # MERGE semantics restated as the same FULL OUTER JOIN + CASE
+        # arbitration the Spark operator lowers to (operators/merge.py):
+        # matched & not deleted -> source values; target-only -> target
+        # values; source-only & not delete-flagged -> insert.
+        "storage_merge_upsert": """
+            WITH tgt AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders
+            ),
+            src AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 100.0 AS o_totalprice,
+                       FALSE AS is_delete
+                FROM orders
+                WHERE o_orderkey % 97 = 0 AND o_orderkey % 89 <> 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       TRUE
+                FROM orders WHERE o_orderkey % 89 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, 'N',
+                       o_totalprice * 0.5, FALSE
+                FROM orders WHERE o_orderkey % 101 = 0
+            )
+            SELECT
+                COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                     ELSE t.o_custkey END AS o_custkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                     ELSE t.o_orderstatus END AS o_orderstatus,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                     ELSE t.o_totalprice END AS o_totalprice
+            FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+            WHERE NOT COALESCE(s.is_delete, FALSE)
+        """,
+        # SCD2: change-collapse via lag() then validity ranges via lead(),
+        # ordered by (ts, priority) on both engines so ties are total.
+        "orders_scd2_history": """
+            WITH log AS (
+                SELECT o_custkey AS custkey, o_orderdate AS ts,
+                       o_orderpriority AS priority,
+                       lag(o_orderpriority) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderpriority
+                       ) AS prev
+                FROM orders
+            ),
+            chg AS (
+                SELECT custkey, ts, priority FROM log
+                WHERE prev IS NULL OR prev <> priority
+            )
+            SELECT custkey, priority, effective_from, effective_to,
+                   CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END
+                       AS is_current
+            FROM (
+                SELECT custkey, priority, ts AS effective_from,
+                       lead(ts) OVER (
+                           PARTITION BY custkey ORDER BY ts, priority
+                       ) AS effective_to
+                FROM chg
+            )
+        """,
         # ML model-fit queries: the fits (KMeans/LDA/SVD/MinHashLSH tables)
         # aren't reproducible in SQL, so each Spark query computes asserted
         # invariants in-plan and the oracle states the expected constants —

@@ -1,8 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+JSON line: {"metric": ..., "value": headline_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Two tiers (round-5 verdict item #7 — 98 timed queries diluted the signal):
+- HEADLINE: ~45 plan-distinct queries (one representative per physical plan
+  shape — band joins, iterative graph, windowed streaming, wide TPC-H joins,
+  storage maintenance). Their total is the compact line's "value".
+- full set: everything registered (minus the model-fit SKIPs). Always timed
+  on a default run so per-round records stay complete; its total goes to
+  stderr + bench_detail.json as "full_total".
+Pass --headline-only to time just the headline tier (fast local iteration).
 """
 
 from __future__ import annotations
@@ -44,6 +53,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
     print(f"# warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    # Pre-warm the shared scored-pair and edge caches (round-5 verdict item
+    # #3): doc_near_dup_jaccard and the graph_* queries read
+    # _SCORED_CACHE/_EDGE_CACHE — without this, whichever of them ran FIRST
+    # paid the one-time banded-join build, so their per-query numbers
+    # measured registry ORDER, not their plans (r4->r5: doc_near_dup_jaccard
+    # 0.30s -> 2.23s from a registry reorder alone). The build cost is now
+    # its own visible line instead.
+    t0 = time.perf_counter()
+    entrymod._scored_doc_pairs(spark, sf_dir).count()
+    entrymod._doc_edges(spark, sf_dir).count()
+    print(
+        f"# warmup_scored_edge_caches: {time.perf_counter()-t0:.1f}s",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
 
@@ -89,6 +112,47 @@ def main() -> None:
     unknown = SKIP - set(entrymod.queries())
     assert not unknown, f"bench SKIP names not in queries(): {sorted(unknown)}"
 
+    # HEADLINE tier: one representative per distinct physical plan shape.
+    # Excluded-by-design from the headline (still timed on a full run):
+    # near-duplicate plan shapes (the other 16 TPC-H variants, the
+    # doc_quality/token/fingerprint Column-expr scans), fixed-overhead
+    # composites (stream_ingest_dedup = Structured-Streaming micro-batch
+    # setup, io_json_roundtrip = text-codec CPU), and sub-0.3s scans whose
+    # timing is dominated by job-submission latency.
+    HEADLINE = {
+        "flagship_doc_match", "flagship_doc_match_2x",
+        # dedup / similarity family
+        "minhash_lsh_dedup", "minhash_delta_dedup", "doc_near_dup_jaccard",
+        "doc_exact_dedup", "doc_simhash", "doc_paragraph_dedup",
+        "doc_dup_clusters", "emb_cosine_near_dup", "emb_lsh_ann",
+        "emb_brp_euclidean_join", "emb_cosine_topk", "tfidf_cosine_pairs",
+        # iterative graph
+        "graph_pagerank", "graph_triangle_count", "graph_shortest_paths",
+        "graph_weighted_paths", "graph_kcore",
+        # TPC-H plan-shape representatives (scan-agg, join+topN, wide
+        # multi-join, having-in, multi-exists anti, outer-join distribution)
+        "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+        "tpch_q9_product_profit", "tpch_q18_having_in",
+        "tpch_q21_sole_returner", "tpch_q13_order_distribution",
+        # window / session / rollup
+        "window_topn_orders_per_customer", "events_sessionization",
+        "orders_rollup", "latest_version_family",
+        # curation tier
+        "doc_decontaminate", "doc_mixture_sample", "doc_gopher_quality",
+        "doc_keywords", "emb_outlier_audit", "doc_pack_sequences",
+        # streaming / temporal
+        "events_stream_tumbling", "events_stream_stateful",
+        "events_asof_join", "events_range_join", "events_funnel",
+        # storage maintenance
+        "io_sorted_compact", "io_zorder_roundtrip", "io_bucketed_join",
+        "io_avro_roundtrip",
+    }
+    unknown_h = HEADLINE - set(entrymod.queries()) - {
+        "flagship_doc_match", "flagship_doc_match_2x",
+    }
+    assert not unknown_h, f"HEADLINE names not in queries(): {sorted(unknown_h)}"
+    headline_only = "--headline-only" in sys.argv
+
     # Flagship: full near-dup pipeline (tokenize -> MinHash LSH -> rescore).
     # One untimed warm pass first (same steady-state discipline as the
     # table/worker warmup above): the first execution uniquely carries the
@@ -102,27 +166,45 @@ def main() -> None:
         f"# flagship_doc_match_cold: {round(time.perf_counter() - t0, 3)}s",
         file=sys.stderr,
     )
-    run("flagship_doc_match", lambda: document_match(spark, sf_dir, top=1000))
+    # min-of-2 timed trials (round-5 verdict item #2, same discipline as
+    # scale_check since r4): this host's wall-clock varies 2-13x run-to-run
+    # (vCPU steal / GC pauses in the shared JVM — PLANS.md) and a single
+    # timed pass recorded a 21.88s flagship against a 6.77s 2x point in r5.
+    # min-of-2 rejects the isolated pause, not real work; both trials stay
+    # visible on stderr.
+    trials = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        document_match(spark, sf_dir, top=1000).count()
+        trials.append(round(time.perf_counter() - t0, 3))
+    timings["flagship_doc_match"] = min(trials)
+    print(f"# flagship_doc_match trials={trials}", file=sys.stderr)
     # Second flagship scale point (2x disjoint-vocab corpus via scale_check's
     # builder), recorded per round so plan regressions show up as SLOPE
     # changes between the 1x and 2x points, not just absolute deltas.
     # Same discipline: first call warms (its sets materialize outside the
-    # timed region, but codegen/caches are per-plan), second is recorded.
+    # timed region, but codegen/caches are per-plan), then min-of-2.
     import scale_check as _sck
 
     docs2 = _sck.corpus(spark, sf_dir, 2)
     _sck.flagship_time(spark, docs2)
-    timings["flagship_doc_match_2x"] = _sck.flagship_time(spark, docs2)
-    print(
-        f"# flagship_doc_match_2x: {timings['flagship_doc_match_2x']}s",
-        file=sys.stderr,
-    )
+    trials2 = [_sck.flagship_time(spark, docs2) for _ in range(2)]
+    timings["flagship_doc_match_2x"] = min(trials2)
+    print(f"# flagship_doc_match_2x trials={trials2}", file=sys.stderr)
     for name, q in entrymod.queries().items():
-        if name in SKIP:
+        if name in SKIP or (headline_only and name not in HEADLINE):
             continue
         run(name, lambda q=q: q(spark, sf_dir))
 
-    total = round(sum(timings.values()), 2)
+    total = round(sum(v for k, v in timings.items() if k in HEADLINE), 2)
+    full_total = round(sum(timings.values()), 2)
+    print(
+        f"# headline_total: {total}s over"
+        f" {sum(1 for k in timings if k in HEADLINE)} plan-distinct queries;"
+        f" full_total: {full_total}s over {len(timings)} timed"
+        + (" (PARTIAL: --headline-only run)" if headline_only else ""),
+        file=sys.stderr,
+    )
     # Per-query timings go to STDERR only: at ~85 headline queries the full
     # dict is a multi-KB JSON line that outgrew the driver's stdout
     # tail-capture window in round 4 (BENCH_r04 recorded parsed:null because
@@ -134,7 +216,17 @@ def main() -> None:
     detail = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     try:
         with open(detail, "w") as f:
-            json.dump({"total": total, "sf": sf, "queries": timings}, f, indent=1)
+            json.dump(
+                {
+                    "total": total,
+                    "full_total": full_total,
+                    "headline": sorted(HEADLINE & set(timings)),
+                    "sf": sf,
+                    "queries": timings,
+                },
+                f,
+                indent=1,
+            )
     except OSError as e:  # read-only checkout: stderr copy above suffices
         print(f"# bench_detail.json not written: {e}", file=sys.stderr)
     print(
@@ -147,7 +239,10 @@ def main() -> None:
                     "flagship_doc_match": timings["flagship_doc_match"],
                     "flagship_doc_match_2x": timings["flagship_doc_match_2x"],
                 },
-                "n_queries": len(timings),
+                # n_queries counts the entries summed into "value" (the
+                # headline tier); the full-set count/total live on stderr
+                # and in bench_detail.json
+                "n_queries": sum(1 for k in timings if k in HEADLINE),
                 "sf": sf,
             }
         )

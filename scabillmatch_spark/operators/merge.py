@@ -1,0 +1,144 @@
+"""MERGE INTO / upsert and SCD2 history — the lakehouse maintenance
+operators a training-data pipeline needs on top of plain writes (round-5
+verdict item #8). Both are pure DataFrame rewrites: Spark has no MERGE
+statement outside Delta/Iceberg, but the semantics are exactly one
+full-outer join plus per-row CASE arbitration.
+
+- merge_into: ANSI MERGE semantics (WHEN MATCHED THEN UPDATE / DELETE,
+  WHEN NOT MATCHED THEN INSERT) as ONE full-outer join on the key columns.
+  At scale this is the copy-on-write MERGE rewrite every lakehouse engine
+  lowers to: one shuffle on the key, arbitration is narrow Column exprs,
+  and the output can be written back partition-aligned. Source keys must be
+  unique (the same precondition Delta enforces with
+  "multiple source rows matched").
+
+- scd2_history: builds a type-2 slowly-changing dimension from a change
+  log: per key ordered by event time, collapse consecutive rows whose
+  tracked attributes did not change, then emit [effective_from,
+  effective_to) validity ranges with an is_current flag. One shuffle on the
+  key; the second window reuses the first's partitioning (no extra
+  Exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_SRC = "__src_"
+_TP = "__tgt_present"
+_SP = "__src_present"
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    update_cols: list[str] | None = None,
+    insert: bool = True,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Relational MERGE: returns the target table after applying ``source``.
+
+    - matched rows (key present on both sides): take ``update_cols`` from
+      the source (default: every source payload column that also exists in
+      the target), unless ``delete_col`` (a boolean column in source) is
+      true — then the row is dropped;
+    - target-only rows pass through unchanged;
+    - source-only rows become inserts when ``insert`` (target columns the
+      source lacks are NULL); source-only rows flagged by ``delete_col``
+      are no-ops (delete of a missing key), as in ANSI MERGE.
+
+    Output schema == target schema, in target column order.
+
+    Plan: ONE full-outer SortMergeJoin on ``keys`` (full-outer cannot
+    broadcast by definition — both sides must emit unmatched rows); all
+    arbitration is whole-stage-codegen CASE exprs. No UDF, no second pass.
+    """
+    spayload = [c for c in source.columns if c not in keys]
+    src = source.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(_SRC + c) for c in spayload],
+        F.lit(True).alias(_SP),
+    )
+    tgt = target.withColumn(_TP, F.lit(True))
+    joined = tgt.join(src, on=keys, how="full_outer")
+
+    tp = F.coalesce(F.col(_TP), F.lit(False))
+    sp = F.coalesce(F.col(_SP), F.lit(False))
+    if delete_col is not None:
+        if delete_col not in spayload:
+            raise ValueError(f"delete_col {delete_col!r} not a source column")
+        sdel = F.coalesce(F.col(_SRC + delete_col), F.lit(False))
+    else:
+        sdel = F.lit(False)
+
+    if update_cols is None:
+        update_set = {
+            c for c in spayload if c in target.columns and c != delete_col
+        }
+    else:
+        missing = set(update_cols) - set(spayload)
+        if missing:
+            raise ValueError(f"update_cols not in source: {sorted(missing)}")
+        update_set = set(update_cols)
+
+    matched = tp & sp
+    inserted = sp & ~tp
+    take_src = (matched & ~sdel) | inserted
+
+    out_cols = []
+    for c in target.columns:
+        if c == _TP:
+            continue
+        if c in keys:
+            out_cols.append(F.col(c))
+        elif c in update_set:
+            out_cols.append(F.when(take_src, F.col(_SRC + c)).otherwise(F.col(c)).alias(c))
+        elif _SRC + c in joined.columns:
+            # not updated on match, but still the insert-row value
+            out_cols.append(F.when(inserted, F.col(_SRC + c)).otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))  # NULL for insert rows by construction
+    keep = (tp & ~(matched & sdel)) | (inserted & ~sdel & F.lit(insert))
+    return joined.filter(keep).select(*out_cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    tracked: list[str],
+) -> DataFrame:
+    """Type-2 SCD build from a change log: per ``key`` ordered by
+    (``ts_col``, *tracked*), keep only rows where some tracked attribute
+    differs from the previous row (NULL-safe), then attach
+    ``effective_from`` = the row's time, ``effective_to`` = the next kept
+    row's time (NULL for the open/current version), and ``is_current``
+    (int 0/1 — ints hash identically across Spark and the DuckDB oracle).
+
+    Ordering ties on ``ts_col`` are broken by the tracked columns so the
+    result is deterministic; two rows identical in (key, ts, tracked) are
+    one version (the second collapses as a no-change row).
+
+    Plan: one shuffle on ``key``; the post-filter lead() window has the
+    same partitioning, so Catalyst plans a single Exchange.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tracked]
+    w = W.partitionBy(key).orderBy(*order)
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    kept = changes.withColumn("__keep", first | changed).filter(F.col("__keep"))
+    w2 = W.partitionBy(key).orderBy(*order)
+    return (
+        kept.select(
+            F.col(key),
+            *[F.col(c) for c in tracked],
+            F.col(ts_col).alias("effective_from"),
+            F.lead(ts_col).over(w2).alias("effective_to"),
+        )
+        .withColumn("is_current", F.col("effective_to").isNull().cast("int"))
+    )

@@ -234,8 +234,9 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
     Environment note: transformWithStateInPandas talks to the JVM over a
     protobuf channel, so it needs the ``google.protobuf`` package at
-    runtime — absent in this container (verified: the streaming runner
-    crashes with ImportError on StateMessage_pb2). The implementation is
+    runtime — PERMANENTLY absent in this container (re-verified round 6:
+    no module, no network for pip download, no vendored wheel; recorded in
+    COVERAGE.md "Permanent environment close-outs"). The implementation is
     complete and the test exercises it wherever protobuf exists
     (test_transform_with_state_running_totals skips otherwise);
     ``running_user_totals`` is the env-independent production path here."""

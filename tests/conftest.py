@@ -14,6 +14,22 @@ def spark():
     yield s
 
 
+# One build of each registry query DataFrame per session, shared by
+# tests/test_oracle.py (values vs the DuckDB oracle) and
+# tests/test_plans.py's registry-wide plan gate (no cartesian) — several
+# query builders run internal actions (model fits, temp-dir writes), so
+# building each twice would double the suite's wall time for no coverage.
+_QUERY_DF_CACHE: dict = {}
+
+
+def get_query_df(spark, name: str):
+    if name not in _QUERY_DF_CACHE:
+        import __spark_entry__ as entrymod
+
+        _QUERY_DF_CACHE[name] = entrymod.queries()[name](spark, SF_MED)
+    return _QUERY_DF_CACHE[name]
+
+
 @pytest.fixture(scope="session")
 def sf_small():
     return SF_SMALL

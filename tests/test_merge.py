@@ -1,0 +1,140 @@
+"""merge_into / scd2_history unit tests: ANSI MERGE edge cases (update /
+delete / insert arbitration, NULL handling, insert=False, update subsets,
+source columns missing from the target) and SCD2 change-collapse +
+validity-range semantics, plus the plan shape (one join, no cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.operators.merge import merge_into, scd2_history
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+
+
+def _source(spark):
+    # 2: update; 3: delete; 4: insert; 5: delete-of-missing-key (no-op)
+    return spark.createDataFrame(
+        [
+            (2, "B", 200.0, False),
+            (3, "c", 30.0, True),
+            (4, "d", 40.0, False),
+            (5, "x", 0.0, True),
+        ],
+        "k long, s string, v double, del boolean",
+    )
+
+
+def test_merge_update_delete_insert(spark):
+    out = merge_into(_target(spark), _source(spark), ["k"], delete_col="del")
+    rows = {r.k: (r.s, r.v) for r in out.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B", 200.0), 4: ("d", 40.0)}
+    assert out.columns == ["k", "s", "v"]  # target schema, target order
+
+
+def test_merge_no_insert(spark):
+    out = merge_into(
+        _target(spark), _source(spark), ["k"], delete_col="del", insert=False
+    )
+    assert {r.k for r in out.collect()} == {1, 2}
+
+
+def test_merge_update_subset_keeps_other_target_cols(spark):
+    out = merge_into(
+        _target(spark), _source(spark), ["k"],
+        update_cols=["v"], delete_col="del",
+    )
+    rows = {r.k: (r.s, r.v) for r in out.collect()}
+    # s untouched on the matched row; still the source value on the insert
+    assert rows[2] == ("b", 200.0)
+    assert rows[4] == ("d", 40.0)
+
+
+def test_merge_target_col_missing_from_source_is_null_on_insert(spark):
+    src = spark.createDataFrame([(4, "d")], "k long, s string")
+    out = merge_into(_target(spark), src, ["k"])
+    rows = {r.k: (r.s, r.v) for r in out.collect()}
+    assert rows[4] == ("d", None)
+    assert rows[2] == ("b", 20.0)  # non-matched target rows untouched
+    assert len(rows) == 4
+
+
+def test_merge_null_payload_update_overwrites(spark):
+    # a NULL source value is an update to NULL, not "keep target"
+    src = spark.createDataFrame([(1, None, 99.0)], "k long, s string, v double")
+    out = merge_into(_target(spark), src, ["k"])
+    rows = {r.k: (r.s, r.v) for r in out.collect()}
+    assert rows[1] == (None, 99.0)
+
+
+def test_merge_rejects_bad_args(spark):
+    with pytest.raises(ValueError, match="delete_col"):
+        merge_into(_target(spark), _source(spark), ["k"], delete_col="nope")
+    with pytest.raises(ValueError, match="update_cols"):
+        merge_into(_target(spark), _source(spark), ["k"], update_cols=["zz"])
+
+
+def test_merge_plan_single_join_no_cartesian(spark):
+    import contextlib
+    import io
+
+    out = merge_into(_target(spark), _source(spark), ["k"], delete_col="del")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE join in the logical plan: MERGE must not re-join per clause
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in logical.splitlines() if "Join " in l]
+    assert len(join_lines) == 1 and "FullOuter" in join_lines[0], logical
+
+
+def test_scd2_collapses_and_ranges(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 10, "bronze"),
+            (1, 20, "bronze"),  # no change -> collapses
+            (1, 30, "gold"),
+            (2, 5, "silver"),
+        ],
+        "k long, t long, tier string",
+    )
+    out = scd2_history(log, "k", "t", ["tier"]).collect()
+    rows = {(r.k, r.effective_from): (r.tier, r.effective_to, r.is_current) for r in out}
+    assert rows == {
+        (1, 10): ("bronze", 30, 0),
+        (1, 30): ("gold", None, 1),
+        (2, 5): ("silver", None, 1),
+    }
+
+
+def test_scd2_null_safe_tracking(spark):
+    # NULL -> NULL is "no change"; NULL -> value and value -> NULL are changes
+    log = spark.createDataFrame(
+        [Row(k=1, t=1, a=None), Row(k=1, t=2, a=None), Row(k=1, t=3, a="x"),
+         Row(k=1, t=4, a=None)],
+    )
+    out = scd2_history(log, "k", "t", ["a"]).orderBy("effective_from").collect()
+    assert [(r.a, r.effective_from, r.effective_to) for r in out] == [
+        (None, 1, 3), ("x", 3, 4), (None, 4, None),
+    ]
+
+
+def test_scd2_single_shuffle(spark):
+    log = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("t"),
+        (F.col("id") % 3).alias("a"),
+    )
+    out = scd2_history(log, "k", "t", ["a"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both windows ride ONE hash-partitioned exchange on the key
+    assert plan.count("Exchange hashpartitioning") == 1, plan

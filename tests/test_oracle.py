@@ -56,9 +56,10 @@ def duck_con():
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_matches_oracle(spark, duck_con, name):
-    qfn = entrymod.queries()[name]
+    from conftest import get_query_df
+
     oracle = entrymod.oracle_sql().get(name)
-    sdf = qfn(spark, SF_DIR)
+    sdf = get_query_df(spark, name)
     srows = sdf.collect()
     scols = sdf.columns
     if oracle is None:
