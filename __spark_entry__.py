@@ -3274,6 +3274,26 @@ def q_orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(orders, "custkey", "ts", ["priority"])
 
 
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap (curation tier —
+    operators/curation.chunk_documents): 64-token windows striding by 48
+    (16-token overlap), the RAG/context-window unit-of-retrieval shape.
+    Every chunk's text is md5-verified against the oracle (full content
+    check without shipping chunk text through the compare). The plan is
+    entirely narrow (split -> sequence -> posexplode -> slice): zero
+    shuffles at any corpus size."""
+    from scabillmatch_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
@@ -3295,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 6 — never driver-checked
         "storage_merge_upsert": q_storage_merge_upsert,
         "orders_scd2_history": q_orders_scd2_history,
+        "doc_chunk_overlap": q_doc_chunk_overlap,
         # -- latest driver row is r3 (two rounds stale) — oldest debt first
         "scalar_functions": q_scalar_functions,
         "pearson_corr": q_pearson_corr,
@@ -3339,17 +3360,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_dominant_supplier": q_tpch_q20,
         "events_sessionization": q_events_sessionization,
         "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
         "graph_triangle_count": q_graph_triangles,
         "graph_shortest_paths": q_graph_shortest_paths,
         "graph_weighted_paths": q_graph_weighted_paths,
         "graph_kcore": q_graph_kcore,
         "emb_ivf_ann": q_emb_ivf_ann,
-        # ---- 50-row window boundary (2 new + 6 r3-green + 42 r4-green =
-        #      50). The 7 r4-green holdovers directly below exceed the
+        # ---- 50-row window boundary (3 new + 6 r3-green + 41 r4-green =
+        #      50). The 8 r4-green holdovers directly below exceed the
         #      one-round staleness budget this cycle — they are the
-        #      registry's simplest pure-Column scans (hash-green since
-        #      r1/r2, unchanged code paths) and they lead the r7 window. ----
+        #      registry's simplest pure-Column/posexplode scans (hash-green
+        #      since r1/r2, unchanged code paths) and they lead the r7
+        #      window. ----
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q13_order_distribution": q_tpch_q13,
         "tpch_q16_supplier_cnt": q_tpch_q16,
@@ -3714,6 +3736,32 @@ def oracle_sql() -> dict[str, str]:
                      ELSE t.o_totalprice END AS o_totalprice
             FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
             WHERE NOT COALESCE(s.is_delete, FALSE)
+        """,
+        # Sliding-window chunking: identical window arithmetic — starts are
+        # multiples of the stride below the token count (Spark sequence()
+        # has an inclusive stop, DuckDB range() an exclusive one; 0..n-1
+        # inclusive == 0..n exclusive), 1-based inclusive list slices on
+        # both engines, md5 over the space-joined chunk.
+        "doc_chunk_overlap": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id, t,
+                       unnest(range(0, greatest(len(t), 1), 48)) AS start
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(start // 48 AS BIGINT) AS chunk_idx,
+                   CAST(len(t[start + 1 : start + 64]) AS BIGINT)
+                       AS n_chunk_tokens,
+                   md5(array_to_string(t[start + 1 : start + 64], ' '))
+                       AS chunk_md5
+            FROM st
+            WHERE len(t[start + 1 : start + 64]) > 0
         """,
         # SCD2: change-collapse via lag() then validity ranges via lead(),
         # ordered by (ts, priority) on both engines so ties are total.

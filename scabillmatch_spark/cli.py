@@ -222,6 +222,11 @@ def cmd_curate(args) -> None:
         out = curation.dedup_paragraphs(
             docs.select(idc, tc), idc, tc, args.delimiter
         )
+    elif args.op == "chunk":
+        out = curation.chunk_documents(
+            docs.select(idc, tc), idc, tc,
+            chunk_tokens=args.chunk_tokens, stride=args.stride,
+        )
     elif args.op == "mixture-sample":
         if not args.mix:
             sys.exit("curate --op mixture-sample requires --mix k=frac,...")
@@ -236,6 +241,21 @@ def cmd_curate(args) -> None:
         )
     else:  # repetition
         out = docs.select(idc, *curation.repetition_stats(tc, args.ngram))
+    out.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_merge(args) -> None:
+    from scabillmatch_spark.operators.merge import merge_into
+
+    spark = _spark(args)
+    out = merge_into(
+        spark.read.parquet(args.target),
+        spark.read.parquet(args.source),
+        args.keys.split(","),
+        update_cols=args.update_cols.split(",") if args.update_cols else None,
+        insert=not args.no_insert,
+        delete_col=args.delete_col,
+    )
     out.write.mode("overwrite").parquet(args.output)
 
 
@@ -344,7 +364,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--op",
         choices=[
             "decontaminate", "stratified-sample", "pack", "pii-scrub",
-            "repetition", "paragraph-dedup", "mixture-sample",
+            "repetition", "paragraph-dedup", "mixture-sample", "chunk",
         ],
         required=True,
     )
@@ -357,6 +377,8 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--strata", default="state", help="comma-separated stratum/pack cols")
     cu.add_argument("--delimiter", default=". ", help="unit delimiter (paragraph-dedup)")
     cu.add_argument("--mix", help="stratum=fraction,... mixture weights (mixture-sample)")
+    cu.add_argument("--chunk-tokens", type=int, default=256, help="window size (chunk)")
+    cu.add_argument("--stride", type=int, default=192, help="window step (chunk)")
     cu.set_defaults(fn=cmd_curate)
 
     dd = sub.add_parser(
@@ -372,6 +394,19 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--bands", type=int, default=8)
     dd.add_argument("--threshold", type=float, default=70.0)
     dd.set_defaults(fn=cmd_dedup_delta)
+
+    mg = sub.add_parser("merge", help="MERGE INTO / CDC upsert (update/delete/insert)")
+    mg.add_argument("--target", required=True, help="target table (parquet)")
+    mg.add_argument("--source", required=True, help="source/delta table (parquet)")
+    mg.add_argument("--output", required=True)
+    mg.add_argument("--keys", required=True, help="comma-separated join keys")
+    mg.add_argument("--update-cols", default=None,
+                    help="columns updated on match (default: all shared payload cols)")
+    mg.add_argument("--delete-col", default=None,
+                    help="boolean source column flagging deletes")
+    mg.add_argument("--no-insert", action="store_true",
+                    help="skip WHEN NOT MATCHED THEN INSERT")
+    mg.set_defaults(fn=cmd_merge)
 
     co = sub.add_parser("compact", help="small-file compaction / sorted rewrite")
     co.add_argument("--input", required=True)

@@ -1,7 +1,8 @@
 """Training-data curation operators (LLM-data-pipeline extension):
 benchmark decontamination, deterministic stratified sampling, sequence
-packing, intra-document repetition profiling, corpus-wide paragraph
-dedup (boilerplate removal), and deterministic mixture sampling.
+packing, sliding-window document chunking, intra-document repetition
+profiling, corpus-wide paragraph dedup (boilerplate removal), and
+deterministic mixture sampling.
 
 These are the corpus-hygiene steps a 100 TB pretraining pipeline runs
 between dedup and tokenization. None exist in the reference (its corpus
@@ -135,6 +136,67 @@ PII_PATTERNS = {
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "phone": r"\+?\d[\d\- ]{7,}\d",
 }
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window chunker):
+    split each document into whitespace tokens and emit overlapping windows
+    of ``chunk_tokens`` tokens whose starts step by ``stride``
+    (overlap = chunk_tokens - stride). Output: one row per chunk with
+    ``chunk_idx`` (0-based), ``n_chunk_tokens``, and ``chunk_text``.
+
+    Differs from pack_sequences (which assigns whole documents to
+    fixed-budget packs ACROSS documents): this splits WITHIN a document,
+    with overlap, the unit-of-retrieval/training-window shape.
+
+    Chunk starts are every multiple of ``stride`` below the token count, so
+    the final window may be shorter than ``chunk_tokens`` (and, when
+    stride < chunk_tokens, a short tail window is a suffix of its
+    predecessor — the standard overlap semantics; callers wanting
+    suffix-free tails filter on n_chunk_tokens). Empty documents produce
+    no rows. Tokens here are whitespace-delimited; a production pipeline
+    would chunk on tokenizer ids, but the plan is identical.
+
+    Plan: split -> sequence -> posexplode -> slice — entirely narrow
+    per-row Column expressions, ZERO shuffles at any corpus size; chunking
+    never needs to move data.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(toks) - 1, F.lit(0)),
+            F.lit(stride),
+        ).alias("__starts"),
+    ).select(
+        id_col,
+        "__toks",
+        F.posexplode("__starts").alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)
+    )
+    return (
+        out.select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
+    )
 
 
 def pii_counts(text_col: Column | str) -> list[Column]:

@@ -149,3 +149,29 @@ def test_cli_compact_zorder(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 20_000
     assert sorted(back.columns) == ["x", "y"]
+
+
+def test_cli_chunk_and_merge(spark, corpus, tmp_path):
+    out = str(tmp_path / "r6")
+    cli.main(["curate", "--input", corpus, "--output", out + "/ch",
+              "--op", "chunk", "--text-col", "content",
+              "--id-col", "primary_key", "--chunk-tokens", "64",
+              "--stride", "48"])
+    ch = spark.read.parquet(out + "/ch")
+    assert ch.count() > 4  # every doc yields multiple overlapping windows
+    assert {"chunk_idx", "n_chunk_tokens", "chunk_text"} <= set(ch.columns)
+
+    tgt = str(tmp_path / "tgt")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(tgt)
+    spark.createDataFrame(
+        [(2, "B", False), (3, "c", False), (1, "a", True)],
+        "k long, v string, del boolean",
+    ).write.parquet(src)
+    cli.main(["merge", "--target", tgt, "--source", src,
+              "--output", out + "/merged", "--keys", "k",
+              "--delete-col", "del"])
+    merged = {r.k: r.v for r in spark.read.parquet(out + "/merged").collect()}
+    assert merged == {2: "B", 3: "c"}

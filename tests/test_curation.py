@@ -189,3 +189,49 @@ def test_mixture_sample_fractions_and_determinism(spark):
     ids2 = sorted(r["doc_id"] for r in
                   mixture_sample(df, frac, "src", "doc_id").collect())
     assert ids1 == ids2
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from scabillmatch_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens
+            (2, "a b"),                   # shorter than one chunk
+            (3, "   "),                   # whitespace-only -> no rows
+            (4, ""),                      # empty -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+            for r in out.collect()}
+    # doc 1: starts 0,3,6 -> [t0..t3], [t3..t6], [t6] (overlap of 1 token)
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (1, "t6")
+    assert rows[(2, 0)] == (2, "a b")
+    assert {k[0] for k in rows} == {1, 2}  # docs 3/4 produce nothing
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    from scabillmatch_spark.operators.curation import chunk_documents
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("x y z w v u t").alias("text")
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, stride=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from scabillmatch_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", stride=-1)
