@@ -1620,6 +1620,26 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (F.session_window + watermark — the last
+    §2.12 window class without its own streaming driver row; the batch
+    lag/cumsum twin is events_sessionization): per-user sessions with a
+    30-min inactivity gap, complete-mode memory sink over AvailableNow
+    (session-window aggregation rejects update mode — sessions can merge
+    retroactively, so an "update" of a session isn't well-defined; complete
+    re-emits the merged state and append would hold back sessions newer
+    than the final watermark). The drained output equals batch
+    sessionization, so the oracle is the lag-based SQL with the >= boundary
+    (session_window's window end is exclusive — see
+    streaming/events.session_windows)."""
+    from scabillmatch_spark.streaming import events as SE
+
+    stream = SE.read_events_stream(spark, sf_dir)
+    sess = SE.session_windows(stream.withWatermark("ts", "1 hour"))
+    # 16 state-store partitions, same sizing note as events_stream_stateful
+    return SE.run_available_now(sess, "complete", shuffle_partitions=16)
+
+
 def q_events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (the remaining Structured Streaming
     operator class): purchases joined to the same user's clicks in the 15
@@ -3316,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_merge_upsert": q_storage_merge_upsert,
         "orders_scd2_history": q_orders_scd2_history,
         "doc_chunk_overlap": q_doc_chunk_overlap,
+        "events_stream_session": q_events_stream_session,
         # -- latest driver row is r3 (two rounds stale) — oldest debt first
         "scalar_functions": q_scalar_functions,
         "pearson_corr": q_pearson_corr,
@@ -3335,7 +3356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_lda_topics": q_ml_lda_topics,
         "ml_lsa_projection": q_ml_lsa_projection,
         "ml_minhash_reference_join": q_ml_minhash_reference_join,
-        "doc_pair_measures": q_doc_pair_measures,
         "media_image_metadata": q_media_image_metadata,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
@@ -3365,13 +3385,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_paths": q_graph_weighted_paths,
         "graph_kcore": q_graph_kcore,
         "emb_ivf_ann": q_emb_ivf_ann,
-        # ---- 50-row window boundary (3 new + 6 r3-green + 41 r4-green =
-        #      50). The 8 r4-green holdovers directly below exceed the
+        # ---- 50-row window boundary (4 new + 6 r3-green + 40 r4-green =
+        #      50). The 9 r4-green holdovers directly below exceed the
         #      one-round staleness budget this cycle — they are the
         #      registry's simplest pure-Column/posexplode scans (hash-green
         #      since r1/r2, unchanged code paths) and they lead the r7
         #      window. ----
         "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "doc_pair_measures": q_doc_pair_measures,
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q13_order_distribution": q_tpch_q13,
         "tpch_q16_supplier_cnt": q_tpch_q16,
@@ -4474,6 +4495,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # Streaming session windows: lag-based sessionization with the >=
+        # boundary (F.session_window's window end is EXCLUSIVE: an event
+        # exactly gap after its predecessor opens a new session).
+        "events_stream_session": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                                 OR ts >= prev + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM f
+            )
+            SELECT user_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "tpch_q10_returned_revenue": """
             SELECT c_custkey, c_name, n_name, c_acctbal,

@@ -78,11 +78,22 @@ def sliding_avg(events: DataFrame, window: str = "1 hour", slide: str = "30 minu
 
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (F.session_window — the streaming-native
-    form of the batch lag/cumsum sessionization in __spark_entry__)."""
+    form of the batch lag/cumsum sessionization in __spark_entry__).
+
+    Boundary semantics: a session's window is [first_ts, last_ts + gap)
+    with an EXCLUSIVE end, so an event arriving exactly ``gap`` after the
+    previous one starts a NEW session — equivalently, consecutive events
+    share a session iff their time difference is strictly less than
+    ``gap``. The oracle's lag-based sessionization uses >= for its
+    new-session test accordingly."""
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", "n_events")
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
     )
 
 
