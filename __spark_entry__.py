@@ -1244,7 +1244,11 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.operators import graph
 
     edges = _doc_edges(spark, sf_dir)
-    return graph.connected_components(edges)
+    # 8 loop partitions: the label frame is ~1.7k vertices / ~38k edges at
+    # sf0.1 — per-round shuffles at the 32-partition session default were
+    # 20-35% task overhead (A/B in PLANS.md round 6); at cluster scale a
+    # caller leaves the default (None = cluster-sized)
+    return graph.connected_components(edges, num_shuffle_partitions=8)
 
 
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,7 +1458,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.operators import graph
 
     edges = _doc_edges(spark, sf_dir)
-    return graph.k_core(edges, k=3)
+    # 8 loop partitions — same frame-sized-shuffle rationale as
+    # doc_dup_clusters (measured 3.5s -> 2.2s at sf0.1, PLANS.md round 6)
+    return graph.k_core(edges, k=3, num_shuffle_partitions=8)
 
 
 def q_emb_vector_measures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,10 +122,43 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
 
 
+def _loop_partitions(spark, num_shuffle_partitions: int | None):
+    """Context manager: temporarily size spark.sql.shuffle.partitions for an
+    iterative loop's per-round shuffles, restoring the session value after.
+
+    Iterative graph frames are tiny relative to the session default (the
+    sf0.1 similarity graph is ~38k edges, yet every round's groupBy/join
+    inherits the cluster-sized 32 partitions — measured 35% of k-core's
+    wall time was pure per-task overhead; 8 partitions ran 3.5s -> 2.2s,
+    CC 4.3s -> 3.3s, same plans). Size to FRAME volume, not cluster width:
+    local/driver-checked callers pass 8; at cluster scale leave None (the
+    loop then uses the cluster default, which is right when each round
+    shuffles TBs). Same set/restore pattern as streaming's
+    run_available_now state-store sizing."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        if num_shuffle_partitions is None:
+            yield
+            return
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(num_shuffle_partitions)
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _cm()
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 30,
     undirected: bool = True,
+    num_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation -> (id, component),
     component = smallest vertex id in the component (GraphFrames
@@ -143,50 +176,51 @@ def connected_components(
     early-stop discipline as the BFS (lazy iterative frames re-execute
     compounding join trees — the measured round-2 failure mode)."""
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
-    comp = (
-        vertices_from_edges(e)
-        .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
-    )
     converged = False
-    for _ in range(max_iter):
-        nbr_min = (
-            e.join(comp, e.src == comp.id)
-            .select(F.col("dst").alias("id"), F.col("component").alias("nc"))
-            .groupBy("id")
-            .agg(F.min("nc").alias("nbr_min"))
-        )
-        hop = comp.join(nbr_min, "id", "left").select(
-            "id",
-            F.col("component").alias("__old"),
-            F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
-                "__c1"
-            ),
-        )
-        # shortcut: component'(v) = c1(c1(v)) — labels are vertex ids, so
-        # the hop output doubles as the lookup map (left join: a label may
-        # already be its component's minimum and map to itself)
-        lbl = hop.select(F.col("id").alias("__jid"), F.col("__c1").alias("__jc"))
-        nxt = (
-            hop.join(lbl, hop.__c1 == F.col("__jid"), "left")
-            .select(
-                "id",
-                F.least(F.col("__c1"), F.coalesce("__jc", F.col("__c1"))).alias(
-                    "component"
-                ),
-                F.col("__old"),
-            )
-            .select(
-                "id",
-                "component",
-                (F.col("component") < F.col("__old")).alias("__improved"),
-            )
+    with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
+        comp = (
+            vertices_from_edges(e)
+            .select("id", F.col("id").alias("component"))
             .localCheckpoint()
         )
-        converged = nxt.filter(F.col("__improved")).isEmpty()
-        comp = nxt.select("id", "component")
-        if converged:
-            break
+        for _ in range(max_iter):
+            nbr_min = (
+                e.join(comp, e.src == comp.id)
+                .select(F.col("dst").alias("id"), F.col("component").alias("nc"))
+                .groupBy("id")
+                .agg(F.min("nc").alias("nbr_min"))
+            )
+            hop = comp.join(nbr_min, "id", "left").select(
+                "id",
+                F.col("component").alias("__old"),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("__c1"),
+            )
+            # shortcut: component'(v) = c1(c1(v)) — labels are vertex ids, so
+            # the hop output doubles as the lookup map (left join: a label may
+            # already be its component's minimum and map to itself)
+            lbl = hop.select(F.col("id").alias("__jid"), F.col("__c1").alias("__jc"))
+            nxt = (
+                hop.join(lbl, hop.__c1 == F.col("__jid"), "left")
+                .select(
+                    "id",
+                    F.least(F.col("__c1"), F.coalesce("__jc", F.col("__c1"))).alias(
+                        "component"
+                    ),
+                    F.col("__old"),
+                )
+                .select(
+                    "id",
+                    "component",
+                    (F.col("component") < F.col("__old")).alias("__improved"),
+                )
+                .localCheckpoint()
+            )
+            converged = nxt.filter(F.col("__improved")).isEmpty()
+            comp = nxt.select("id", "component")
+            if converged:
+                break
     if not converged:
         # labels still propagating when the round budget ran out (rounds
         # needed = graph diameter, e.g. a path graph longer than max_iter):
@@ -208,6 +242,7 @@ def k_core(
     k: int,
     max_iter: int = 50,
     undirected: bool = True,
+    num_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """The k-core of the graph: the maximal induced subgraph where every
     vertex keeps degree >= k. Returns (id, degree) — degree WITHIN the
@@ -226,20 +261,23 @@ def k_core(
     e = (undirect(edges) if undirected else edges.select("src", "dst")).localCheckpoint()
     n_edges = e.count()
     converged = False
-    for _ in range(max_iter):
-        deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("id")
-        nxt = (
-            e.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
-        n_next = nxt.count()
-        converged = n_next == n_edges
-        e, n_edges = nxt, n_next
-        if converged:
-            break
+    with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
+        for _ in range(max_iter):
+            deg = e.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            keep = deg.filter(F.col("deg") >= k).select("id")
+            nxt = (
+                e.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
+                .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            n_next = nxt.count()
+            converged = n_next == n_edges
+            e, n_edges = nxt, n_next
+            if converged:
+                break
     if not converged:
         # a long path with k=2 peels only two endpoints per round: an
         # exhausted budget would silently return a SUPERSET of the k-core
