@@ -176,7 +176,11 @@ def cmd_graph(args) -> None:
         # components converge in graph-diameter rounds (early-stopped), so
         # the budget only needs to be an upper bound — 50 covers any
         # plausible near-dup graph; connected_components warns if exhausted
-        out = graph.connected_components(edges, max_iter=50 if args.iters is None else args.iters)
+        out = graph.connected_components(
+            edges,
+            max_iter=50 if args.iters is None else args.iters,
+            num_shuffle_partitions=args.loop_partitions,
+        )
     else:
         out = graph.shortest_paths(edges, args.landmark, max_depth=10 if args.iters is None else args.iters)
     out.write.mode("overwrite").parquet(args.output)
@@ -355,6 +359,10 @@ def build_parser() -> argparse.ArgumentParser:
     # graph-diameter rounds, far more than pagerank's damped fixpoint)
     g.add_argument("--iters", type=int, default=None)
     g.add_argument("--landmark", default=None)
+    g.add_argument("--loop-partitions", type=int, default=None,
+                   help="shuffle partitions for the iterative loop's "
+                        "per-round frames (default: session/cluster value; "
+                        "size to frame volume on small graphs)")
     g.set_defaults(fn=cmd_graph)
 
     cu = sub.add_parser("curate", help="training-data curation ops over a doc table")
