@@ -138,3 +138,28 @@ def test_scd2_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # both windows ride ONE hash-partitioned exchange on the key
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_merge_composite_keys(spark):
+    tgt = spark.createDataFrame(
+        [(1, "x", 10.0), (1, "y", 11.0), (2, "x", 20.0)],
+        "k1 long, k2 string, v double",
+    )
+    src = spark.createDataFrame(
+        [(1, "y", 110.0), (3, "z", 30.0)], "k1 long, k2 string, v double"
+    )
+    out = merge_into(tgt, src, ["k1", "k2"])
+    rows = {(r.k1, r.k2): r.v for r in out.collect()}
+    assert rows == {(1, "x"): 10.0, (1, "y"): 110.0, (2, "x"): 20.0, (3, "z"): 30.0}
+
+
+def test_scd2_multi_tracked_columns(spark):
+    # a change in EITHER tracked column opens a new version
+    log = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 20, "a", 1), (1, 30, "a", 2), (1, 40, "b", 2)],
+        "k long, t long, x string, y long",
+    )
+    out = scd2_history(log, "k", "t", ["x", "y"]).orderBy("effective_from").collect()
+    assert [(r.x, r.y, r.effective_from, r.effective_to) for r in out] == [
+        ("a", 1, 10, 30), ("a", 2, 30, 40), ("b", 2, 40, None),
+    ]
