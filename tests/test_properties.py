@@ -196,3 +196,48 @@ def test_stratified_sample_is_exact_k_and_stable(spark, rows, k):
     # replayable: second run picks identical rows
     again = stratified_sample(df, ["src"], k).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+# --- MERGE semantics vs a dict-model reference ------------------------------
+
+_merge_targets = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(-5, 5)),
+    min_size=0, max_size=10,
+    unique_by=lambda t: t[0],
+)
+_merge_sources = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(-5, 5), st.booleans()),
+    min_size=0, max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+def _merge_model(target, source, insert):
+    """Dict-model ANSI MERGE: matched+delete -> drop; matched -> update;
+    source-only -> insert (unless delete-flagged or insert=False)."""
+    out = {k: v for k, v in target}
+    for k, v, dele in source:
+        if k in out:
+            if dele:
+                del out[k]
+            else:
+                out[k] = v
+        elif insert and not dele:
+            out[k] = v
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(_merge_targets, _merge_sources, st.booleans())
+def test_merge_into_matches_dict_model(spark, target, source, insert):
+    from scabillmatch_spark.operators.merge import merge_into
+
+    tgt = spark.createDataFrame(target, "k long, v long") if target else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    src = spark.createDataFrame(source, "k long, v long, del boolean") if source else (
+        spark.createDataFrame([], "k long, v long, del boolean")
+    )
+    got = {r.k: r.v for r in
+           merge_into(tgt, src, ["k"], delete_col="del", insert=insert).collect()}
+    assert got == _merge_model(target, source, insert)
