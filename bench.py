@@ -220,6 +220,10 @@ def main() -> None:
                 {
                     "total": total,
                     "full_total": full_total,
+                    # a --headline-only record is PARTIAL: full_total covers
+                    # only the headline tier and ~60 per-query entries are
+                    # absent — never compare it against a full-run snapshot
+                    "partial": headline_only,
                     "headline": sorted(HEADLINE & set(timings)),
                     "sf": sf,
                     "queries": timings,

@@ -168,9 +168,14 @@ def cmd_graph(args) -> None:
     edges = scored.select(F.col("pk1").alias("src"), F.col("pk2").alias("dst"))
     if args.algo == "pagerank":
         out = graph.pagerank(
-            edges, reset_prob=args.reset_prob, max_iter=10 if args.iters is None else args.iters
+            edges,
+            reset_prob=args.reset_prob,
+            max_iter=10 if args.iters is None else args.iters,
+            num_shuffle_partitions=args.loop_partitions,
         )
     elif args.algo == "triangles":
+        if args.loop_partitions is not None:
+            sys.exit("--loop-partitions: triangles is a one-shot join, not a loop")
         out = graph.triangle_count_per_vertex(edges)
     elif args.algo == "components":
         # components converge in graph-diameter rounds (early-stopped), so
@@ -182,7 +187,12 @@ def cmd_graph(args) -> None:
             num_shuffle_partitions=args.loop_partitions,
         )
     else:
-        out = graph.shortest_paths(edges, args.landmark, max_depth=10 if args.iters is None else args.iters)
+        out = graph.shortest_paths(
+            edges,
+            args.landmark,
+            max_depth=10 if args.iters is None else args.iters,
+            num_shuffle_partitions=args.loop_partitions,
+        )
     out.write.mode("overwrite").parquet(args.output)
 
 

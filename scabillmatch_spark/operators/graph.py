@@ -19,6 +19,8 @@ shuffle-heavy but linear in triangle count; BFS shuffles the frontier only.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,7 @@ def pagerank(
     reset_prob: float = 0.15,
     max_iter: int = 10,
     undirected: bool = True,
+    num_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank by power iteration -> (id, pagerank).
 
@@ -62,22 +65,24 @@ def pagerank(
     e_w = e.join(outdeg, "src").cache()
 
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
-    for i in range(max_iter):
-        contribs = (
-            e_w.join(ranks, e_w.src == ranks.id)
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("insum"))
-        )
-        ranks = verts.join(contribs, verts.id == contribs.dst, "left").select(
-            "id",
-            (
-                F.lit(reset_prob / n)
-                + F.lit(1.0 - reset_prob) * F.coalesce(F.col("insum"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        if (i + 1) % CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint()
+    with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
+        for i in range(max_iter):
+            contribs = (
+                e_w.join(ranks, e_w.src == ranks.id)
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("insum"))
+            )
+            ranks = verts.join(contribs, verts.id == contribs.dst, "left").select(
+                "id",
+                (
+                    F.lit(reset_prob / n)
+                    + F.lit(1.0 - reset_prob)
+                    * F.coalesce(F.col("insum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                ranks = ranks.localCheckpoint()
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
@@ -122,9 +127,10 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
 
 
+@contextlib.contextmanager
 def _loop_partitions(spark, num_shuffle_partitions: int | None):
-    """Context manager: temporarily size spark.sql.shuffle.partitions for an
-    iterative loop's per-round shuffles, restoring the session value after.
+    """Temporarily size spark.sql.shuffle.partitions for an iterative
+    loop's per-round shuffles, restoring the session value after.
 
     Iterative graph frames are tiny relative to the session default (the
     sf0.1 similarity graph is ~38k edges, yet every round's groupBy/join
@@ -134,24 +140,22 @@ def _loop_partitions(spark, num_shuffle_partitions: int | None):
     local/driver-checked callers pass 8; at cluster scale leave None (the
     loop then uses the cluster default, which is right when each round
     shuffles TBs). Same set/restore pattern as streaming's
-    run_available_now state-store sizing."""
-    import contextlib
+    run_available_now state-store sizing.
 
-    @contextlib.contextmanager
-    def _cm():
-        if num_shuffle_partitions is None:
-            yield
-            return
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(num_shuffle_partitions)
-        )
-        try:
-            yield
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    return _cm()
+    Binds only to work EXECUTED inside the block: rounds that materialize
+    per iteration (localCheckpoint — CC, k-core, BFS, Bellman-Ford) are
+    fully covered; pagerank checkpoints every CHECKPOINT_EVERY rounds, so
+    its un-checkpointed tail rounds execute lazily at the caller's action
+    under the session default."""
+    if num_shuffle_partitions is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_shuffle_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(
@@ -303,6 +307,7 @@ def weighted_shortest_paths(
     weight_col: str = "weight",
     max_iter: int = 10,
     undirected: bool = True,
+    num_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Min-cost path distances by bounded frontier Bellman-Ford relaxation ->
     (id, distance). The reference README mentions Dijkstra min-cost paths
@@ -350,26 +355,27 @@ def weighted_shortest_paths(
             [(landmark, 0.0, 0)], ["id", "distance", "__round"]
         )
     frontier = dist.select("id", "distance")
-    for i in range(1, max_iter + 1):
-        candidates = frontier.join(e, frontier.id == e.src).select(
-            F.col("dst").alias("id"),
-            (F.col("distance") + F.col(weight_col)).alias("distance"),
-            F.lit(i).alias("__round"),
-        )
-        dist = (
-            dist.union(candidates)
-            .groupBy("id")
-            .agg(F.min(F.struct("distance", "__round")).alias("__s"))
-            .select(
-                "id",
-                F.col("__s.distance").alias("distance"),
-                F.col("__s.__round").alias("__round"),
+    with _loop_partitions(spark, num_shuffle_partitions):
+        for i in range(1, max_iter + 1):
+            candidates = frontier.join(e, frontier.id == e.src).select(
+                F.col("dst").alias("id"),
+                (F.col("distance") + F.col(weight_col)).alias("distance"),
+                F.lit(i).alias("__round"),
             )
-            .localCheckpoint()
-        )
-        frontier = dist.filter(F.col("__round") == i).select("id", "distance")
-        if frontier.isEmpty():
-            break
+            dist = (
+                dist.union(candidates)
+                .groupBy("id")
+                .agg(F.min(F.struct("distance", "__round")).alias("__s"))
+                .select(
+                    "id",
+                    F.col("__s.distance").alias("distance"),
+                    F.col("__s.__round").alias("__round"),
+                )
+                .localCheckpoint()
+            )
+            frontier = dist.filter(F.col("__round") == i).select("id", "distance")
+            if frontier.isEmpty():
+                break
     return dist.select("id", "distance")
 
 
@@ -378,6 +384,7 @@ def shortest_paths(
     landmarks,
     max_depth: int = 6,
     undirected: bool = True,
+    num_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """BFS hop distances from a landmark set, bounded depth.
 
@@ -420,17 +427,20 @@ def shortest_paths(
             [(lm, lm, 0) for lm in lset], ["id", "landmark", "distance"]
         )
     frontier = dist
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(e, frontier.id == e.src)
-            .select(F.col("dst").alias("id"), "landmark", F.lit(d).alias("distance"))
-            .distinct()
-            .join(dist.select("id", "landmark"), ["id", "landmark"], "left_anti")
-        ).localCheckpoint()
-        if nxt.isEmpty():
-            break
-        dist = dist.union(nxt)
-        frontier = nxt
+    with _loop_partitions(spark, num_shuffle_partitions):
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier.id == e.src)
+                .select(
+                    F.col("dst").alias("id"), "landmark", F.lit(d).alias("distance")
+                )
+                .distinct()
+                .join(dist.select("id", "landmark"), ["id", "landmark"], "left_anti")
+            ).localCheckpoint()
+            if nxt.isEmpty():
+                break
+            dist = dist.union(nxt)
+            frontier = nxt
     if single:
         return dist.select("id", "distance")
     return dist

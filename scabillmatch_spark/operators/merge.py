@@ -38,6 +38,7 @@ def merge_into(
     update_cols: list[str] | None = None,
     insert: bool = True,
     delete_col: str | None = None,
+    check_unique_source: bool = True,
 ) -> DataFrame:
     """Relational MERGE: returns the target table after applying ``source``.
 
@@ -52,15 +53,38 @@ def merge_into(
 
     Output schema == target schema, in target column order.
 
+    Source keys must be unique — duplicate keys would fan the join out and
+    emit contradictory rows. Like Delta's "multiple source rows matched",
+    this is ENFORCED at execution (``check_unique_source``): a per-key
+    count window on the source feeds assert_true inside the presence
+    marker, so a duplicate key fails the job. The window's hash
+    partitioning on ``keys`` is exactly what the join requires, so the
+    check adds no extra shuffle (opt out for a source that is expensive to
+    window and known-unique upstream).
+
     Plan: ONE full-outer SortMergeJoin on ``keys`` (full-outer cannot
     broadcast by definition — both sides must emit unmatched rows); all
     arbitration is whole-stage-codegen CASE exprs. No UDF, no second pass.
     """
     spayload = [c for c in source.columns if c not in keys]
+    if check_unique_source:
+        present = F.coalesce(
+            F.assert_true(
+                F.count(F.lit(1)).over(W.partitionBy(*keys)) <= 1,
+                F.concat(
+                    F.lit("merge_into: multiple source rows matched key ("),
+                    F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+                    F.lit(")"),
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    else:
+        present = F.lit(True)
     src = source.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(_SRC + c) for c in spayload],
-        F.lit(True).alias(_SP),
+        present.alias(_SP),
     )
     tgt = target.withColumn(_TP, F.lit(True))
     joined = tgt.join(src, on=keys, how="full_outer")
@@ -82,6 +106,14 @@ def merge_into(
         missing = set(update_cols) - set(spayload)
         if missing:
             raise ValueError(f"update_cols not in source: {sorted(missing)}")
+        not_in_target = set(update_cols) - set(target.columns)
+        if not_in_target:
+            # the output loop iterates target columns, so an entry absent
+            # from the target would be silently ignored — a typo'd column
+            # name must fail loudly, not "update nothing"
+            raise ValueError(
+                f"update_cols not in target: {sorted(not_in_target)}"
+            )
         update_set = set(update_cols)
 
     matched = tp & sp

@@ -163,3 +163,26 @@ def test_scd2_multi_tracked_columns(spark):
     assert [(r.x, r.y, r.effective_from, r.effective_to) for r in out] == [
         ("a", 1, 10, 30), ("a", 2, 30, 40), ("b", 2, 40, None),
     ]
+
+
+def test_merge_duplicate_source_keys_fail_at_execution(spark):
+    # Delta's "multiple source rows matched" precondition, enforced in-plan
+    dup_src = spark.createDataFrame(
+        [(2, "B", 200.0, False), (2, "B2", 201.0, True)],
+        "k long, s string, v double, del boolean",
+    )
+    out = merge_into(_target(spark), dup_src, ["k"], delete_col="del")
+    with pytest.raises(Exception, match="multiple source rows matched"):
+        out.collect()
+    # opt-out path still runs (caller vouches for uniqueness upstream)
+    ok = merge_into(
+        _target(spark), dup_src, ["k"], delete_col="del",
+        check_unique_source=False,
+    )
+    assert ok.count() >= 2
+
+
+def test_merge_update_cols_not_in_target_raises(spark):
+    src = spark.createDataFrame([(1, 9.0)], "k long, price_usd double")
+    with pytest.raises(ValueError, match="update_cols not in target"):
+        merge_into(_target(spark), src, ["k"], update_cols=["price_usd"])
