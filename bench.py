@@ -146,6 +146,9 @@ def main() -> None:
         # storage maintenance
         "io_sorted_compact", "io_zorder_roundtrip", "io_bucketed_join",
         "io_avro_roundtrip",
+        # round-6 plan shapes: full-outer MERGE arbitration; zero-shuffle
+        # sliding-window chunking (narrow posexplode/slice)
+        "storage_merge_upsert", "doc_chunk_overlap",
     }
     unknown_h = HEADLINE - set(entrymod.queries()) - {
         "flagship_doc_match", "flagship_doc_match_2x",
