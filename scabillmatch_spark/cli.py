@@ -269,6 +269,7 @@ def cmd_merge(args) -> None:
         update_cols=args.update_cols.split(",") if args.update_cols else None,
         insert=not args.no_insert,
         delete_col=args.delete_col,
+        broadcast_source=args.broadcast_source,
     )
     out.write.mode("overwrite").parquet(args.output)
 
@@ -424,6 +425,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="boolean source column flagging deletes")
     mg.add_argument("--no-insert", action="store_true",
                     help="skip WHEN NOT MATCHED THEN INSERT")
+    mg.add_argument("--broadcast-source", action="store_true",
+                    help="small-delta scale path: broadcast the source; "
+                         "the target is never shuffled")
     mg.set_defaults(fn=cmd_merge)
 
     co = sub.add_parser("compact", help="small-file compaction / sorted rewrite")

@@ -39,6 +39,7 @@ def merge_into(
     insert: bool = True,
     delete_col: str | None = None,
     check_unique_source: bool = True,
+    broadcast_source: bool = False,
 ) -> DataFrame:
     """Relational MERGE: returns the target table after applying ``source``.
 
@@ -62,9 +63,21 @@ def merge_into(
     check adds no extra shuffle (opt out for a source that is expensive to
     window and known-unique upstream).
 
-    Plan: ONE full-outer SortMergeJoin on ``keys`` (full-outer cannot
-    broadcast by definition — both sides must emit unmatched rows); all
-    arbitration is whole-stage-codegen CASE exprs. No UDF, no second pass.
+    Plan, default path: ONE full-outer SortMergeJoin on ``keys``
+    (full-outer cannot broadcast by definition — both sides must emit
+    unmatched rows); all arbitration is whole-stage-codegen CASE exprs.
+    No UDF, no second pass.
+
+    ``broadcast_source=True`` is the CDC-apply scale path for a SMALL
+    source against a HUGE target: the full-outer rewrite must shuffle the
+    entire target on ``keys``, which at a 100 TB target dwarfs everything
+    else. The broadcast rewrite never shuffles the target at all:
+    update/delete arbitration is a broadcast LEFT join (target partitioning
+    preserved — the output can be written back partition-aligned), and
+    inserts come from a broadcast anti-join of the source against the
+    matched-key set (itself a keys-only target scan + broadcast semi-join).
+    Two target scans, zero target shuffles; identical results to the
+    default path (property-tested).
     """
     spayload = [c for c in source.columns if c not in keys]
     if check_unique_source:
@@ -86,10 +99,14 @@ def merge_into(
         *[F.col(c).alias(_SRC + c) for c in spayload],
         present.alias(_SP),
     )
-    tgt = target.withColumn(_TP, F.lit(True))
-    joined = tgt.join(src, on=keys, how="full_outer")
-
-    tp = F.coalesce(F.col(_TP), F.lit(False))
+    if broadcast_source:
+        joined = target.join(F.broadcast(src), on=keys, how="left")
+        tp = F.lit(True)  # every row of a left join has its target side
+    else:
+        joined = target.withColumn(_TP, F.lit(True)).join(
+            src, on=keys, how="full_outer"
+        )
+        tp = F.coalesce(F.col(_TP), F.lit(False))
     sp = F.coalesce(F.col(_SP), F.lit(False))
     if delete_col is not None:
         if delete_col not in spayload:
@@ -134,7 +151,32 @@ def merge_into(
         else:
             out_cols.append(F.col(c))  # NULL for insert rows by construction
     keep = (tp & ~(matched & sdel)) | (inserted & ~sdel & F.lit(insert))
-    return joined.filter(keep).select(*out_cols)
+    result = joined.filter(keep).select(*out_cols)
+    if broadcast_source and insert:
+        # inserts never appear in a left join: source-only rows come from a
+        # broadcast anti-join of the source against the matched-key set —
+        # matched keys are <= |source| (small), gathered by a keys-only
+        # target scan + broadcast semi-join, so the target is never shuffled
+        if delete_col is not None:
+            src_live = src.filter(~F.coalesce(F.col(_SRC + delete_col), F.lit(False)))
+        else:
+            src_live = src
+        matched_keys = target.select(*[F.col(k) for k in keys]).join(
+            F.broadcast(src.select(*[F.col(k) for k in keys])), keys, "left_semi"
+        )
+        ins = src_live.join(F.broadcast(matched_keys), keys, "left_anti")
+        ins_cols = []
+        for c in target.columns:
+            if c in keys:
+                ins_cols.append(F.col(c))
+            elif _SRC + c in src.columns:
+                ins_cols.append(F.col(_SRC + c).alias(c))
+            else:
+                ins_cols.append(
+                    F.lit(None).cast(target.schema[c].dataType).alias(c)
+                )
+        result = result.unionByName(ins.select(*ins_cols))
+    return result
 
 
 def scd2_history(

@@ -32,24 +32,31 @@ def _source(spark):
     )
 
 
-def test_merge_update_delete_insert(spark):
-    out = merge_into(_target(spark), _source(spark), ["k"], delete_col="del")
+@pytest.mark.parametrize("bcast", [False, True])
+def test_merge_update_delete_insert(spark, bcast):
+    out = merge_into(
+        _target(spark), _source(spark), ["k"],
+        delete_col="del", broadcast_source=bcast,
+    )
     rows = {r.k: (r.s, r.v) for r in out.collect()}
     assert rows == {1: ("a", 10.0), 2: ("B", 200.0), 4: ("d", 40.0)}
     assert out.columns == ["k", "s", "v"]  # target schema, target order
 
 
-def test_merge_no_insert(spark):
+@pytest.mark.parametrize("bcast", [False, True])
+def test_merge_no_insert(spark, bcast):
     out = merge_into(
-        _target(spark), _source(spark), ["k"], delete_col="del", insert=False
+        _target(spark), _source(spark), ["k"],
+        delete_col="del", insert=False, broadcast_source=bcast,
     )
     assert {r.k for r in out.collect()} == {1, 2}
 
 
-def test_merge_update_subset_keeps_other_target_cols(spark):
+@pytest.mark.parametrize("bcast", [False, True])
+def test_merge_update_subset_keeps_other_target_cols(spark, bcast):
     out = merge_into(
         _target(spark), _source(spark), ["k"],
-        update_cols=["v"], delete_col="del",
+        update_cols=["v"], delete_col="del", broadcast_source=bcast,
     )
     rows = {r.k: (r.s, r.v) for r in out.collect()}
     # s untouched on the matched row; still the source value on the insert
@@ -57,21 +64,39 @@ def test_merge_update_subset_keeps_other_target_cols(spark):
     assert rows[4] == ("d", 40.0)
 
 
-def test_merge_target_col_missing_from_source_is_null_on_insert(spark):
+@pytest.mark.parametrize("bcast", [False, True])
+def test_merge_target_col_missing_from_source_is_null_on_insert(spark, bcast):
     src = spark.createDataFrame([(4, "d")], "k long, s string")
-    out = merge_into(_target(spark), src, ["k"])
+    out = merge_into(_target(spark), src, ["k"], broadcast_source=bcast)
     rows = {r.k: (r.s, r.v) for r in out.collect()}
     assert rows[4] == ("d", None)
     assert rows[2] == ("b", 20.0)  # non-matched target rows untouched
     assert len(rows) == 4
 
 
-def test_merge_null_payload_update_overwrites(spark):
+@pytest.mark.parametrize("bcast", [False, True])
+def test_merge_null_payload_update_overwrites(spark, bcast):
     # a NULL source value is an update to NULL, not "keep target"
     src = spark.createDataFrame([(1, None, 99.0)], "k long, s string, v double")
-    out = merge_into(_target(spark), src, ["k"])
+    out = merge_into(_target(spark), src, ["k"], broadcast_source=bcast)
     rows = {r.k: (r.s, r.v) for r in out.collect()}
     assert rows[1] == (None, 99.0)
+
+
+def test_merge_broadcast_never_shuffles_target(spark):
+    """The CDC-apply scale property: with broadcast_source, the target side
+    must reach the update join un-exchanged (broadcast left join), and the
+    insert anti-join must also be broadcast — no SortMergeJoin anywhere."""
+    out = merge_into(
+        _target(spark), _source(spark), ["k"],
+        delete_col="del", broadcast_source=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # left + anti (+ semi)
+    # the only hash exchange allowed is the source-side unique-key window
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exch) <= 1, plan
 
 
 def test_merge_rejects_bad_args(spark):

@@ -228,8 +228,8 @@ def _merge_model(target, source, insert):
 
 
 @settings(max_examples=8, deadline=None)
-@given(_merge_targets, _merge_sources, st.booleans())
-def test_merge_into_matches_dict_model(spark, target, source, insert):
+@given(_merge_targets, _merge_sources, st.booleans(), st.booleans())
+def test_merge_into_matches_dict_model(spark, target, source, insert, bcast):
     from scabillmatch_spark.operators.merge import merge_into
 
     tgt = spark.createDataFrame(target, "k long, v long") if target else (
@@ -239,5 +239,6 @@ def test_merge_into_matches_dict_model(spark, target, source, insert):
         spark.createDataFrame([], "k long, v long, del boolean")
     )
     got = {r.k: r.v for r in
-           merge_into(tgt, src, ["k"], delete_col="del", insert=insert).collect()}
+           merge_into(tgt, src, ["k"], delete_col="del", insert=insert,
+                      broadcast_source=bcast).collect()}
     assert got == _merge_model(target, source, insert)
