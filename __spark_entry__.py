@@ -3248,8 +3248,11 @@ def q_storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO / upsert (operators/merge.merge_into — storage-tier
     extension, round-5 verdict item #8): apply a deterministic CDC delta to
     the orders table — updates (keys %97, repriced +100, status 'U'),
-    deletes (keys %89), inserts (fresh keys offset by 10M at half price,
-    status 'N') — as ONE full-outer join plus CASE arbitration, the
+    deletes (keys %89), inserts (keys mapped to -(k+1) at half price,
+    status 'N' — o_orderkey is non-negative, so -(k+1) is strictly
+    negative: a disjoint key domain at ANY scale factor, unlike a fixed
+    +10M offset which a ~6M*sf keyspace eventually overruns) — as ONE
+    full-outer join plus CASE arbitration, the
     copy-on-write rewrite every lakehouse MERGE lowers to. The oracle
     restates the same FULL OUTER JOIN in SQL, so the entire merged table is
     hash-verified, not just counts. The three delta branches are disjoint
@@ -3273,7 +3276,7 @@ def q_storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_delete"),
     )
     inserts = orders.filter(F.col("o_orderkey") % 101 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
         "o_custkey",
         F.lit("N").alias("o_orderstatus"),
         (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
@@ -3749,7 +3752,7 @@ def oracle_sql() -> dict[str, str]:
                        TRUE
                 FROM orders WHERE o_orderkey % 89 = 0
                 UNION ALL
-                SELECT o_orderkey + 10000000, o_custkey, 'N',
+                SELECT -(o_orderkey + 1), o_custkey, 'N',
                        o_totalprice * 0.5, FALSE
                 FROM orders WHERE o_orderkey % 101 = 0
             )

@@ -58,10 +58,14 @@ def merge_into(
     emit contradictory rows. Like Delta's "multiple source rows matched",
     this is ENFORCED at execution (``check_unique_source``): a per-key
     count window on the source feeds assert_true inside the presence
-    marker, so a duplicate key fails the job. The window's hash
-    partitioning on ``keys`` is exactly what the join requires, so the
-    check adds no extra shuffle (opt out for a source that is expensive to
-    window and known-unique upstream).
+    marker, so a duplicate key fails the job. On the default (full-outer)
+    path the window's hash partitioning on ``keys`` is exactly what the
+    join requires, so the check adds no extra shuffle. On the
+    ``broadcast_source`` path there is no key shuffle to ride, so the
+    check is the plan's one (small, source-side) hash exchange — a CDC
+    feed that is known-unique upstream should pass
+    ``check_unique_source=False`` to make the broadcast plan fully
+    shuffle-free.
 
     Plan, default path: ONE full-outer SortMergeJoin on ``keys``
     (full-outer cannot broadcast by definition — both sides must emit
@@ -80,6 +84,17 @@ def merge_into(
     default path (property-tested).
     """
     spayload = [c for c in source.columns if c not in keys]
+    # the rewrite stakes out _TP/_SP and the __src_-prefixed payload
+    # aliases as internal names; a user column landing on one of them
+    # would silently corrupt the arbitration CASE exprs — fail loudly
+    # instead (mirrors the update_cols/delete_col validation below)
+    reserved = {_TP, _SP} | {_SRC + c for c in spayload}
+    clash = (set(target.columns) | set(source.columns)) & reserved
+    if clash:
+        raise ValueError(
+            "merge_into: column names collide with reserved internal "
+            f"markers: {sorted(clash)}"
+        )
     if check_unique_source:
         present = F.coalesce(
             F.assert_true(

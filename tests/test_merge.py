@@ -106,6 +106,17 @@ def test_merge_rejects_bad_args(spark):
         merge_into(_target(spark), _source(spark), ["k"], update_cols=["zz"])
 
 
+def test_merge_rejects_reserved_column_collisions(spark):
+    # a user column named like an internal marker would silently corrupt
+    # the arbitration exprs — must fail loudly instead
+    tgt_bad = _target(spark).withColumn("__tgt_present", F.lit(True))
+    with pytest.raises(ValueError, match="reserved"):
+        merge_into(tgt_bad, _source(spark), ["k"])
+    src_bad = _source(spark).withColumn("__src_v", F.lit(1.0))
+    with pytest.raises(ValueError, match="reserved"):
+        merge_into(_target(spark), src_bad, ["k"])
+
+
 def test_merge_plan_single_join_no_cartesian(spark):
     import contextlib
     import io
