@@ -48,6 +48,28 @@ def document_match(
             F.col("toks").alias("tokens"),
         )
     )
+    return match_token_sets(
+        docs,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        threshold=threshold,
+        top=top,
+    )
+
+
+def match_token_sets(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    num_bands: int = 4,
+    threshold: float = 90.0,
+    top: int = 100,
+) -> DataFrame:
+    """The MATCH plan proper — collapse -> band join -> rescore -> expand ->
+    top-N — over an already-tokenized (primary_key string, tokens
+    array<long>) relation. Split out of document_match so the bench's 1x
+    and 2x flagship points time the IDENTICAL plan (the 2x point used to go
+    through scale_check.flagship_time, which skipped the collapse stage —
+    the two points were not slope-comparable)."""
     # representative collapse: identical token sets band identically and
     # score identically against any third set, so the quadratic stages run
     # over DISTINCT sets only (21% duplication in this corpus -> ~1.6x less

@@ -16,9 +16,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from scabillmatch_spark.functions import similarity as SIM
 from scabillmatch_spark.functions import text as TX
-from scabillmatch_spark.operators import blocking, pairs
 from scabillmatch_spark.session import get_spark
 
 
@@ -70,27 +68,42 @@ def dedup_time(spark, docs) -> float:
     return round(dt, 2)
 
 
-def flagship_time(spark, docs) -> float:
-    """Times the MATCH plan (collapse -> band join -> verify -> top-N); the
-    token-set projection is materialized BEFORE t0 — persist() is lazy, so
-    without the count() the first timed action would charge tokenization of
-    the whole (possibly multi-copy) corpus to the match plan. The bench's
-    2x slope point read 62 s instead of ~9 s for exactly that reason."""
+def corpus_token_sets(docs):
+    """Tokenized (primary_key, tokens) projection, persisted + materialized.
+    Kept OUTSIDE every timed region — persist() is lazy, so without the
+    count() the first timed action would charge tokenization of the whole
+    (possibly multi-copy) corpus to the match plan. The bench's 2x slope
+    point read 62 s instead of ~9 s for exactly that reason."""
     sets = docs.select(
         F.col("doc_id").cast("string").alias("primary_key"),
         TX.token_id_set("text").alias("tokens"),
     ).persist()
     sets.count()
+    return sets
+
+
+def match_time(spark, sets) -> float:
+    """Times the flagship MATCH plan (collapse -> band join -> verify ->
+    expand -> top-N) over pre-materialized token sets — the SAME
+    plans/bill_match.match_token_sets plan document_match runs, so this
+    number is directly slope-comparable with the bench's 1x point (the
+    pre-r7 variant skipped the collapse stage and the two points measured
+    different plans)."""
+    from scabillmatch_spark.plans.bill_match import match_token_sets
+
     t0 = time.perf_counter()
-    cands = blocking.lsh_candidate_pairs(
-        sets, "primary_key", "tokens", num_hashes=32, num_bands=4,
-        min_jaccard=90.0,
-    )
-    scored = pairs.score_pairs(cands, sets, SIM.jaccard, "primary_key", "tokens")
-    pairs.top_n(scored.filter(F.col("similarity") >= 90.0), 1000).collect()
-    dt = time.perf_counter() - t0
+    match_token_sets(sets, num_hashes=32, num_bands=4, threshold=90.0,
+                     top=1000).count()
+    return round(time.perf_counter() - t0, 2)
+
+
+def flagship_time(spark, docs) -> float:
+    """corpus_token_sets + match_time in one call (scale_check's per-copy
+    harness; the sets persist only for the duration of the call)."""
+    sets = corpus_token_sets(docs)
+    dt = match_time(spark, sets)
     sets.unpersist()
-    return round(dt, 2)
+    return dt
 
 
 _COPY_OFFSET = 10_000_000
