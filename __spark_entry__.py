@@ -3323,37 +3323,174 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (curation tier —
+    operators/curation.weighted_sample, Efraimidis-Spirakis A-ES): per
+    language keep the 20 documents with the largest ln(u)/w key, w =
+    n_chars, u derived from md5(doc_id) — selection probability
+    proportional to document length, replayable across engines (no
+    rand()). The md5->60-bit-int->double pipeline is IEEE-exact on both
+    engines, so the full ranked sample is hash-verified. One shuffle on
+    the stratum key."""
+    from scabillmatch_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        weighted_sample(docs, ["lang"], 20, "n_chars")
+        .select("lang", F.col("__rk").alias("rk"), "doc_id", "n_chars")
+    )
+
+
+def q_doc_fuzzy_title_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join by Levenshtein edit distance (similarity
+    tier — operators/blocking.blocked_edit_distance_join): match documents
+    whose lowercased 120-char title prefix is within 25 edits, candidates
+    blocked on (lang, first 8 title chars) — the record-linkage shape that
+    token-set Jaccard misses (a one-character typo changes a whole token,
+    but costs 1 edit). ONE equi-join on the block key with a lossless
+    length-difference prune riding the condition; Spark's 3-arg
+    levenshtein short-circuits the DP at the threshold."""
+    from scabillmatch_spark.operators.blocking import (
+        blocked_edit_distance_join,
+    )
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.substring("text", 1, 120)).alias("title")
+    )
+    return blocked_edit_distance_join(
+        t, "doc_id", "title", max_distance=25, block_cols=["lang"],
+        prefix_len=8,
+    )
+
+
+def q_lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles via sort-based percentile (linear
+    interpolation — identical definition to DuckDB's quantile_cont): the
+    exact-verification twin of approx_sketch_stats' Greenwald-Khanna
+    sketch. Per (l_returnflag, l_linestatus): p25/p50/p75/p95 of
+    l_extendedprice and the l_quantity median. At 100 TB the exact form
+    buffers each group's values — run the percentile_approx sketch there
+    and keep THIS query as the bounded-scale audit (the same
+    exact-vs-sketch pairing approx_sketch_stats asserts in-plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        ).alias("__q"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("__qty_med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("__q")[0], 4).alias("price_p25"),
+        F.round(F.col("__q")[1], 4).alias("price_p50"),
+        F.round(F.col("__q")[2], 4).alias("price_p75"),
+        F.round(F.col("__q")[3], 4).alias("price_p95"),
+        F.round("__qty_med", 4).alias("qty_median"),
+        "n_rows",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-6 rotation (VERDICT r5 item #1):
-    #   1. the 4 queries new this round (never driver-checked) lead;
-    #   2. the 6 queries whose latest driver row is r3 — two rounds stale,
-    #      the oldest debt in the registry — come next;
-    #   3. 40 of the 49 r4-green queries fill the window (the graph/emb/
-    #      curation/ml blocks and the wide TPC-H joins — every entry with a
-    #      non-trivial plan shape);
-    #   4. with 109 registered queries and a 50-row window, 9 entries must
-    #      exceed one round of staleness per cycle — the 9 chosen r4-green
-    #      holdovers (directly past the boundary, so they LEAD the r7
-    #      window) are the simplest pure-Column/posexplode scans in the
-    #      registry (hash-green since r1/r2, no code-path changes since),
-    #      and every entry is still re-verified at sf0.01 on every pytest
-    #      run by tests/test_oracle.py's mirror of the driver gate.
+    # the round-7 rotation:
+    #   1. the 3 queries new this round (never driver-checked) lead, plus
+    #      storage_merge_upsert, whose insert-key domain changed this round
+    #      (re-verify the changed code path, not just pytest);
+    #   2. the 9 r4-green holdovers — two rounds stale, the oldest debt;
+    #   3. 37 of the 50 r5-green entries fill the window;
+    #   4. with 112 registered queries and a 50-row window, 13 entries must
+    #      exceed one round of staleness per cycle — the 13 chosen r5-green
+    #      holdovers (directly past the boundary, so they LEAD the r8
+    #      window) are the simplest pure-Column/posexplode scans plus the
+    #      in-plan-asserted approx_sketch_stats bound check, and every
+    #      entry is still re-verified at sf0.01 on every pytest run by
+    #      tests/test_oracle.py's mirror of the driver gate.
     return {
-        # -- new in round 6 — never driver-checked
+        # -- new in round 7 — never driver-checked
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
+        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        # -- changed in round 7 (insert-key domain) — re-verify
         "storage_merge_upsert": q_storage_merge_upsert,
+        # -- latest driver row is r4 (two rounds stale) — oldest debt first
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "doc_pair_measures": q_doc_pair_measures,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "doc_hash_sample": q_doc_hash_sample,
+        "events_tumbling_window": q_events_tumbling,
+        "events_resample_1h": q_events_resample_1h,
+        "pair_space_accounting": q_pair_space_accounting,
+        # -- latest driver row is r5 — rotate back inside the window
+        "latest_version_family": q_latest_version_family,
+        "io_json_roundtrip": q_io_json_roundtrip,
+        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
+        "pair_measure_correlation": q_pair_measure_correlation,
+        "ml_knn_probe": q_ml_knn_probe,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "minhash_delta_dedup": q_minhash_delta_dedup,
+        "io_bucketed_join": q_io_bucketed_join,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "events_funnel": q_events_funnel,
+        "io_zorder_roundtrip": q_io_zorder_roundtrip,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
+        "emb_outlier_audit": q_emb_outlier_audit,
+        "doc_keywords": q_doc_keywords,
+        "io_schema_evolution": q_io_schema_evolution,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "io_avro_roundtrip": q_io_avro_roundtrip,
+        "events_stream_tumbling": q_events_stream_tumbling,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_stateful": q_events_stream_stateful,
+        "doc_5gram_wordcount": q_doc_5gram_wordcount,
+        "io_sorted_compact": q_io_sorted_compact,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_exists": q_tpch_q4,
+        "tpch_q10_returned_revenue": q_tpch_q10,
+        "tpch_q14_promo_pct": q_tpch_q14,
+        "tpch_q19_disjunctive_join": q_tpch_q19,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q12_case_agg": q_tpch_q12,
+        "tpch_q17_correlated_avg": q_tpch_q17,
+        "tpch_q18_having_in": q_tpch_q18,
+        "window_topn_orders_per_customer": q_window_topn,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "set_ops_union_intersect_except": q_set_ops,
+        # ---- 50-row window boundary (4 new/changed + 9 r4-green +
+        #      37 r5-green = 50). The 13 r5-green holdovers directly below
+        #      exceed the one-round staleness budget this cycle and LEAD
+        #      the r8 window. ----
+        "approx_sketch_stats": q_approx_sketch_stats,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_simhash": q_doc_simhash,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_sections": q_doc_sections,
+        "emb_vector_measures": q_emb_vector_measures,
+        "orders_rollup": q_orders_rollup,
+        "pivot_lineitem": q_pivot_lineitem,
+        "probe_search": q_probe_search,
+        "events_sliding_window": q_events_sliding_window,
+        "window_running_sum": q_window_running_sum,
+        # -- r6-green rows past the window (max staleness one round); all
+        #    re-verified every pytest run via tests/test_oracle.py
         "orders_scd2_history": q_orders_scd2_history,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "events_stream_session": q_events_stream_session,
-        # -- latest driver row is r3 (two rounds stale) — oldest debt first
         "scalar_functions": q_scalar_functions,
         "pearson_corr": q_pearson_corr,
         "descriptive_stats": q_descriptive_stats,
         "histogram_events_value": q_histogram_events,
         "events_json_agg": q_events_json,
         "semi_anti_join": q_semi_anti_join,
-        # -- latest driver row is r4 — rotate back inside the window
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3394,73 +3531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_paths": q_graph_weighted_paths,
         "graph_kcore": q_graph_kcore,
         "emb_ivf_ann": q_emb_ivf_ann,
-        # ---- 50-row window boundary (4 new + 6 r3-green + 40 r4-green =
-        #      50). The 9 r4-green holdovers directly below exceed the
-        #      one-round staleness budget this cycle — they are the
-        #      registry's simplest pure-Column/posexplode scans (hash-green
-        #      since r1/r2, unchanged code paths) and they lead the r7
-        #      window. ----
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
-        "doc_pair_measures": q_doc_pair_measures,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q16_supplier_cnt": q_tpch_q16,
-        "doc_hash_sample": q_doc_hash_sample,
-        "events_tumbling_window": q_events_tumbling,
-        "events_resample_1h": q_events_resample_1h,
-        "pair_space_accounting": q_pair_space_accounting,
-        # -- r5-green rows past the window (max staleness one round); all
-        #    re-verified every pytest run via tests/test_oracle.py
-        "latest_version_family": q_latest_version_family,
-        "io_json_roundtrip": q_io_json_roundtrip,
-        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
-        "pair_measure_correlation": q_pair_measure_correlation,
-        "ml_knn_probe": q_ml_knn_probe,
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "minhash_delta_dedup": q_minhash_delta_dedup,
-        "io_bucketed_join": q_io_bucketed_join,
-        "doc_gopher_quality": q_doc_gopher_quality,
-        "events_funnel": q_events_funnel,
-        "io_zorder_roundtrip": q_io_zorder_roundtrip,
-        "stream_ingest_dedup": q_stream_ingest_dedup,
-        "emb_outlier_audit": q_emb_outlier_audit,
-        "doc_keywords": q_doc_keywords,
-        "io_schema_evolution": q_io_schema_evolution,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "io_avro_roundtrip": q_io_avro_roundtrip,
-        "events_stream_tumbling": q_events_stream_tumbling,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_stateful": q_events_stream_stateful,
-        "doc_5gram_wordcount": q_doc_5gram_wordcount,
-        "doc_quality_lang": q_doc_quality_lang,
-        "doc_simhash": q_doc_simhash,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_sections": q_doc_sections,
-        "emb_vector_measures": q_emb_vector_measures,
-        "orders_rollup": q_orders_rollup,
-        "pivot_lineitem": q_pivot_lineitem,
-        "probe_search": q_probe_search,
-        "events_sliding_window": q_events_sliding_window,
-        "approx_sketch_stats": q_approx_sketch_stats,
-        "io_sorted_compact": q_io_sorted_compact,
-        "tpch_q1_pricing_summary": q_tpch_q1,
-        "tpch_q3_shipping_priority": q_tpch_q3,
-        "tpch_q4_exists": q_tpch_q4,
-        "tpch_q10_returned_revenue": q_tpch_q10,
-        "tpch_q14_promo_pct": q_tpch_q14,
-        "tpch_q19_disjunctive_join": q_tpch_q19,
-        "tpch_q5_local_supplier": q_tpch_q5,
-        "tpch_q12_case_agg": q_tpch_q12,
-        "tpch_q17_correlated_avg": q_tpch_q17,
-        "tpch_q18_having_in": q_tpch_q18,
-        "window_topn_orders_per_customer": q_window_topn,
-        "window_running_sum": q_window_running_sum,
-        "latest_order_per_customer": q_latest_order_per_customer,
-        "set_ops_union_intersect_except": q_set_ops,
     }
 
 
@@ -3732,6 +3802,58 @@ def oracle_sql() -> dict[str, str]:
         for lang, arr in _LANG_SW_SQL.items()
     }
     return {
+        # Efraimidis-Spirakis weighted sample: identical md5->60-bit-int
+        # ->double->ln key on both engines (the int->double conversion and
+        # the 2^60 division are IEEE-exact; ln agrees to 1 ulp), same
+        # (key DESC, doc_id) tie-break.
+        "doc_weighted_sample": """
+            WITH w AS (
+                SELECT lang, doc_id, n_chars,
+                       ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15)) AS UBIGINT) + 1)
+                          / 1152921504606846976.0) / n_chars AS key
+                FROM documents WHERE n_chars > 0
+            ),
+            r AS (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY key DESC, doc_id
+                       ) AS rk
+                FROM w
+            )
+            SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 20
+        """,
+        # Prefix-blocked Levenshtein fuzzy join: same (lang, 8-char-prefix)
+        # block, same lossless length prune, same character-level edit
+        # distance on both engines.
+        "doc_fuzzy_title_join": """
+            WITH t AS (
+                SELECT doc_id, lang, lower(substr(text, 1, 120)) AS title
+                FROM documents
+            )
+            SELECT a.lang AS lang, a.doc_id AS pk1, b.doc_id AS pk2,
+                   levenshtein(a.title, b.title) AS distance
+            FROM t a JOIN t b
+              ON a.lang = b.lang
+             AND substr(a.title, 1, 8) = substr(b.title, 1, 8)
+             AND a.doc_id < b.doc_id
+             AND abs(length(a.title) - length(b.title)) <= 25
+            WHERE levenshtein(a.title, b.title) <= 25
+        """,
+        # Exact grouped quantiles: Spark's percentile() and DuckDB's
+        # quantile_cont() share the (n-1)*p linear-interpolation
+        # definition; round(4) absorbs last-ulp summation differences.
+        "lineitem_exact_quantiles": """
+            SELECT l_returnflag, l_linestatus,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS qty_median,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
         # MERGE semantics restated as the same FULL OUTER JOIN + CASE
         # arbitration the Spark operator lowers to (operators/merge.py):
         # matched & not deleted -> source values; target-only -> target

@@ -149,6 +149,11 @@ def main() -> None:
         # round-6 plan shapes: full-outer MERGE arbitration; zero-shuffle
         # sliding-window chunking (narrow posexplode/slice)
         "storage_merge_upsert", "doc_chunk_overlap",
+        # round-7 plan shapes: prefix-blocked Levenshtein fuzzy join
+        # (equi-join + bounded DP residual); exact grouped percentile
+        # (sort-based agg). doc_weighted_sample shares doc_mixture_sample's
+        # window-rank shape and stays in the full tier.
+        "doc_fuzzy_title_join", "lineitem_exact_quantiles",
     }
     unknown_h = HEADLINE - set(entrymod.queries()) - {
         "flagship_doc_match", "flagship_doc_match_2x",

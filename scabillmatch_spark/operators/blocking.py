@@ -446,3 +446,62 @@ def salted_join(
     )
     out = l.join(s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def blocked_edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int,
+    block_cols: list[str] | None = None,
+    prefix_len: int = 8,
+) -> DataFrame:
+    """Fuzzy self-join by Levenshtein edit distance, prefix-blocked —
+    the record-linkage / title-matching shape (near-identical strings that
+    token-set Jaccard misses because a one-character typo changes a whole
+    token). Returns (block_cols..., pk1, pk2, distance) with pk1 < pk2 and
+    distance <= ``max_distance``.
+
+    Blocking semantics (part of the operator's contract, mirrored exactly
+    by the oracle): candidates must agree on ``block_cols`` AND on the
+    first ``prefix_len`` characters of ``text_col``. Prefix blocking is
+    the standard heuristic from the record-linkage literature — recall is
+    bounded by the chance of an edit inside the prefix; callers needing
+    full recall chain a second pass blocked on a suffix or a q-gram key.
+
+    Plan shape: ONE equi-join on (block_cols, prefix) — never a cartesian;
+    a lossless |len(a)-len(b)| <= max_distance length prune rides the join
+    condition as an integer residual (edit distance >= length difference),
+    so the O(len^2) Levenshtein DP only runs on length-compatible
+    survivors. Spark's 3-arg levenshtein(l, r, threshold) short-circuits
+    the DP once the running minimum exceeds the threshold (returns -1),
+    which caps per-pair cost at O(len * threshold).
+    """
+    block_cols = block_cols or []
+    proj = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__pfx"),
+        F.length(F.col(text_col)).alias("__len"),
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    cond = (F.col("a.__pfx") == F.col("b.__pfx")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (
+        F.abs(F.col("a.__len") - F.col("b.__len")) <= F.lit(max_distance)
+    )
+    dist = F.levenshtein(F.col("a.__t"), F.col("b.__t"), max_distance)
+    return (
+        a.join(b, cond, "inner")
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col(f"a.{id_col}").alias("pk1"),
+            F.col(f"b.{id_col}").alias("pk2"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") >= 0)
+    )

@@ -93,6 +93,53 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, "Weighted random sampling with a
+    reservoir", IPL 2006): per stratum keep the k rows with the largest
+    key ln(u)/w — equivalently u^(1/w) — where w = ``weight_col`` and u is
+    a uniform in (0,1] derived from md5(``id_col``) instead of rand(), so
+    the draw is replayable across runs AND engines (the stratified_sample
+    convention). P(row selected) is proportional to its weight; heavier
+    documents (longer, higher-quality-scored) are favored exactly as a
+    true weighted reservoir pass would.
+
+    u = (int(md5(id)[:15 hex]) + 1) / 2^60 is bit-identical across
+    Spark/DuckDB: the 60-bit integer -> double conversion and the
+    power-of-two division are both IEEE-exact, and ln() agrees to 1 ulp —
+    order-flip probability over a corpus is negligible, and ties on the
+    key fall back to ``id_col``.
+
+    Rows with weight <= 0 are excluded (they have selection probability 0
+    and ln(u)/w would flip sign). Adds ``__rk`` (1-based rank within
+    stratum, heaviest-keyed first).
+
+    Scale shape: identical to stratified_sample — ONE shuffle on the
+    strata key, a per-stratum top-k window (at scale: pre-prune each
+    stratum to its local top-k per partition before the window to cap the
+    sort, the standard top-k-per-group rewrite).
+    """
+    digest60 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (digest60.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.ln(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.desc(key), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -97,3 +97,46 @@ def test_delta_dedup_matches_self_join_restriction(spark):
         if (r["pk1"] >= 100) != (r["pk2"] >= 100)
     }
     assert inc == crossing and len(inc) >= 3
+
+
+def test_blocked_edit_distance_join_semantics(spark):
+    from scabillmatch_spark.operators.blocking import blocked_edit_distance_join
+
+    rows = [
+        (1, "en", "the quick brown fox"),
+        (2, "en", "the quick brown fax"),   # 1 edit from doc 1
+        (3, "en", "the quick brown foxes jumped"),  # within 25 edits of 1
+        (4, "en", "a completely different title"),  # different prefix block
+        (5, "fr", "the quick brown fox"),   # same text, other lang block
+        (6, "en", "the quick brown fox"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, title string")
+    out = blocked_edit_distance_join(
+        df, "doc_id", "title", max_distance=9, block_cols=["lang"],
+        prefix_len=8,
+    )
+    got = {(r.pk1, r.pk2): r.distance for r in out.collect()}
+    # exact expectations, computed independently
+    assert got[(1, 2)] == 1
+    assert got[(1, 6)] == 0
+    assert got[(2, 6)] == 1
+    assert (1, 4) not in got          # prefix block separates
+    assert all(p[0] != 5 and p[1] != 5 for p in got)  # lang block separates
+    assert all(d <= 9 and d >= 0 for d in got.values())
+
+
+def test_blocked_edit_distance_join_no_cartesian_single_shuffle(spark):
+    from scabillmatch_spark.operators.blocking import blocked_edit_distance_join
+
+    df = spark.range(200).selectExpr(
+        "id as doc_id", "'en' as lang",
+        "concat('title ', cast(id % 17 as string), ' tail') as title",
+    )
+    out = blocked_edit_distance_join(
+        df, "doc_id", "title", max_distance=5, block_cols=["lang"],
+        prefix_len=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.count()  # executes

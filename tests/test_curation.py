@@ -235,3 +235,53 @@ def test_chunk_documents_rejects_bad_args(spark):
         chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, "doc_id", "text", stride=-1)
+
+
+def test_weighted_sample_exact_k_and_determinism(spark):
+    from scabillmatch_spark.operators.curation import weighted_sample
+
+    rows = [(i, "a" if i % 2 else "b", (i % 5) * 100 + 1) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = weighted_sample(df, ["lang"], 5, "w").collect()
+    # exact k per stratum, ranks 1..k
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r["__rk"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_lang.values())
+    # replayable: identical draw on a second run
+    out2 = weighted_sample(df, ["lang"], 5, "w").collect()
+    assert sorted((r.lang, r.doc_id) for r in out) == sorted(
+        (r.lang, r.doc_id) for r in out2
+    )
+
+
+def test_weighted_sample_zero_weight_excluded_and_bias(spark):
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.operators.curation import weighted_sample
+
+    # one heavy doc among many light ones: the heavy one must appear in
+    # essentially every draw (weight ratio 1000:1); zero/negative weights
+    # are never selected
+    rows = [(i, "x", 1) for i in range(1, 200)] + [
+        (999, "x", 100000), (1000, "x", 0), (1001, "x", -5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = weighted_sample(df, ["lang"], 10, "w")
+    ids = {r.doc_id for r in out.collect()}
+    assert 999 in ids and 1000 not in ids and 1001 not in ids
+
+
+def test_weighted_sample_single_shuffle_plan(spark):
+    from scabillmatch_spark.operators.curation import weighted_sample
+
+    df = spark.range(100).selectExpr(
+        "id as doc_id", "cast(id % 3 as string) as lang", "id % 7 + 1 as w"
+    )
+    plan = (
+        weighted_sample(df, ["lang"], 3, "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
