@@ -1515,6 +1515,65 @@ def q_io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round trip (io.sources.write_csv/read_csv,
+    RFC-4180 doubled-quote escaping): push the documents table — free text
+    with embedded quotes/commas/newlines, the worst case for CSV — through
+    the sink and back with an explicit schema, then fingerprint content
+    per language (count, distinct doc_ids, char sums, count/min/max of
+    md5(text)). The oracle computes the identical fingerprint straight
+    from parquet — any quoting/escaping/newline bug changes an md5 and
+    breaks the hash. multiLine=True on the read because text carries real
+    newlines (documented scan-parallelism trade: per-FILE tasks — hence
+    the 4-file write)."""
+    import tempfile
+
+    from scabillmatch_spark.io.sources import read_csv, write_csv
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_csv_{tag}")
+    write_csv(docs.repartition(4), out_dir)
+    back = read_csv(spark, out_dir, docs.schema, multi_line=True)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_md5"),
+        F.min(F.md5("text")).alias("min_md5"),
+        F.max(F.md5("text")).alias("max_md5"),
+    )
+
+
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip (io.sources.write_orc/read_orc, native
+    vectorized reader): events — timestamps, doubles, strings — written to
+    ORC and read back with a pushed-down filter (event_type, the
+    stripe-stat prune path), aggregated per type: counts, epoch-micro
+    min/max of ts (timestamp fidelity), exact DECIMAL value sum. Oracle
+    computes the same from parquet; a codec, timezone, or pushdown bug
+    breaks the hash."""
+    import tempfile
+
+    from scabillmatch_spark.io.sources import read_orc, write_orc
+
+    ev = _t(spark, sf_dir, "events")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_orc_{tag}")
+    write_orc(ev.repartition(4), out_dir)
+    back = read_orc(spark, out_dir).filter(F.col("event_type") != "view")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        _dec_sum("value", "sum_value"),
+    )
+
+
 def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-maintenance tier end-to-end: fragment the events table into
     40 small files, compact them (io.sources.compact_parquet, Hadoop-FS
@@ -3396,13 +3455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
     # the round-7 rotation:
-    #   1. the 3 queries new this round (never driver-checked) lead, plus
+    #   1. the 5 queries new this round (never driver-checked) lead, plus
     #      storage_merge_upsert, whose insert-key domain changed this round
     #      (re-verify the changed code path, not just pytest);
     #   2. the 9 r4-green holdovers — two rounds stale, the oldest debt;
-    #   3. 37 of the 50 r5-green entries fill the window;
-    #   4. with 112 registered queries and a 50-row window, 13 entries must
-    #      exceed one round of staleness per cycle — the 13 chosen r5-green
+    #   3. 35 of the 50 r5-green entries fill the window;
+    #   4. with 114 registered queries and a 50-row window, ~14 entries must
+    #      exceed one round of staleness per cycle — the 15 chosen r5-green
     #      holdovers (directly past the boundary, so they LEAD the r8
     #      window) are the simplest pure-Column/posexplode scans plus the
     #      in-plan-asserted approx_sketch_stats bound check, and every
@@ -3413,6 +3472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
         "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "io_csv_roundtrip": q_io_csv_roundtrip,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
         # -- changed in round 7 (insert-key domain) — re-verify
         "storage_merge_upsert": q_storage_merge_upsert,
         # -- latest driver row is r4 (two rounds stale) — oldest debt first
@@ -3461,12 +3522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_correlated_avg": q_tpch_q17,
         "tpch_q18_having_in": q_tpch_q18,
         "window_topn_orders_per_customer": q_window_topn,
-        "latest_order_per_customer": q_latest_order_per_customer,
-        "set_ops_union_intersect_except": q_set_ops,
-        # ---- 50-row window boundary (4 new/changed + 9 r4-green +
-        #      37 r5-green = 50). The 13 r5-green holdovers directly below
+        # ---- 50-row window boundary (5 new + 1 changed + 9 r4-green +
+        #      35 r5-green = 50). The 15 r5-green holdovers directly below
         #      exceed the one-round staleness budget this cycle and LEAD
         #      the r8 window. ----
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "set_ops_union_intersect_except": q_set_ops,
         "approx_sketch_stats": q_approx_sketch_stats,
         "doc_quality_lang": q_doc_quality_lang,
         "doc_simhash": q_doc_simhash,
@@ -3822,6 +3883,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
             )
             SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 20
+        """,
+        # CSV round trip: the oracle fingerprints the SOURCE table; the
+        # Spark side fingerprints what came back through the CSV codec —
+        # equality proves the quoting/escaping/newline handling lossless.
+        "io_csv_roundtrip": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(DISTINCT doc_id) AS n_ids,
+                   sum(n_chars) AS sum_chars,
+                   sum(length(text)) AS sum_text_len,
+                   count(DISTINCT md5(text)) AS n_distinct_md5,
+                   min(md5(text)) AS min_md5,
+                   max(md5(text)) AS max_md5
+            FROM documents GROUP BY lang
+        """,
+        # ORC round trip: same source-vs-roundtrip fingerprint pattern
+        # (timestamps as epoch micros, exact decimal value sum).
+        "io_orc_roundtrip": """
+            SELECT event_type,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   min(epoch_us(ts)) AS min_ts_us,
+                   max(epoch_us(ts)) AS max_ts_us,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events WHERE event_type <> 'view'
+            GROUP BY event_type
         """,
         # Prefix-blocked Levenshtein fuzzy join: same (lang, 8-char-prefix)
         # block, same lossless length prune, same character-level edit

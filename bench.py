@@ -154,6 +154,10 @@ def main() -> None:
         # (sort-based agg). doc_weighted_sample shares doc_mixture_sample's
         # window-rank shape and stays in the full tier.
         "doc_fuzzy_title_join", "lineitem_exact_quantiles",
+        # CSV boundary codec (multiLine scan is its own shape: per-file
+        # tasks); ORC stays in the full tier (native columnar, parquet-like
+        # plan shape)
+        "io_csv_roundtrip",
     }
     unknown_h = HEADLINE - set(entrymod.queries()) - {
         "flagship_doc_match", "flagship_doc_match_2x",

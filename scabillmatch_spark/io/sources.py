@@ -214,6 +214,73 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", single_file: b
     (df.coalesce(1) if single_file else df).write.mode(mode).json(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    """RFC-4180 CSV sink: quotes escape by DOUBLING (escape='\"'), not
+    Spark's default backslash, so the output parses in every standard CSV
+    reader (DuckDB, pandas, Excel). Embedded delimiters, quotes and
+    newlines in fields all survive the round trip — but a quoted embedded
+    newline makes the file unsplittable on read (see read_csv's multiLine
+    note); corpora written for scale should scrub hard newlines first or
+    stay on parquet for the hot path, keeping CSV as the interchange
+    boundary it is.
+
+    Leading/trailing whitespace is preserved (Spark's writer STRIPS it by
+    default — silent data loss for free text). Known, documented loss:
+    empty string and NULL both serialize to an empty field and read back
+    as NULL — the one distinction RFC-4180 cannot carry."""
+    (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    multi_line: bool = False,
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema — inferSchema costs one extra
+    full pass over the data before the real one, never acceptable at
+    scale. escape='\"' matches write_csv's RFC-4180 doubling.
+
+    ``multi_line=True`` is required to parse quoted embedded newlines, and
+    it makes each file single-task (non-splittable): parallelism becomes
+    the FILE count, not maxPartitionBytes — acceptable for many medium
+    files, a scan bottleneck for one huge file. Default False keeps scans
+    splittable for newline-free data."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("escape", '"')
+        .option("multiLine", multi_line)
+        .csv(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native Spark writer, zlib default): the columnar
+    interchange format for Hive/Trino-side consumers. Same predicate-
+    pushdown/column-pruning story as parquet — PushedFilters reach the ORC
+    reader and min/max stripe stats prune."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (native, vectorized reader)."""
+    return spark.read.orc(path)
+
+
 def zorder_value(cols: list, bits: int = 8) -> "F.Column":
     """Morton (Z-order) code: interleave the low ``bits`` bits of each
     already-bucketed non-negative int column — bit (i*d + j) of the result

@@ -183,3 +183,79 @@ def test_write_zorder_quantile_buckets_handle_skew(spark, tmp_path):
     y_spans = [span(f, iy) for f in files]
     assert sum(y_spans) / len(y_spans) < 0.6 * 500, y_spans
     assert spark.read.parquet(out).count() == n
+
+
+def test_csv_roundtrip_preserves_hostile_text(spark, tmp_path):
+    from scabillmatch_spark.io.sources import read_csv, write_csv
+
+    rows = [
+        (1, "plain"),
+        (2, 'has "quotes" inside'),
+        (3, "comma, semicolon; pipe|"),
+        (4, "embedded\nnewline\r\nboth kinds"),
+        (5, " leading and trailing "),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, df.schema, multi_line=True)
+    got = {r.id: r.s for r in back.collect()}
+    assert got == dict(rows)
+
+
+def test_csv_empty_string_reads_as_null_documented_loss(spark, tmp_path):
+    # the one RFC-4180 lossy case, pinned so a behavior change is noticed
+    from scabillmatch_spark.io.sources import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "")], "id long, s string")
+    out = str(tmp_path / "csv_empty")
+    write_csv(df, out)
+    back = read_csv(spark, out, df.schema)
+    assert back.collect()[0].s is None
+
+
+def test_csv_output_parses_in_duckdb(spark, tmp_path):
+    # RFC-4180 doubled-quote escaping: a standard reader must agree
+    import glob
+
+    import duckdb
+
+    from scabillmatch_spark.io.sources import write_csv
+
+    rows = [(1, 'a "b", c'), (2, "x\ny")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = str(tmp_path / "csv_duck")
+    write_csv(df.coalesce(1), out)
+    f = glob.glob(out + "/*.csv")[0]
+    got = dict(
+        duckdb.sql(
+            f"SELECT id, s FROM read_csv('{f}', header=true)"
+        ).fetchall()
+    )
+    assert got == dict(rows)
+
+
+def test_orc_roundtrip_types_and_pushdown(spark, tmp_path):
+    import datetime
+
+    from scabillmatch_spark.io.sources import read_orc, write_orc
+
+    rows = [
+        (1, "a", 1.5, datetime.datetime(2024, 1, 1, 12, 0, 0)),
+        (2, "b", -2.25, datetime.datetime(2024, 6, 15, 23, 59, 59, 123456)),
+        (3, "a", 0.0, datetime.datetime(1999, 12, 31, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double, ts timestamp")
+    out = str(tmp_path / "orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # filter reaches the ORC scan as a pushed filter
+    plan = (
+        back.filter("k = 'a'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,a)]" in plan
