@@ -3451,17 +3451,109 @@ def q_lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline (the composite a 100 TB pretraining run
+    executes as one job): Gopher quality gate -> exact dedup at the
+    bag-of-tokens level (min-doc_id winner per md5 of the sorted distinct
+    token-id set — catches reordered/renumbered boilerplate that raw text
+    equality misses; ~6% of this corpus's quality survivors collapse) ->
+    benchmark decontamination (drop train docs sharing a 4-gram with the
+    doc_id%50 eval split) -> deterministic weighted sample (A-ES, weight =
+    n_chars, 10/lang). The whole chain is ONE lazily-planned DataFrame
+    flow — Catalyst sees gate (narrow Column exprs) -> dedup window (one
+    fingerprint shuffle) -> broadcast gram semi/anti joins (eval grams are
+    MBs at any corpus size) -> sample window (one lang shuffle) as a
+    single plan; no stage materializes to storage. Returns one row per
+    lang with each stage's surviving count and the md5 fingerprint of the
+    exact sampled id set (the oracle re-derives the full pipeline in
+    chained CTEs — membership is verified, not just counts)."""
+    from scabillmatch_spark.operators import curation
+    from scabillmatch_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    quality = (
+        docs.select(
+            "doc_id", "lang", "n_chars", "text",
+            *gopher_rules("text", min_words=30, min_distinct_stopwords=1),
+        )
+        .filter(F.col("gopher_pass"))
+        .select("doc_id", "lang", "n_chars")
+    )
+    tokfp = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("toks"), lambda x: x.cast("string"))
+            )
+        ).alias("__fp"),
+    )
+    wdd = W.partitionBy("__fp").orderBy("doc_id")
+    winners = (
+        quality.join(tokfp, "doc_id")
+        .withColumn("__rn", F.row_number().over(wdd))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    sets = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        TX.ngram_ids_from_token_ids(F.col("tok_ids"), 4).alias("gram_ids"),
+    )
+    train_w = winners.filter(F.col("doc_id") % 50 != 0)
+    hits = curation.decontamination_hits(
+        sets.join(train_w.select("doc_id"), "doc_id", "left_semi"),
+        sets.filter(F.col("doc_id") % 50 == 0),
+    )
+    clean = train_w.join(hits, "doc_id", "left_anti")
+    samp = curation.weighted_sample(clean, ["lang"], 10, "n_chars")
+
+    def _cnt(df, name):
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    sam_agg = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("sampled_ids_md5"),
+    )
+    out = (
+        _cnt(docs, "n_input")
+        .join(_cnt(quality, "n_quality"), "lang", "left")
+        .join(_cnt(winners, "n_dedup"), "lang", "left")
+        .join(_cnt(clean, "n_clean"), "lang", "left")
+        .join(sam_agg, "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_input",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("n_quality", "n_dedup", "n_clean", "n_sampled")
+        ],
+        F.coalesce(F.col("sampled_ids_md5"), F.lit("")).alias(
+            "sampled_ids_md5"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
     # the round-7 rotation:
-    #   1. the 5 queries new this round (never driver-checked) lead, plus
+    #   1. the 6 queries new this round (never driver-checked) lead, plus
     #      storage_merge_upsert, whose insert-key domain changed this round
     #      (re-verify the changed code path, not just pytest);
     #   2. the 9 r4-green holdovers — two rounds stale, the oldest debt;
-    #   3. 35 of the 50 r5-green entries fill the window;
-    #   4. with 114 registered queries and a 50-row window, ~14 entries must
-    #      exceed one round of staleness per cycle — the 15 chosen r5-green
+    #   3. 34 of the 50 r5-green entries fill the window;
+    #   4. with 115 registered queries and a 50-row window, ~15 entries must
+    #      exceed one round of staleness per cycle — the 16 chosen r5-green
     #      holdovers (directly past the boundary, so they LEAD the r8
     #      window) are the simplest pure-Column/posexplode scans plus the
     #      in-plan-asserted approx_sketch_stats bound check, and every
@@ -3474,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
         "io_csv_roundtrip": q_io_csv_roundtrip,
         "io_orc_roundtrip": q_io_orc_roundtrip,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
         # -- changed in round 7 (insert-key domain) — re-verify
         "storage_merge_upsert": q_storage_merge_upsert,
         # -- latest driver row is r4 (two rounds stale) — oldest debt first
@@ -3521,11 +3614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_case_agg": q_tpch_q12,
         "tpch_q17_correlated_avg": q_tpch_q17,
         "tpch_q18_having_in": q_tpch_q18,
-        "window_topn_orders_per_customer": q_window_topn,
-        # ---- 50-row window boundary (5 new + 1 changed + 9 r4-green +
-        #      35 r5-green = 50). The 15 r5-green holdovers directly below
+        # ---- 50-row window boundary (6 new + 1 changed + 9 r4-green +
+        #      34 r5-green = 50). The 16 r5-green holdovers directly below
         #      exceed the one-round staleness budget this cycle and LEAD
         #      the r8 window. ----
+        "window_topn_orders_per_customer": q_window_topn,
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         "approx_sketch_stats": q_approx_sketch_stats,
@@ -3941,6 +4034,114 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # End-to-end curation pipeline: every stage's CTE reuses the
+        # already-verified per-stage oracle mirror (gopher measures, exact
+        # dedup winner election, shared rolling-hash 4-grams, A-ES weighted
+        # sample); the final sampled SET is md5-verified, not just counted.
+        "doc_curation_pipeline": f"""
+            WITH w0 AS (
+                SELECT doc_id, lang, n_chars, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, lang, n_chars, text,
+                       len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                           list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                           / len(words) ELSE 0.0 END AS mwl,
+                       CASE WHEN len(words) > 0 THEN
+                           len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+                           / len(words) ELSE 0.0 END AS sym,
+                       CASE WHEN len(words) > 0 THEN
+                           len(list_filter(words,
+                               x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                           / len(words) ELSE 0.0 END AS awf,
+                       len(list_filter(
+                           ['the','and','of','to','in','is','that','for'],
+                           s -> list_contains(
+                               list_transform(words, x -> lower(x)), s)))
+                           AS nsd
+                FROM w0
+            ),
+            quality AS (
+                SELECT doc_id, lang, n_chars FROM m
+                WHERE n_words >= 30 AND n_words <= 100000
+                  AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+                  AND awf >= 0.8 AND nsd >= 1
+            ),
+            fp AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_transform(
+                           {_DUCK_TOKIDSET},
+                           x -> CAST(x AS VARCHAR)), ',')) AS f
+                FROM documents
+            ),
+            dd AS (
+                SELECT q.doc_id, q.lang, q.n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY fp.f ORDER BY q.doc_id
+                       ) AS rn
+                FROM quality q JOIN fp USING (doc_id)
+            ),
+            winners AS (SELECT doc_id, lang, n_chars FROM dd WHERE rn = 1),
+            train_w AS (SELECT * FROM winners WHERE doc_id % 50 <> 0),
+            toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+            ids AS (SELECT doc_id, {_duck_gram_ids('t', 4)} AS g FROM toks),
+            ev AS (
+                SELECT DISTINCT eg FROM (
+                    SELECT unnest(g) AS eg FROM ids WHERE doc_id % 50 = 0
+                )
+            ),
+            hits AS (
+                SELECT DISTINCT i.doc_id FROM (
+                    SELECT ids.doc_id, unnest(ids.g) AS eg
+                    FROM ids JOIN train_w USING (doc_id)
+                ) i JOIN ev USING (eg)
+            ),
+            clean AS (
+                SELECT * FROM train_w
+                WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            ),
+            keyd AS (
+                SELECT lang, doc_id, n_chars,
+                       ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15)) AS UBIGINT) + 1)
+                          / 1152921504606846976.0) / n_chars AS key
+                FROM clean WHERE n_chars > 0
+            ),
+            rs AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY key DESC, doc_id
+                       ) AS rk
+                FROM keyd
+            ),
+            samp AS (SELECT lang, doc_id FROM rs WHERE rk <= 10),
+            li AS (SELECT lang, COUNT(*) AS n_input FROM documents GROUP BY lang),
+            lq AS (SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang),
+            ldd AS (SELECT lang, COUNT(*) AS n_dedup FROM winners GROUP BY lang),
+            lc AS (SELECT lang, COUNT(*) AS n_clean FROM clean GROUP BY lang),
+            ls AS (
+                SELECT lang, COUNT(*) AS n_sampled,
+                       md5(array_to_string(list_transform(
+                           list_sort(list(doc_id)),
+                           x -> CAST(x AS VARCHAR)), ',')) AS sampled_ids_md5
+                FROM samp GROUP BY lang
+            )
+            SELECT li.lang, li.n_input,
+                   COALESCE(lq.n_quality, 0) AS n_quality,
+                   COALESCE(ldd.n_dedup, 0) AS n_dedup,
+                   COALESCE(lc.n_clean, 0) AS n_clean,
+                   COALESCE(ls.n_sampled, 0) AS n_sampled,
+                   COALESCE(ls.sampled_ids_md5, '') AS sampled_ids_md5
+            FROM li
+            LEFT JOIN lq USING (lang)
+            LEFT JOIN ldd USING (lang)
+            LEFT JOIN lc USING (lang)
+            LEFT JOIN ls USING (lang)
         """,
         # MERGE semantics restated as the same FULL OUTER JOIN + CASE
         # arbitration the Spark operator lowers to (operators/merge.py):

@@ -158,6 +158,9 @@ def main() -> None:
         # tasks); ORC stays in the full tier (native columnar, parquet-like
         # plan shape)
         "io_csv_roundtrip",
+        # end-to-end curation composite (gate -> dedup window -> broadcast
+        # decontamination -> sample window as ONE plan)
+        "doc_curation_pipeline",
     }
     unknown_h = HEADLINE - set(entrymod.queries()) - {
         "flagship_doc_match", "flagship_doc_match_2x",

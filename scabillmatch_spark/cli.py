@@ -241,6 +241,11 @@ def cmd_curate(args) -> None:
             docs.select(idc, tc), idc, tc,
             chunk_tokens=args.chunk_tokens, stride=args.stride,
         )
+    elif args.op == "weighted-sample":
+        sized = docs.withColumn("n_tokens", TS.token_count(tc))
+        out = curation.weighted_sample(
+            sized, args.strata.split(","), args.k, "n_tokens", id_col=idc
+        )
     elif args.op == "mixture-sample":
         if not args.mix:
             sys.exit("curate --op mixture-sample requires --mix k=frac,...")
@@ -382,8 +387,9 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--op",
         choices=[
-            "decontaminate", "stratified-sample", "pack", "pii-scrub",
-            "repetition", "paragraph-dedup", "mixture-sample", "chunk",
+            "decontaminate", "stratified-sample", "weighted-sample", "pack",
+            "pii-scrub", "repetition", "paragraph-dedup", "mixture-sample",
+            "chunk",
         ],
         required=True,
     )

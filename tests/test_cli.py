@@ -130,6 +130,11 @@ def test_cli_curate_new_ops_and_dedup_delta(spark, corpus, tmp_path):
               "--mix", "9=1.0"])  # keep only state 9 whole; others dropped
     mix = spark.read.parquet(out + "/mix")
     assert mix.count() == 1 and mix.first()["state"] == 9
+    cli.main(["curate", "--input", corpus, "--output", out + "/ws",
+              "--op", "weighted-sample", "--strata", "state", "--k", "2",
+              "--text-col", "content", "--id-col", "primary_key"])
+    ws = spark.read.parquet(out + "/ws")
+    assert ws.groupBy("state").count().agg(F.max("count")).first()[0] <= 2
     cli.main(["dedup-delta", "--corpus", corpus, "--delta", corpus,
               "--output", out + "/dd", "--shingle-n", "2",
               "--num-hashes", "16", "--bands", "8", "--threshold", "50"])
