@@ -79,3 +79,74 @@ def stream_delta_dedup(
     # result lives in parquet now — release the corpus cache
     corpus_sets.unpersist()
     return spark.read.parquet(out_dir)
+
+
+def stream_merge_apply(
+    spark: SparkSession,
+    target: DataFrame,
+    delta: DataFrame,
+    work_dir: str,
+    keys: list[str],
+    delete_col: str | None = None,
+    n_batches: int = 3,
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """Streaming CDC apply — the lakehouse ingestion pattern: a stream of
+    change rows is MERGEd into a stored table one micro-batch at a time
+    (foreachBatch + operators/merge.merge_into), each batch rewriting the
+    table copy-on-write. The final state equals the one-shot
+    ``merge_into(target, delta)`` exactly, because the delta is staged
+    key-partitioned (``repartition(n_batches, *keys)``) so no key spans
+    two batches, and MERGEs of key-disjoint change sets commute.
+
+    ``broadcast_source=True`` is the scale default: per micro-batch the
+    delta slice is small against the huge target, so arbitration is a
+    broadcast LEFT join + broadcast anti-join for inserts — the target is
+    scanned, never shuffled, and the rewrite stays partition-aligned
+    (merge.py's CDC-apply path). The copy-on-write rewrite here swaps the
+    whole directory; a table format (Delta/Iceberg) would swap only
+    touched files — same plan, finer-grained commit.
+
+    Exactly-once: AvailableNow runs each staged file once; re-executed
+    batches under failure re-MERGE idempotently ONLY for upserts (a
+    re-applied update/insert is a no-op, a re-applied delete deletes
+    nothing) — true transactional retries need the table-format commit
+    protocol, documented honestly here.
+    """
+    import shutil
+
+    from scabillmatch_spark.operators.merge import merge_into
+
+    tag = uuid.uuid4().hex[:12]
+    in_dir = os.path.join(work_dir, f"cdc_in_{tag}")
+    tgt_dir = os.path.join(work_dir, f"cdc_tgt_{tag}")
+    ckpt = os.path.join(work_dir, f"cdc_ckpt_{tag}")
+
+    target.write.mode("overwrite").parquet(tgt_dir)
+    delta.repartition(n_batches, *keys).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(tgt_dir)
+        merged = merge_into(
+            cur, batch_df, keys,
+            delete_col=delete_col, broadcast_source=broadcast_source,
+        )
+        nxt = f"{tgt_dir}_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        # atomic-enough local swap; a table format replaces this with a
+        # metadata commit
+        shutil.rmtree(tgt_dir)
+        os.rename(nxt, tgt_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(tgt_dir)

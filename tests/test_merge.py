@@ -222,3 +222,27 @@ def test_merge_update_cols_not_in_target_raises(spark):
     src = spark.createDataFrame([(1, 9.0)], "k long, price_usd double")
     with pytest.raises(ValueError, match="update_cols not in target"):
         merge_into(_target(spark), src, ["k"], update_cols=["price_usd"])
+
+
+def test_stream_merge_apply_equals_one_shot(spark, tmp_path):
+    from scabillmatch_spark.streaming.ingest import stream_merge_apply
+
+    tgt = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(1, 21)],
+        "k long, s string, v double",
+    )
+    # updates on 2..8 even, delete 5/15, insert 100..103
+    delta = spark.createDataFrame(
+        [(k, f"S{k}", k * 10.0, False) for k in (2, 4, 6, 8)]
+        + [(5, "x", 0.0, True), (15, "x", 0.0, True)]
+        + [(k, f"n{k}", 1.0, False) for k in (100, 101, 102, 103)],
+        "k long, s string, v double, del boolean",
+    )
+    streamed = stream_merge_apply(
+        spark, tgt, delta, str(tmp_path / "cdc"), ["k"], delete_col="del",
+        n_batches=3,
+    )
+    one_shot = merge_into(tgt, delta, ["k"], delete_col="del")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
