@@ -3043,6 +3043,54 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_io_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (storage tier — the 100 TB fact-table
+    lever alongside bucketing/Z-order): orders written
+    partitionBy(order year), then joined to a small filtered dim (2 of the
+    years). Catalyst injects the dim's year set as a runtime subquery
+    filter into the fact SCAN, so only the matching partition directories
+    are read — at a 1000-partition fact table this is the difference
+    between scanning 2 partitions and 1000. The query ASSERTS ITS OWN
+    PLAN (`dynamicpruning` present on the scan) so a DPP regression fails
+    the driver row, not just a perf number; the oracle computes the same
+    aggregate with a static year predicate."""
+    import shutil
+    import tempfile
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    pdir = os.path.join(tempfile.gettempdir(), f"scabillmatch_dpp_{tag}")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(pdir)
+    try:
+        # the dim must carry a real FILTER predicate — DPP's benefit
+        # heuristic keys on build-side selectivity (a bare limit doesn't
+        # qualify); o_year % 4 = 1 is deterministic at any scale factor
+        years = (
+            orders.select("o_year").distinct()
+            .filter(F.col("o_year") % 4 == 1)
+            .withColumn("era", F.lit("era1"))
+        )
+        fact = spark.read.parquet(pdir)
+        joined = fact.join(F.broadcast(years), "o_year")
+        out = joined.groupBy("o_year", "era").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan:
+            raise AssertionError(
+                f"dynamic partition pruning regressed (no dynamicpruning "
+                f"subquery on the fact scan):\n{plan}"
+            )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(pdir, ignore_errors=True)
+    return out
+
+
 def q_minhash_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest near-dup (LLM-pipeline extension; the daily-batch
     twin of minhash_lsh_dedup): docs with doc_id % 10 == 7 play the NEW
@@ -3580,13 +3628,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
     # the round-7 rotation:
-    #   1. the 7 queries new this round (never driver-checked) lead, plus
+    #   1. the 8 queries new this round (never driver-checked) lead, plus
     #      storage_merge_upsert, whose insert-key domain changed this round
     #      (re-verify the changed code path, not just pytest);
     #   2. the 9 r4-green holdovers — two rounds stale, the oldest debt;
-    #   3. 33 of the 50 r5-green entries fill the window;
-    #   4. with 116 registered queries and a 50-row window, ~16 entries must
-    #      exceed one round of staleness per cycle — the 17 chosen r5-green
+    #   3. 32 of the 50 r5-green entries fill the window;
+    #   4. with 117 registered queries and a 50-row window, ~17 entries must
+    #      exceed one round of staleness per cycle — the 18 chosen r5-green
     #      holdovers (directly past the boundary, so they LEAD the r8
     #      window) are the simplest pure-Column/posexplode scans plus the
     #      in-plan-asserted approx_sketch_stats bound check, and every
@@ -3601,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_orc_roundtrip": q_io_orc_roundtrip,
         "doc_curation_pipeline": q_doc_curation_pipeline,
         "stream_merge_upsert": q_stream_merge_upsert,
+        "io_dpp_prune": q_io_dpp_prune,
         # -- changed in round 7 (insert-key domain) — re-verify
         "storage_merge_upsert": q_storage_merge_upsert,
         # -- latest driver row is r4 (two rounds stale) — oldest debt first
@@ -3645,12 +3694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_pct": q_tpch_q14,
         "tpch_q19_disjunctive_join": q_tpch_q19,
         "tpch_q5_local_supplier": q_tpch_q5,
-        "tpch_q12_case_agg": q_tpch_q12,
         "tpch_q18_having_in": q_tpch_q18,
-        # ---- 50-row window boundary (7 new + 1 changed + 9 r4-green +
-        #      33 r5-green = 50). The 17 r5-green holdovers directly below
+        # ---- 50-row window boundary (8 new + 1 changed + 9 r4-green +
+        #      32 r5-green = 50). The 18 r5-green holdovers directly below
         #      exceed the one-round staleness budget this cycle and LEAD
         #      the r8 window. ----
+        "tpch_q12_case_agg": q_tpch_q12,
         "tpch_q17_correlated_avg": q_tpch_q17,
         "window_topn_orders_per_customer": q_window_topn,
         "latest_order_per_customer": q_latest_order_per_customer,
@@ -4209,6 +4258,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ldd USING (lang)
             LEFT JOIN lc USING (lang)
             LEFT JOIN ls USING (lang)
+        """,
+        # DPP roundtrip: layout + runtime pruning must never change
+        # results — the oracle states the dim's predicate statically.
+        "io_dpp_prune": """
+            WITH o AS (
+                SELECT *, year(o_orderdate) AS o_year FROM orders
+            ),
+            y AS (
+                SELECT DISTINCT o_year FROM o WHERE o_year % 4 = 1
+            )
+            SELECT o.o_year, 'era1' AS era, count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sum_price
+            FROM o JOIN y USING (o_year)
+            GROUP BY o.o_year
         """,
         # MERGE semantics restated as the same FULL OUTER JOIN + CASE
         # arbitration the Spark operator lowers to (operators/merge.py):

@@ -161,6 +161,10 @@ def main() -> None:
         # end-to-end curation composite (gate -> dedup window -> broadcast
         # decontamination -> sample window as ONE plan)
         "doc_curation_pipeline",
+        # runtime partition pruning on a partitioned fact scan (in-query
+        # asserted). stream_merge_upsert stays in the full tier (streaming
+        # fixed overhead, same class as stream_ingest_dedup)
+        "io_dpp_prune",
     }
     unknown_h = HEADLINE - set(entrymod.queries()) - {
         "flagship_doc_match", "flagship_doc_match_2x",
