@@ -3400,6 +3400,24 @@ def _orders_cdc_delta(spark: SparkSession, sf_dir: str):
     return orders, updates.unionByName(deletes).unionByName(inserts)
 
 
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC GENERATION (operators/merge.snapshot_diff — the inverse of
+    MERGE): diff the orders snapshot against its post-MERGE state and emit
+    (key, payload, op) change rows — exactly the feed that replays through
+    merge_into/stream_merge_apply (round-trip law property-tested in
+    tests/test_merge.py). ONE full-outer key join, NULL-safe codegen'd
+    change detection; at scale, bucketing both snapshots on the key makes
+    the diff shuffle-free. The oracle wraps the MERGE oracle as a CTE and
+    restates the diff as the same FULL OUTER JOIN."""
+    from scabillmatch_spark.operators.merge import merge_into, snapshot_diff
+
+    orders, delta = _orders_cdc_delta(spark, sf_dir)
+    new = merge_into(orders, delta, ["o_orderkey"], delete_col="is_delete")
+    return snapshot_diff(orders, new, ["o_orderkey"]).withColumnRenamed(
+        "__op", "op"
+    )
+
+
 def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply (streaming/ingest.stream_merge_apply): the SAME
     change set as storage_merge_upsert arrives as 3 key-disjoint
@@ -3628,13 +3646,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
     # the round-7 rotation:
-    #   1. the 8 queries new this round (never driver-checked) lead, plus
+    #   1. the 9 queries new this round (never driver-checked) lead, plus
     #      storage_merge_upsert, whose insert-key domain changed this round
     #      (re-verify the changed code path, not just pytest);
     #   2. the 9 r4-green holdovers — two rounds stale, the oldest debt;
-    #   3. 32 of the 50 r5-green entries fill the window;
-    #   4. with 117 registered queries and a 50-row window, ~17 entries must
-    #      exceed one round of staleness per cycle — the 18 chosen r5-green
+    #   3. 31 of the 50 r5-green entries fill the window;
+    #   4. with 118 registered queries and a 50-row window, ~18 entries must
+    #      exceed one round of staleness per cycle — the 19 chosen r5-green
     #      holdovers (directly past the boundary, so they LEAD the r8
     #      window) are the simplest pure-Column/posexplode scans plus the
     #      in-plan-asserted approx_sketch_stats bound check, and every
@@ -3650,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_pipeline": q_doc_curation_pipeline,
         "stream_merge_upsert": q_stream_merge_upsert,
         "io_dpp_prune": q_io_dpp_prune,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
         # -- changed in round 7 (insert-key domain) — re-verify
         "storage_merge_upsert": q_storage_merge_upsert,
         # -- latest driver row is r4 (two rounds stale) — oldest debt first
@@ -3694,11 +3713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_pct": q_tpch_q14,
         "tpch_q19_disjunctive_join": q_tpch_q19,
         "tpch_q5_local_supplier": q_tpch_q5,
-        "tpch_q18_having_in": q_tpch_q18,
-        # ---- 50-row window boundary (8 new + 1 changed + 9 r4-green +
-        #      32 r5-green = 50). The 18 r5-green holdovers directly below
+        # ---- 50-row window boundary (9 new + 1 changed + 9 r4-green +
+        #      31 r5-green = 50). The 19 r5-green holdovers directly below
         #      exceed the one-round staleness budget this cycle and LEAD
         #      the r8 window. ----
+        "tpch_q18_having_in": q_tpch_q18,
         "tpch_q12_case_agg": q_tpch_q12,
         "tpch_q17_correlated_avg": q_tpch_q17,
         "window_topn_orders_per_customer": q_window_topn,
@@ -4282,6 +4301,36 @@ def oracle_sql() -> dict[str, str]:
         "storage_merge_upsert": _MERGE_UPSERT_ORACLE,
         # streaming CDC twin: batching must never change results
         "stream_merge_upsert": _MERGE_UPSERT_ORACLE,
+        # CDC generation: the MERGE oracle becomes a CTE; the diff is the
+        # same FULL OUTER JOIN with IS DISTINCT FROM change detection.
+        "orders_snapshot_diff": f"""
+            WITH merged AS ({_MERGE_UPSERT_ORACLE}),
+            d AS (
+                SELECT COALESCE(o.o_orderkey, m.o_orderkey) AS o_orderkey,
+                       CASE WHEN m.o_orderkey IS NOT NULL THEN m.o_custkey
+                            ELSE o.o_custkey END AS o_custkey,
+                       CASE WHEN m.o_orderkey IS NOT NULL
+                            THEN m.o_orderstatus
+                            ELSE o.o_orderstatus END AS o_orderstatus,
+                       CASE WHEN m.o_orderkey IS NOT NULL THEN m.o_totalprice
+                            ELSE o.o_totalprice END AS o_totalprice,
+                       CASE
+                         WHEN m.o_orderkey IS NOT NULL
+                              AND o.o_orderkey IS NULL THEN 'insert'
+                         WHEN o.o_orderkey IS NOT NULL
+                              AND m.o_orderkey IS NULL THEN 'delete'
+                         WHEN (m.o_custkey IS DISTINCT FROM o.o_custkey)
+                           OR (m.o_orderstatus IS DISTINCT FROM
+                               o.o_orderstatus)
+                           OR (m.o_totalprice IS DISTINCT FROM
+                               o.o_totalprice) THEN 'update'
+                       END AS op
+                FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             o_totalprice FROM orders) o
+                FULL OUTER JOIN merged m ON o.o_orderkey = m.o_orderkey
+            )
+            SELECT * FROM d WHERE op IS NOT NULL
+        """,
         # Sliding-window chunking: identical window arithmetic — starts are
         # multiples of the stride below the token count (Spark sequence()
         # has an inclusive stop, DuckDB range() an exclusive one; 0..n-1

@@ -194,6 +194,80 @@ def merge_into(
     return result
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC GENERATION — the inverse of merge_into: diff two snapshots of a
+    keyed table into change rows ``(keys..., payload..., __op)`` with
+    ``__op`` in ('insert', 'update', 'delete'). Unchanged rows (NULL-safe
+    equality on ``compare_cols``, default: all shared payload columns) are
+    dropped. Payload values come from the NEW snapshot for
+    inserts/updates and from the OLD one for deletes.
+
+    Round-trip law (property-tested):
+        merge_into(old, diff.withColumn(del, __op=='delete'),
+                   keys, delete_col=del) == new
+    — so a nightly snapshot pair can be turned into the exact CDC feed
+    that replays through the MERGE/streaming-apply path.
+
+    Plan: ONE full-outer join on ``keys`` (same shape as merge_into's
+    default path — diffing two 100 TB snapshots is a co-partitioned
+    key shuffle of both, and bucketing both snapshots on the key makes it
+    shuffle-free); change detection is codegen'd NULL-safe comparisons.
+    Snapshots must be key-unique — enforce upstream (this operator emits
+    whatever fan-out a duplicate key produces rather than windowing both
+    sides, because diff inputs are stored tables whose key-uniqueness is
+    the table contract, not a per-feed property).
+    """
+    payload = [c for c in new.columns if c not in keys]
+    old_payload = [c for c in old.columns if c not in keys]
+    if compare_cols is None:
+        compare_cols = [c for c in payload if c in old_payload]
+    missing = [c for c in compare_cols if c not in payload or c not in old_payload]
+    if missing:
+        raise ValueError(f"compare_cols absent from a snapshot: {missing}")
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias("__old_" + c) for c in old_payload],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in payload],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col("__old_" + c))
+    op = (
+        F.when(in_new & ~in_old, F.lit("insert"))
+        .when(in_old & ~in_new, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = [F.col(k) for k in keys]
+    for c in payload:
+        if c in old_payload:
+            out_cols.append(
+                F.when(in_new, F.col(c))
+                .otherwise(F.col("__old_" + c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return (
+        j.withColumn("__op", op)
+        .filter(F.col("__op").isNotNull())
+        .select(*out_cols, F.col("__op"))
+    )
+
+
 def scd2_history(
     changes: DataFrame,
     key: str,

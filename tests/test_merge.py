@@ -246,3 +246,57 @@ def test_stream_merge_apply_equals_one_shot(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, one_shot.collect())
     )
+
+
+def test_snapshot_diff_ops(spark):
+    from scabillmatch_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0), (5, None, None)],
+        "k long, s string, v double",
+    )
+    d = {r.k: (r.s, r.v, r["__op"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert d == {
+        2: ("B", 2.0, "update"),
+        3: ("c", None, "delete"),   # payload from OLD snapshot
+        4: ("d", 4.0, "insert"),
+        5: (None, None, "insert"),
+    }  # key 1 unchanged -> absent; NULL-safe compare keeps 3's None v quiet
+
+
+def test_snapshot_diff_merge_roundtrip(spark):
+    # the round-trip law: merge_into(old, diff(old, new)) == new
+    import random
+
+    from scabillmatch_spark.operators.merge import merge_into, snapshot_diff
+
+    rng = random.Random(7)
+    old_rows = [(i, rng.choice("abc"), float(rng.randint(0, 5))) for i in range(40)]
+    new_rows = [
+        (i, rng.choice("abc"), float(rng.randint(0, 5)))
+        for i in range(40) if rng.random() > 0.3
+    ] + [(100 + i, "n", 1.0) for i in range(5)]
+    old = spark.createDataFrame(old_rows, "k long, s string, v double")
+    new = spark.createDataFrame(new_rows, "k long, s string, v double")
+    diff = snapshot_diff(old, new, ["k"]).withColumn(
+        "is_del", F.col("__op") == "delete"
+    ).drop("__op")
+    replayed = merge_into(old, diff, ["k"], delete_col="is_del")
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_snapshot_diff_single_join_plan(spark):
+    from scabillmatch_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "k long, s string")
+    new = spark.createDataFrame([(1, "b")], "k long, s string")
+    out = snapshot_diff(old, new, ["k"])
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in logical.splitlines() if "Join " in l]
+    assert len(join_lines) == 1 and "FullOuter" in join_lines[0], logical
