@@ -79,11 +79,11 @@ def stratified_sample(
     rank-by-content-hash (sampleBy's rand() can't be reproduced across
     engines or runs). Adds ``__rk`` (1-based rank within stratum).
 
-    One shuffle on the strata key; the per-stratum window is safe because
-    strata are balanced by construction here, and at scale a hot stratum
-    only ever keeps k rows after the rank filter (the window sort is
-    (stratum-size log stratum-size) per stratum — for skewed strata,
-    pre-filter on a hash-bucket prefix to cap the sorted set).
+    One shuffle on the strata key. Skewed strata are safe: Catalyst plans
+    the rank filter as Partial+Final WindowGroupLimit (plan-asserted in
+    tests), pruning every map-side partition to its local top-k before
+    the exchange — a hot stratum ships k x upstream-partitions rows, not
+    its full size.
     """
     digest = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(*strata_cols).orderBy(digest, F.col(id_col))
@@ -121,9 +121,12 @@ def weighted_sample(
     stratum, heaviest-keyed first).
 
     Scale shape: identical to stratified_sample — ONE shuffle on the
-    strata key, a per-stratum top-k window (at scale: pre-prune each
-    stratum to its local top-k per partition before the window to cap the
-    sort, the standard top-k-per-group rewrite).
+    strata key, a per-stratum top-k window. Catalyst plans the rank
+    filter as Partial+Final WindowGroupLimit (plan-asserted in tests):
+    every map-side partition is pruned to its local top-k BEFORE the
+    exchange, so a hot stratum never ships or sorts more than
+    k x upstream-partitions rows — the top-k-per-group rewrite is
+    automatic, not a caller burden.
     """
     digest60 = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10

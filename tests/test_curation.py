@@ -285,3 +285,22 @@ def test_weighted_sample_single_shuffle_plan(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+    # skew safety: the rank filter must plan as a PARTIAL WindowGroupLimit
+    # (map-side per-partition top-k BEFORE the exchange) — hot strata ship
+    # k rows per upstream partition, not their full size
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_stratified_sample_partial_window_group_limit(spark):
+    from scabillmatch_spark.operators.curation import stratified_sample
+
+    df = spark.range(1000).selectExpr(
+        "id as doc_id", "cast(id % 3 as string) as lang"
+    )
+    plan = (
+        stratified_sample(df, ["lang"], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
