@@ -1251,6 +1251,51 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(edges, num_shuffle_partitions=8)
 
 
+def q_doc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLY — the step after doc_dup_clusters that actually rewrites
+    the corpus: connected components over the >=95-similarity graph elect
+    each cluster's min-doc_id keeper; every other cluster member is
+    dropped; documents with no near-dup edge pass through. Per lang:
+    input/kept/dropped counts plus the md5 fingerprint of the EXACT kept
+    id set (membership verified, not just counts — the oracle recomputes
+    components via the reachability recursive CTE). Scale shape: the
+    cluster frame is pairs-sized (tiny vs corpus), so the keep decision is
+    a broadcast left join against the full corpus — the corpus itself
+    never shuffles."""
+    from scabillmatch_spark.operators import graph
+
+    clusters = graph.connected_components(
+        _doc_edges(spark, sf_dir), num_shuffle_partitions=8
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = docs.join(
+        F.broadcast(clusters), docs.doc_id == clusters.id, "left"
+    )
+    keep = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    return (
+        j.withColumn("__keep", keep.cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__keep").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("__keep")).alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.col("doc_id"))
+                            )
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("kept_ids_md5"),
+        )
+    )
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical agg: ROLLUP(status, priority) — subtotals + grand total
     (capability beyond the reference; SURVEY §2.4 grouping sets)."""
@@ -3646,13 +3691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
     # the round-7 rotation:
-    #   1. the 9 queries new this round (never driver-checked) lead, plus
+    #   1. the 10 queries new this round (never driver-checked) lead, plus
     #      storage_merge_upsert, whose insert-key domain changed this round
     #      (re-verify the changed code path, not just pytest);
     #   2. the 9 r4-green holdovers — two rounds stale, the oldest debt;
-    #   3. 31 of the 50 r5-green entries fill the window;
-    #   4. with 118 registered queries and a 50-row window, ~18 entries must
-    #      exceed one round of staleness per cycle — the 19 chosen r5-green
+    #   3. 30 of the 50 r5-green entries fill the window;
+    #   4. with 119 registered queries and a 50-row window, ~19 entries must
+    #      exceed one round of staleness per cycle — the 20 chosen r5-green
     #      holdovers (directly past the boundary, so they LEAD the r8
     #      window) are the simplest pure-Column/posexplode scans plus the
     #      in-plan-asserted approx_sketch_stats bound check, and every
@@ -3669,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_upsert": q_stream_merge_upsert,
         "io_dpp_prune": q_io_dpp_prune,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "doc_dedup_rewrite": q_doc_dedup_rewrite,
         # -- changed in round 7 (insert-key domain) — re-verify
         "storage_merge_upsert": q_storage_merge_upsert,
         # -- latest driver row is r4 (two rounds stale) — oldest debt first
@@ -3713,10 +3759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_pct": q_tpch_q14,
         "tpch_q19_disjunctive_join": q_tpch_q19,
         "tpch_q5_local_supplier": q_tpch_q5,
-        # ---- 50-row window boundary (9 new + 1 changed + 9 r4-green +
-        #      31 r5-green = 50). The 19 r5-green holdovers directly below
+        # ---- 50-row window boundary (10 new + 1 changed + 9 r4-green +
+        #      30 r5-green = 50). The 20 r5-green holdovers directly below
         #      exceed the one-round staleness budget this cycle and LEAD
         #      the r8 window. ----
+        "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q18_having_in": q_tpch_q18,
         "tpch_q12_case_agg": q_tpch_q12,
         "tpch_q17_correlated_avg": q_tpch_q17,
@@ -5518,6 +5565,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
             )
             SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+        """,
+        # Dedup apply: same reachability components; keep = singleton or
+        # cluster-min; the kept SET is md5-verified per lang.
+        "doc_dedup_rewrite": f"""
+            WITH RECURSIVE {edge_cte},
+            reach(a, b) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+            ),
+            comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+            k AS (
+                SELECT d.doc_id, d.lang,
+                       CASE WHEN c.component IS NULL
+                                 OR c.component = d.doc_id
+                            THEN 1 ELSE 0 END AS keep
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(keep) AS n_kept,
+                   COUNT(*) - SUM(keep) AS n_dropped,
+                   md5(array_to_string(list_transform(
+                       list_sort(list(doc_id) FILTER (WHERE keep = 1)),
+                       x -> CAST(x AS VARCHAR)), ',')) AS kept_ids_md5
+            FROM k GROUP BY lang
         """,
         "emb_vector_sum_by_label": """
             WITH ex AS (
