@@ -1258,10 +1258,12 @@ def q_doc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped; documents with no near-dup edge pass through. Per lang:
     input/kept/dropped counts plus the md5 fingerprint of the EXACT kept
     id set (membership verified, not just counts — the oracle recomputes
-    components via the reachability recursive CTE). Scale shape: the
-    cluster frame is pairs-sized (tiny vs corpus), so the keep decision is
-    a broadcast left join against the full corpus — the corpus itself
-    never shuffles."""
+    components via the reachability recursive CTE). Scale shape: the keep
+    decision joins the cluster frame (bounded by docs-with-an-edge, tiny
+    here) against the full corpus; the broadcast hint fits this scale —
+    on a dup-heavy 100 TB crawl where the cluster frame outgrows the
+    broadcast threshold, drop the hint and the fallback is an equi-join
+    shuffling narrow (doc_id, lang) ids only, never text."""
     from scabillmatch_spark.operators import graph
 
     clusters = graph.connected_components(
