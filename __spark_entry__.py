@@ -1600,11 +1600,13 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
+    import shutil
+
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
     out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_csv_{tag}")
     write_csv(docs.repartition(4), out_dir)
     back = read_csv(spark, out_dir, docs.schema, multi_line=True)
-    return back.groupBy("lang").agg(
+    out = back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("doc_id").alias("n_ids"),
         F.sum("n_chars").alias("sum_chars"),
@@ -1613,6 +1615,11 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("text")).alias("min_md5"),
         F.max(F.md5("text")).alias("max_md5"),
     )
+    # pid-keyed dir must not accumulate across processes: materialize
+    # eagerly, then remove (io_sorted_compact's temp-dir lifecycle)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1628,17 +1635,22 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.io.sources import read_orc, write_orc
 
     ev = _t(spark, sf_dir, "events")
+    import shutil
+
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
     out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_orc_{tag}")
     write_orc(ev.repartition(4), out_dir)
     back = read_orc(spark, out_dir).filter(F.col("event_type") != "view")
-    return back.groupBy("event_type").agg(
+    out = back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
         F.min(F.unix_micros("ts")).alias("min_ts_us"),
         F.max(F.unix_micros("ts")).alias("max_ts_us"),
         _dec_sum("value", "sum_value"),
     )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
