@@ -279,6 +279,33 @@ def cmd_merge(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_diff(args) -> None:
+    from scabillmatch_spark.operators.merge import snapshot_diff
+
+    spark = _spark(args)
+    out = snapshot_diff(
+        spark.read.parquet(args.old),
+        spark.read.parquet(args.new),
+        args.keys.split(","),
+        compare_cols=args.compare_cols.split(",") if args.compare_cols else None,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_fuzzy_join(args) -> None:
+    from scabillmatch_spark.operators.blocking import blocked_edit_distance_join
+
+    spark = _spark(args)
+    docs = _read_docs(spark, args.input)
+    out = blocked_edit_distance_join(
+        docs, args.id_col, args.text_col,
+        max_distance=args.max_distance,
+        block_cols=args.block_cols.split(",") if args.block_cols else None,
+        prefix_len=args.prefix_len,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def cmd_compact(args) -> None:
     import math
 
@@ -435,6 +462,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="small-delta scale path: broadcast the source; "
                          "the target is never shuffled")
     mg.set_defaults(fn=cmd_merge)
+
+    df_ = sub.add_parser("diff", help="CDC generation: diff two snapshots into change rows")
+    df_.add_argument("--old", required=True, help="old snapshot (parquet)")
+    df_.add_argument("--new", required=True, help="new snapshot (parquet)")
+    df_.add_argument("--output", required=True)
+    df_.add_argument("--keys", required=True, help="comma-separated key columns")
+    df_.add_argument("--compare-cols", default=None,
+                     help="columns diffed for updates (default: shared payload)")
+    df_.set_defaults(fn=cmd_diff)
+
+    fz = sub.add_parser("fuzzy-join", help="prefix-blocked Levenshtein fuzzy self-join")
+    fz.add_argument("--input", required=True)
+    fz.add_argument("--output", required=True)
+    fz.add_argument("--text-col", default="content")
+    fz.add_argument("--id-col", default="primary_key")
+    fz.add_argument("--max-distance", type=int, default=10)
+    fz.add_argument("--block-cols", default=None, help="comma-separated block columns")
+    fz.add_argument("--prefix-len", type=int, default=8)
+    fz.set_defaults(fn=cmd_fuzzy_join)
 
     co = sub.add_parser("compact", help="small-file compaction / sorted rewrite")
     co.add_argument("--input", required=True)

@@ -180,3 +180,26 @@ def test_cli_chunk_and_merge(spark, corpus, tmp_path):
               "--delete-col", "del"])
     merged = {r.k: r.v for r in spark.read.parquet(out + "/merged").collect()}
     assert merged == {2: "B", 3: "c"}
+
+
+def test_cli_diff_and_fuzzy_join(spark, corpus, tmp_path):
+    out = str(tmp_path / "d")
+    # snapshots are parquet tables: old = the corpus, new = one content tweak
+    old = str(tmp_path / "old_snapshot")
+    new = str(tmp_path / "new_snapshot")
+    df = spark.read.json(corpus)
+    df.write.parquet(old)
+    df.withColumn(
+        "content",
+        F.when(F.col("primary_key") == df.first()["primary_key"],
+               F.lit("changed body")).otherwise(F.col("content")),
+    ).write.parquet(new)
+    cli.main(["diff", "--old", old, "--new", new, "--output", out + "/cdc",
+              "--keys", "primary_key"])
+    cdc = spark.read.parquet(out + "/cdc")
+    assert cdc.count() == 1 and cdc.first()["__op"] == "update"
+    cli.main(["fuzzy-join", "--input", corpus, "--output", out + "/fz",
+              "--text-col", "content", "--id-col", "primary_key",
+              "--max-distance", "30", "--prefix-len", "4"])
+    fz = spark.read.parquet(out + "/fz")
+    assert set(fz.columns) == {"pk1", "pk2", "distance"}
