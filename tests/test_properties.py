@@ -242,3 +242,87 @@ def test_merge_into_matches_dict_model(spark, target, source, insert, bcast):
            merge_into(tgt, src, ["k"], delete_col="del", insert=insert,
                       broadcast_source=bcast).collect()}
     assert got == _merge_model(target, source, insert)
+
+
+def _py_lev(a: str, b: str) -> int:
+    # classic Wagner-Fischer reference implementation
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=12),
+        min_size=2, max_size=10,
+    ),
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=4),
+)
+def test_blocked_edit_join_matches_bruteforce(spark, texts, d, pfx):
+    """blocked_edit_distance_join == brute force restricted to the same
+    blocking contract (prefix equality + id order), distances verified
+    against a pure-Python Wagner-Fischer."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        (r.pk1, r.pk2): r.distance
+        for r in blocking.blocked_edit_distance_join(
+            df, "doc_id", "t", max_distance=d, prefix_len=pfx
+        ).collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and a[:pfx] == b[:pfx]:
+                dist = _py_lev(a, b)
+                if dist <= d:
+                    want[(i, j)] = dist
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),      # doc_id
+            st.sampled_from(["x", "y"]),                  # stratum
+            st.integers(min_value=-2, max_value=1000),    # weight
+        ),
+        min_size=1, max_size=30, unique_by=lambda r: r[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_weighted_sample_matches_python_model(spark, rows, k):
+    """weighted_sample == a pure-Python A-ES model computing the identical
+    md5-derived keys — full membership AND rank cross-validation."""
+    import hashlib
+    import math
+
+    from scabillmatch_spark.operators import curation
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got = {
+        (r.lang, r["__rk"]): r.doc_id
+        for r in curation.weighted_sample(df, ["lang"], k, "w").collect()
+    }
+    by_stratum = {}
+    for doc_id, lang, w in rows:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        key = math.log((h + 1) / float(1 << 60)) / w
+        by_stratum.setdefault(lang, []).append((-key, doc_id))
+    want = {}
+    for lang, entries in by_stratum.items():
+        for rk, (_, doc_id) in enumerate(sorted(entries)[:k], 1):
+            want[(lang, rk)] = doc_id
+    assert got == want
