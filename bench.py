@@ -5,7 +5,7 @@ JSON line: {"metric": ..., "value": headline_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Two tiers (round-5 verdict item #7 — 98 timed queries diluted the signal):
-- HEADLINE: ~45 plan-distinct queries (one representative per physical plan
+- HEADLINE: ~51 plan-distinct queries (one representative per physical plan
   shape — band joins, iterative graph, windowed streaming, wide TPC-H joins,
   storage maintenance). Their total is the compact line's "value".
 - full set: everything registered (minus the model-fit SKIPs). Always timed

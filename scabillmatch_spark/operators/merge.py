@@ -194,6 +194,37 @@ def merge_into(
     return result
 
 
+def squash_cdc_log(
+    log: DataFrame,
+    keys: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """Last-writer-wins squash of a CDC LOG (multiple ordered changes per
+    key) down to the one-row-per-key feed merge_into requires. Real CDC
+    streams (Debezium, binlog tails) carry every intermediate change; only
+    the latest per key matters for a snapshot apply, and an intermediate
+    delete followed by a re-insert must NOT delete.
+
+    Keeps each key's row with the greatest ``seq_col`` (ties broken by the
+    full row's remaining columns via a deterministic struct max is NOT
+    attempted — a duplicated sequence number within a key is a feed bug,
+    surfaced by merge_into's unique-source check downstream rather than
+    silently arbitrated here).
+
+    Plan: one hash partitioning on ``keys``; the rank filter plans as
+    Partial+Final WindowGroupLimit, so a hot key is pruned to 1 row per
+    map-side partition before the exchange. The squashed output rides the
+    same key partitioning straight into merge_into's full-outer join —
+    Catalyst reuses the exchange.
+    """
+    w = W.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -300,3 +300,46 @@ def test_snapshot_diff_single_join_plan(spark):
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     join_lines = [l for l in logical.splitlines() if "Join " in l]
     assert len(join_lines) == 1 and "FullOuter" in join_lines[0], logical
+
+
+def test_squash_cdc_log_last_writer_wins(spark):
+    from scabillmatch_spark.operators.merge import merge_into, squash_cdc_log
+
+    # key 2: update then delete -> delete wins; key 3: delete then
+    # re-insert -> insert wins; key 4: two updates -> latest wins
+    log = spark.createDataFrame(
+        [
+            (2, "first", 1.0, False, 1),
+            (2, "gone", 0.0, True, 2),
+            (3, "x", 0.0, True, 1),
+            (3, "back", 33.0, False, 2),
+            (4, "v1", 1.0, False, 1),
+            (4, "v2", 2.0, False, 2),
+        ],
+        "k long, s string, v double, del boolean, seq long",
+    )
+    sq = squash_cdc_log(log, ["k"], "seq")
+    assert {(r.k, r.s, r.del_ if hasattr(r, "del_") else r["del"]) for r in sq.collect()} == {
+        (2, "gone", True), (3, "back", False), (4, "v2", False),
+    }
+    # and the squashed feed replays cleanly through MERGE
+    tgt = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    out = merge_into(tgt, sq.drop("seq"), ["k"], delete_col="del")
+    rows = {r.k: (r.s, r.v) for r in out.collect()}
+    assert rows == {3: ("back", 33.0), 4: ("v2", 2.0)}
+
+
+def test_squash_cdc_log_plan_window_group_limit(spark):
+    from scabillmatch_spark.operators.merge import squash_cdc_log
+
+    log = spark.range(100).selectExpr(
+        "id % 10 as k", "id as seq", "'p' as s"
+    )
+    plan = (
+        squash_cdc_log(log, ["k"], "seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
