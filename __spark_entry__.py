@@ -40,6 +40,67 @@ def _dec_sum(col, alias: str):
     return F.sum(F.col(col).cast("decimal(38,6)")).cast("double").alias(alias)
 
 
+_TMP_STALE_SECONDS = 2 * 3600
+_swept_stale_tmp = False
+
+
+def _tmp_workdir(prefix: str, sf_dir: str) -> str:
+    """Collision-proof scratch dir for round-trip queries.
+
+    The r7 driver run proved the host can execute several engine processes
+    at once (the driver's own pytest sessions overlapped its correctness
+    gate), and a per-(pid, sf) tag cannot rule out same-pid re-invocation
+    (timeout/retry harnesses re-enter the callable while a zombie worker
+    thread still owns the old dir). A uuid component makes every
+    INVOCATION its own directory, so no writer can ever overwrite a
+    directory another reader is scanning. Callers must pair this with
+    _materialize_and_clean so nothing accumulates.
+
+    First call per process also sweeps scabillmatch_* dirs older than
+    _TMP_STALE_SECONDS out of the temp root — a crashed/killed run's
+    leftovers (the one lifecycle rmtree-in-finally cannot cover)."""
+    import tempfile
+    import time
+    import uuid
+
+    global _swept_stale_tmp
+    root = tempfile.gettempdir()
+    if not _swept_stale_tmp:
+        _swept_stale_tmp = True
+        import shutil
+
+        now = time.time()
+        for name in os.listdir(root):
+            if not name.startswith("scabillmatch_"):
+                continue
+            p = os.path.join(root, name)
+            try:
+                if os.path.isdir(p) and now - os.path.getmtime(p) > _TMP_STALE_SECONDS:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    return os.path.join(root, f"scabillmatch_{prefix}_{tag}")
+
+
+def _materialize_and_clean(spark: SparkSession, out: DataFrame, *dirs: str) -> DataFrame:
+    """Collect ``out`` into a local-relation DataFrame, then ALWAYS remove
+    the scratch ``dirs`` (finally: a mid-collect failure must not leak
+    them). Round-trip queries return lazily-collected DataFrames to the
+    driver, so anything whose scan depends on a scratch dir must go
+    through here before the dir is dropped."""
+    import shutil
+
+    try:
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LSH-blocked near-duplicate pairs on sf0.001 documents."""
     return document_match(spark, "/root/testdata/sf0.001")
@@ -1287,7 +1348,13 @@ def q_doc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast threshold, drop the hint and the fallback is an equi-join
     shuffling narrow (doc_id, lang) ids only, never text. Components come
     from the session-wide _doc_dup_components cache (computed once, also
-    reported by doc_dup_clusters)."""
+    reported by doc_dup_clusters).
+
+    Self-diagnosing since r8 (the r7 driver red row gave zero forensics):
+    ``kept_id_sum`` carries the plain arithmetic sum of the kept ids next
+    to the all-or-nothing set md5, so a future hash flip localizes — the
+    lang whose sum moved names the side and the magnitude of the
+    divergence instead of only an opaque md5 delta."""
     clusters = _doc_dup_components(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     j = docs.join(
@@ -1301,6 +1368,7 @@ def q_doc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__keep").alias("n_kept"),
             (F.count(F.lit(1)) - F.sum("__keep")).alias("n_dropped"),
+            F.sum(F.when(keep, F.col("doc_id"))).alias("kept_id_sum"),
             F.md5(
                 F.concat_ws(
                     ",",
@@ -1562,24 +1630,24 @@ def q_io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas distributed source, and aggregate. The oracle computes the
     identical aggregate straight from parquet — any codec/schema bug breaks
     the hash. Exercises schema inference from the in-file writer schema
-    (the reference's schema-evolution selling point)."""
-    import tempfile
+    (the reference's schema-evolution selling point).
 
+    The write dir was per-sf FIXED until r8 — the one path shared across
+    concurrently-running engine processes (driver gate + its own pytest
+    overlapped in r7); now invocation-unique and removed eagerly."""
     from scabillmatch_spark.io import avro as A
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars", "text")
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"scabillmatch_avro_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out_dir = _tmp_workdir("avro", sf_dir)
     A.write_avro(docs.repartition(4), out_dir, codec="deflate")
     back = A.read_avro(spark, out_dir)
-    return back.groupBy("lang").agg(
+    out = back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("text")).alias("sum_text_len"),
         F.count_distinct("doc_id").alias("n_ids"),
     )
+    return _materialize_and_clean(spark, out, out_dir)
 
 
 def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,34 +1660,47 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet — any quoting/escaping/newline bug changes an md5 and
     breaks the hash. multiLine=True on the read because text carries real
     newlines (documented scan-parallelism trade: per-FILE tasks — hence
-    the 4-file write)."""
-    import tempfile
+    the 4-file write).
 
+    Self-diagnosing since r8 (the r7 driver red row gave zero forensics):
+    ``n_mismatched_vs_source`` anti-joins the round-tripped (doc_id,
+    md5(text)) against the parquet side IN-PLAN — the oracle states 0, so
+    a future mismatch reports HOW MANY documents corrupted, per lang,
+    instead of only flipping an opaque min/max md5. Text length is
+    fingerprinted in BYTES (octet_length / strlen) — byte semantics are
+    identical in every Spark and DuckDB version, unlike codepoint vs
+    UTF-16 vs grapheme length()."""
     from scabillmatch_spark.io.sources import read_csv, write_csv
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
-    import shutil
-
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_csv_{tag}")
+    out_dir = _tmp_workdir("csv", sf_dir)
     write_csv(docs.repartition(4), out_dir)
     back = read_csv(spark, out_dir, docs.schema, multi_line=True)
-    out = back.groupBy("lang").agg(
+    agg = back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("doc_id").alias("n_ids"),
         F.sum("n_chars").alias("sum_chars"),
-        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum(F.octet_length("text")).alias("sum_text_bytes"),
         F.count_distinct(F.md5("text")).alias("n_distinct_md5"),
         F.min(F.md5("text")).alias("min_md5"),
         F.max(F.md5("text")).alias("max_md5"),
     )
-    # pid-keyed dir must not accumulate across processes: materialize
-    # eagerly, then remove (io_sorted_compact's temp-dir lifecycle)
-    out = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+    src_fp = docs.select("doc_id", F.md5("text").alias("__m"))
+    bad = (
+        back.select("lang", "doc_id", F.md5("text").alias("__m"))
+        .join(src_fp, ["doc_id", "__m"], "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n_bad"))
+    )
+    out = agg.join(bad, "lang", "left").select(
+        agg["*"],
+        F.coalesce(F.col("__n_bad"), F.lit(0))
+        .cast("long")
+        .alias("n_mismatched_vs_source"),
+    )
+    return _materialize_and_clean(spark, out, out_dir)
 
 
 def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1630,15 +1711,10 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max of ts (timestamp fidelity), exact DECIMAL value sum. Oracle
     computes the same from parquet; a codec, timezone, or pushdown bug
     breaks the hash."""
-    import tempfile
-
     from scabillmatch_spark.io.sources import read_orc, write_orc
 
     ev = _t(spark, sf_dir, "events")
-    import shutil
-
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_orc_{tag}")
+    out_dir = _tmp_workdir("orc", sf_dir)
     write_orc(ev.repartition(4), out_dir)
     back = read_orc(spark, out_dir).filter(F.col("event_type") != "view")
     out = back.groupBy("event_type").agg(
@@ -1648,9 +1724,7 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros("ts")).alias("max_ts_us"),
         _dec_sum("value", "sum_value"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+    return _materialize_and_clean(spark, out, out_dir)
 
 
 def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,17 +1737,14 @@ def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate straight from the original parquet — data loss, duplication,
     or a sort/compaction bug breaks the hash; the pruning-enabling layout
     properties are footer-asserted in test_io_maintenance."""
-    import shutil
-    import tempfile
-
     from scabillmatch_spark.io.sources import compact_parquet, write_sorted
 
-    # pid-keyed paths: bench + the pytest oracle gate can run concurrently
-    # against the same sf dir, and a shared fixed path would let one run
-    # clobber the other's fragment/compacted dirs mid-query
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    frag = os.path.join(tempfile.gettempdir(), f"scabillmatch_frag_{tag}")
-    compacted = os.path.join(tempfile.gettempdir(), f"scabillmatch_compact_{tag}")
+    # invocation-unique paths (_tmp_workdir): bench, the pytest oracle
+    # gate, and the driver can all run this concurrently against the same
+    # sf dir; any shared path would let one run clobber another's
+    # fragment/compacted dirs mid-query
+    frag = _tmp_workdir("frag", sf_dir)
+    compacted = _tmp_workdir("compact", sf_dir)
     ev = _t(spark, sf_dir, "events")
     ev.repartition(40).write.mode("overwrite").parquet(frag)
     compact_parquet(
@@ -1692,10 +1763,7 @@ def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the compacted dir must outlive this call (the driver collects the
     # returned DataFrame lazily), so materialize now and clean up eagerly
-    out = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(frag, ignore_errors=True)
-    shutil.rmtree(compacted, ignore_errors=True)
-    return out
+    return _materialize_and_clean(spark, out, frag, compacted)
 
 
 def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2843,9 +2911,6 @@ def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Aggregates to one row; the oracle recomputes everything from parquet —
     any serialization/escaping/row-loss bug on the JSON path breaks the
     hash."""
-    import shutil
-    import tempfile
-
     from pyspark.sql import types as T
 
     from scabillmatch_spark.functions.pk import in_list
@@ -2854,9 +2919,7 @@ def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    base = os.path.join(tempfile.gettempdir(), f"scabillmatch_json_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_workdir("json", sf_dir)
     # 90/10 split: the single_file (coalesce(1)) sink and the wholetext
     # scan are single-task by construction, so they get the SMALL slice —
     # at sf0.1 a 50/50 split made this query 8.6 s of mostly one-core work
@@ -2905,9 +2968,7 @@ def q_io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_in_list"),
     )
     out = agg.crossJoin(wt)  # 1 row x 1 row
-    out = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    return _materialize_and_clean(spark, out, base)
 
 
 def q_ml_stemmer_bisecting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3008,13 +3069,9 @@ def q_io_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy. The oracle computes the identical aggregate from raw events:
     layout must never change results (joint per-file locality is
     footer-asserted in test_io_maintenance)."""
-    import shutil
-    import tempfile
-
     from scabillmatch_spark.io.sources import write_zorder
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    out_dir = os.path.join(tempfile.gettempdir(), f"scabillmatch_zorder_{tag}")
+    out_dir = _tmp_workdir("zorder", sf_dir)
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     write_zorder(ev, out_dir, ["user_id", "value"], bits=8, num_files=8)
     back = spark.read.parquet(out_dir)
@@ -3030,9 +3087,7 @@ def q_io_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum("value", "sum_value"),
         )
     )
-    res = spark.createDataFrame(res.collect(), res.schema)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return res
+    return _materialize_and_clean(spark, res, out_dir)
 
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3084,12 +3139,14 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     loudly, not just a pytest. The oracle computes the identical aggregate
     from the raw tables: layout must never change results."""
     import shutil
-    import tempfile
 
     from scabillmatch_spark.io.sources import write_bucketed
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}".replace(".", "_")
-    tdir = os.path.join(tempfile.gettempdir(), f"scabillmatch_bucket_{tag}")
+    tdir = _tmp_workdir("bucket", sf_dir)
+    # table names share the dir's invocation-unique suffix: metastore
+    # entries are process-global, so a same-name table registered by a
+    # concurrent/zombie invocation must be impossible, not just unlikely
+    tag = os.path.basename(tdir)[len("scabillmatch_bucket_"):].replace(".", "_")
     tc, to = f"cust_b_{tag}", f"ord_b_{tag}"
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -3134,10 +3191,8 @@ def q_io_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver row, not just a perf number; the oracle computes the same
     aggregate with a static year predicate."""
     import shutil
-    import tempfile
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    pdir = os.path.join(tempfile.gettempdir(), f"scabillmatch_dpp_{tag}")
+    pdir = _tmp_workdir("dpp", sf_dir)
     orders = _t(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
@@ -3204,14 +3259,9 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     static corpus and appends its pairs. The union over micro-batches must
     equal the one-shot batch delta dedup exactly, so this query SHARES
     minhash_delta_dedup's oracle — batching must never change results."""
-    import shutil
-    import tempfile
-
     from scabillmatch_spark.streaming.ingest import stream_delta_dedup
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    work = os.path.join(tempfile.gettempdir(), f"scabillmatch_ingest_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = _tmp_workdir("ingest", sf_dir)
     sets = corpus.doc_token_sets(spark, sf_dir).select(
         F.col("doc").alias("doc_id"),
         TX.ngram_ids_from_token_ids(F.col("tok_ids"), 3).alias("shingles"),
@@ -3227,9 +3277,7 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = out.select(
         "pk1", "pk2", F.round("similarity", 6).alias("similarity")
     )
-    res = spark.createDataFrame(res.collect(), res.schema)
-    shutil.rmtree(work, ignore_errors=True)
-    return res
+    return _materialize_and_clean(spark, res, work)
 
 
 def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3240,12 +3288,7 @@ def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowMissingColumns (absent fields null-fill) and aggregate per
     generation. The oracle rebuilds the same two-generation union from the
     raw table; a column-alignment or null-fill bug breaks the hash."""
-    import shutil
-    import tempfile
-
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    base = os.path.join(tempfile.gettempdir(), f"scabillmatch_evo_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_workdir("evo", sf_dir)
     docs = _t(spark, sf_dir, "documents")
     v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
     v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
@@ -3267,9 +3310,7 @@ def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum("quality", "sum_quality"),
         )
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    return _materialize_and_clean(spark, out, base)
 
 
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3506,21 +3547,64 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Because key-disjoint MERGEs commute, the final table must equal the
     one-shot MERGE exactly, so this query SHARES storage_merge_upsert's
     oracle — batching must never change results."""
-    import shutil
-    import tempfile
-
     from scabillmatch_spark.streaming.ingest import stream_merge_apply
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
-    work = os.path.join(tempfile.gettempdir(), f"scabillmatch_cdc_{tag}")
-    shutil.rmtree(work, ignore_errors=True)
+    work = _tmp_workdir("cdc", sf_dir)
     orders, delta = _orders_cdc_delta(spark, sf_dir)
     out = stream_merge_apply(
         spark, orders, delta, work, ["o_orderkey"], delete_col="is_delete",
     )
-    res = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(work, ignore_errors=True)
-    return res
+    return _materialize_and_clean(spark, out, work)
+
+
+def q_orders_cdc_squash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-log squash + MERGE composition (operators/merge.squash_cdc_log →
+    merge_into — new r8; gives the squash operator its own driver row,
+    exercising the rank()-based last-writer-wins semantics end-to-end): a
+    4-branch change LOG carries multiple sequenced changes per key —
+    seq 1 reprices every %97 key (+50, 'A'); seq 2 supersedes the even
+    half of those (+100, 'U') and deletes %89 keys; seq 3 re-INSERTS the
+    even half of the deleted keys at quarter price ('R') — the classic
+    delete-then-reinsert that an un-squashed apply would wrongly drop.
+    Squash keeps only each key's greatest-seq row (no ties by
+    construction, so rank == row_number and the downstream unique-source
+    check stays quiet), then ONE full-outer MERGE applies it; the entire
+    merged table is hash-verified against the oracle's restatement of the
+    same window + FULL OUTER JOIN. Plan: the squash's key partitioning is
+    exactly the MERGE join's, so Catalyst plans ONE exchange on the log.
+    Intermediate changes must never compound: +100 is off the ORIGINAL
+    price, and the oracle states exactly that."""
+    from scabillmatch_spark.operators.merge import merge_into, squash_cdc_log
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    b1 = orders.filter(k % 97 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("A").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 50.0).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"), F.lit(1).alias("seq"),
+    )
+    b2 = orders.filter((k % 97 == 0) & (k % 2 == 0)).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"), F.lit(2).alias("seq"),
+    )
+    b3 = orders.filter((k % 89 == 0) & (k % 97 != 0)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit(True).alias("is_delete"), F.lit(2).alias("seq"),
+    )
+    b4 = orders.filter((k % 89 == 0) & (k % 97 != 0) & (k % 2 == 0)).select(
+        "o_orderkey", "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.25).alias("o_totalprice"),
+        F.lit(False).alias("is_delete"), F.lit(3).alias("seq"),
+    )
+    log = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+    sq = squash_cdc_log(log, ["o_orderkey"], "seq").drop("seq")
+    return merge_into(orders, sq, ["o_orderkey"], delete_col="is_delete")
 
 
 def q_orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3724,34 +3808,113 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-7 rotation:
-    #   1. the 10 queries new this round (never driver-checked) lead, plus
-    #      storage_merge_upsert, whose insert-key domain changed this round
-    #      (re-verify the changed code path, not just pytest);
-    #   2. the 9 r4-green holdovers — two rounds stale, the oldest debt;
-    #   3. 30 of the 50 r5-green entries fill the window;
-    #   4. with 119 registered queries and a 50-row window, ~19 entries must
-    #      exceed one round of staleness per cycle — the 20 chosen r5-green
-    #      holdovers (directly past the boundary, so they LEAD the r8
-    #      window) are the simplest pure-Column/posexplode scans plus the
-    #      in-plan-asserted approx_sketch_stats bound check, and every
-    #      entry is still re-verified at sf0.01 on every pytest run by
-    #      tests/test_oracle.py's mirror of the driver gate.
+    # the round-8 rotation:
+    #   1. the two r7 driver-RED rows lead (io_csv_roundtrip,
+    #      doc_dedup_rewrite — re-greening them is the round's #1 goal;
+    #      both are now self-diagnosing and their temp-dir/oracle surface
+    #      is hardened), plus the one query new this round;
+    #   2. the 20 entries whose latest driver row is r5 — two rounds
+    #      stale, at the staleness contract's max, the oldest debt;
+    #   3. 27 of the 49 r6-green entries fill the window — the heavier
+    #      families first (graph, emb/ANN, ml fits, streaming joins);
+    #   4. with 120 registered queries and a 50-row window the cycle is
+    #      ~2.4 rounds: the 22 r6-green entries directly past the boundary
+    #      (simple column/agg shapes and TPC-H plans) reach 2 rounds stale
+    #      this cycle and MUST LEAD the r9 window, followed by the 48
+    #      r7-green rows. Every entry is still re-verified at sf0.01 on
+    #      every pytest run by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- new in round 7 — never driver-checked
+        # -- r7 driver-red rows, re-greening is goal #1
+        "io_csv_roundtrip": q_io_csv_roundtrip,
+        "doc_dedup_rewrite": q_doc_dedup_rewrite,
+        # -- new in round 8 — never driver-checked
+        "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
+        # -- latest driver row is r5 (two rounds stale) — oldest debt
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q18_having_in": q_tpch_q18,
+        "tpch_q12_case_agg": q_tpch_q12,
+        "tpch_q17_correlated_avg": q_tpch_q17,
+        "window_topn_orders_per_customer": q_window_topn,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "set_ops_union_intersect_except": q_set_ops,
+        "approx_sketch_stats": q_approx_sketch_stats,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_simhash": q_doc_simhash,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_sections": q_doc_sections,
+        "emb_vector_measures": q_emb_vector_measures,
+        "orders_rollup": q_orders_rollup,
+        "pivot_lineitem": q_pivot_lineitem,
+        "probe_search": q_probe_search,
+        "events_sliding_window": q_events_sliding_window,
+        "window_running_sum": q_window_running_sum,
+        # -- latest driver row is r6 — heavier families rotate back in
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "emb_pq_ann": q_emb_pq_ann,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_ann": q_emb_ivf_ann,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangle_count": q_graph_triangles,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_weighted_paths": q_graph_weighted_paths,
+        "graph_kcore": q_graph_kcore,
+        "pairs_postprocess_sample": q_pairs_postprocess_sample,
+        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
+        "ml_lda_topics": q_ml_lda_topics,
+        "ml_lsa_projection": q_ml_lsa_projection,
+        "ml_minhash_reference_join": q_ml_minhash_reference_join,
+        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "media_image_metadata": q_media_image_metadata,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "events_stream_static_join": q_events_stream_static_join,
+        "events_stream_interval_join": q_events_stream_interval_join,
+        "events_sessionization": q_events_sessionization,
+        # ---- 50-row window boundary (2 red + 1 new + 20 r5-green +
+        #      27 r6-green = 50). The 22 r6-green holdovers directly below
+        #      reach the staleness contract's two-round max this cycle and
+        #      LEAD the r9 window. ----
+        "orders_scd2_history": q_orders_scd2_history,
+        "doc_chunk_overlap": q_doc_chunk_overlap,
+        "events_stream_session": q_events_stream_session,
+        "scalar_functions": q_scalar_functions,
+        "pearson_corr": q_pearson_corr,
+        "descriptive_stats": q_descriptive_stats,
+        "histogram_events_value": q_histogram_events,
+        "events_json_agg": q_events_json,
+        "semi_anti_join": q_semi_anti_join,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        # -- r7-green rows past the window (one round stale); all
+        #    re-verified every pytest run via tests/test_oracle.py
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
         "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
-        "io_csv_roundtrip": q_io_csv_roundtrip,
         "io_orc_roundtrip": q_io_orc_roundtrip,
         "doc_curation_pipeline": q_doc_curation_pipeline,
         "stream_merge_upsert": q_stream_merge_upsert,
         "io_dpp_prune": q_io_dpp_prune,
         "orders_snapshot_diff": q_orders_snapshot_diff,
-        "doc_dedup_rewrite": q_doc_dedup_rewrite,
-        # -- changed in round 7 (insert-key domain) — re-verify
         "storage_merge_upsert": q_storage_merge_upsert,
-        # -- latest driver row is r4 (two rounds stale) — oldest debt first
         "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
         "doc_pair_measures": q_doc_pair_measures,
         "tpch_q6_forecast_revenue": q_tpch_q6,
@@ -3761,7 +3924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": q_events_tumbling,
         "events_resample_1h": q_events_resample_1h,
         "pair_space_accounting": q_pair_space_accounting,
-        # -- latest driver row is r5 — rotate back inside the window
         "latest_version_family": q_latest_version_family,
         "io_json_roundtrip": q_io_json_roundtrip,
         "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
@@ -3792,82 +3954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_revenue": q_tpch_q10,
         "tpch_q14_promo_pct": q_tpch_q14,
         "tpch_q19_disjunctive_join": q_tpch_q19,
-        "tpch_q5_local_supplier": q_tpch_q5,
-        # ---- 50-row window boundary (10 new + 1 changed + 9 r4-green +
-        #      30 r5-green = 50). The 20 r5-green holdovers directly below
-        #      exceed the one-round staleness budget this cycle and LEAD
-        #      the r8 window. ----
-        "tpch_q5_local_supplier": q_tpch_q5,
-        "tpch_q18_having_in": q_tpch_q18,
-        "tpch_q12_case_agg": q_tpch_q12,
-        "tpch_q17_correlated_avg": q_tpch_q17,
-        "window_topn_orders_per_customer": q_window_topn,
-        "latest_order_per_customer": q_latest_order_per_customer,
-        "set_ops_union_intersect_except": q_set_ops,
-        "approx_sketch_stats": q_approx_sketch_stats,
-        "doc_quality_lang": q_doc_quality_lang,
-        "doc_simhash": q_doc_simhash,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_sections": q_doc_sections,
-        "emb_vector_measures": q_emb_vector_measures,
-        "orders_rollup": q_orders_rollup,
-        "pivot_lineitem": q_pivot_lineitem,
-        "probe_search": q_probe_search,
-        "events_sliding_window": q_events_sliding_window,
-        "window_running_sum": q_window_running_sum,
-        # -- r6-green rows past the window (max staleness one round); all
-        #    re-verified every pytest run via tests/test_oracle.py
-        "orders_scd2_history": q_orders_scd2_history,
-        "doc_chunk_overlap": q_doc_chunk_overlap,
-        "events_stream_session": q_events_stream_session,
-        "scalar_functions": q_scalar_functions,
-        "pearson_corr": q_pearson_corr,
-        "descriptive_stats": q_descriptive_stats,
-        "histogram_events_value": q_histogram_events,
-        "events_json_agg": q_events_json,
-        "semi_anti_join": q_semi_anti_join,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "emb_pq_ann": q_emb_pq_ann,
-        "emb_cosine_near_dup": q_emb_cosine_near_dup,
-        "graph_pagerank": q_graph_pagerank,
-        "pairs_postprocess_sample": q_pairs_postprocess_sample,
-        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
-        "ml_lda_topics": q_ml_lda_topics,
-        "ml_lsa_projection": q_ml_lsa_projection,
-        "ml_minhash_reference_join": q_ml_minhash_reference_join,
-        "media_image_metadata": q_media_image_metadata,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "emb_lsh_ann": q_emb_lsh_ann,
-        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
-        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_repetition": q_doc_repetition,
-        "events_stream_static_join": q_events_stream_static_join,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_quality_filter": q_doc_quality_filter,
-        "events_stream_interval_join": q_events_stream_interval_join,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
-        "events_sessionization": q_events_sessionization,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "graph_triangle_count": q_graph_triangles,
-        "graph_shortest_paths": q_graph_shortest_paths,
-        "graph_weighted_paths": q_graph_weighted_paths,
-        "graph_kcore": q_graph_kcore,
-        "emb_ivf_ann": q_emb_ivf_ann,
     }
 
 
@@ -4196,15 +4282,19 @@ def oracle_sql() -> dict[str, str]:
         # CSV round trip: the oracle fingerprints the SOURCE table; the
         # Spark side fingerprints what came back through the CSV codec —
         # equality proves the quoting/escaping/newline handling lossless.
+        # strlen = BYTE length (identical semantics in every DuckDB/Spark
+        # version, unlike character length()); the Spark side's in-plan
+        # anti-join count of corrupted documents is stated as literal 0.
         "io_csv_roundtrip": """
             SELECT lang,
                    count(*) AS n_docs,
                    count(DISTINCT doc_id) AS n_ids,
                    sum(n_chars) AS sum_chars,
-                   sum(length(text)) AS sum_text_len,
+                   sum(strlen(text)) AS sum_text_bytes,
                    count(DISTINCT md5(text)) AS n_distinct_md5,
                    min(md5(text)) AS min_md5,
-                   max(md5(text)) AS max_md5
+                   max(md5(text)) AS max_md5,
+                   CAST(0 AS BIGINT) AS n_mismatched_vs_source
             FROM documents GROUP BY lang
         """,
         # ORC round trip: same source-vs-roundtrip fingerprint pattern
@@ -4411,6 +4501,58 @@ def oracle_sql() -> dict[str, str]:
                 FULL OUTER JOIN merged m ON o.o_orderkey = m.o_orderkey
             )
             SELECT * FROM d WHERE op IS NOT NULL
+        """,
+        # CDC squash + MERGE: last-writer-wins restated as a seq-desc
+        # window (the log has no (key,seq) ties, so row_number == the
+        # operator's rank), then the same FULL OUTER JOIN arbitration as
+        # the MERGE oracle. Prices are computed off the ORIGINAL snapshot
+        # on both engines — intermediate changes never compound.
+        "orders_cdc_squash_merge": """
+            WITH tgt AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders
+            ),
+            log AS (
+                SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus,
+                       o_totalprice + 50.0 AS o_totalprice,
+                       FALSE AS is_delete, 1 AS seq
+                FROM orders WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, 'U', o_totalprice + 100.0,
+                       FALSE, 2
+                FROM orders
+                WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       TRUE, 2
+                FROM orders
+                WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, 'R', o_totalprice * 0.25,
+                       FALSE, 3
+                FROM orders
+                WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+                      AND o_orderkey % 2 = 0
+            ),
+            sq AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       is_delete
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY o_orderkey ORDER BY seq DESC
+                    ) AS rn FROM log
+                ) WHERE rn = 1
+            )
+            SELECT
+                COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                     ELSE t.o_custkey END AS o_custkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                     ELSE t.o_orderstatus END AS o_orderstatus,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                     ELSE t.o_totalprice END AS o_totalprice
+            FROM tgt t FULL OUTER JOIN sq s ON t.o_orderkey = s.o_orderkey
+            WHERE NOT COALESCE(s.is_delete, FALSE)
         """,
         # Sliding-window chunking: identical window arithmetic — starts are
         # multiples of the stride below the token count (Spark sequence()
@@ -5601,7 +5743,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
         """,
         # Dedup apply: same reachability components; keep = singleton or
-        # cluster-min; the kept SET is md5-verified per lang.
+        # cluster-min; the kept SET is md5-verified per lang, with a plain
+        # kept-id SUM next to it so a hash flip localizes. string_agg with
+        # ORDER BY replaces r7's list()/FILTER/list_sort/list_transform
+        # chain — the maximally version-portable aggregate (the r7 driver
+        # red row's one untestable suspect was oracle-side DuckDB skew on
+        # exactly those list functions).
         "doc_dedup_rewrite": f"""
             WITH RECURSIVE {edge_cte},
             reach(a, b) AS (
@@ -5620,9 +5767,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs,
                    SUM(keep) AS n_kept,
                    COUNT(*) - SUM(keep) AS n_dropped,
-                   md5(array_to_string(list_transform(
-                       list_sort(list(doc_id) FILTER (WHERE keep = 1)),
-                       x -> CAST(x AS VARCHAR)), ',')) AS kept_ids_md5
+                   SUM(CASE WHEN keep = 1 THEN doc_id END) AS kept_id_sum,
+                   md5(COALESCE(string_agg(
+                       CASE WHEN keep = 1 THEN CAST(doc_id AS VARCHAR) END,
+                       ',' ORDER BY doc_id), '')) AS kept_ids_md5
             FROM k GROUP BY lang
         """,
         "emb_vector_sum_by_label": """

@@ -84,16 +84,21 @@ def merge_into(
     default path (property-tested).
     """
     spayload = [c for c in source.columns if c not in keys]
-    # the rewrite stakes out _TP/_SP and the __src_-prefixed payload
-    # aliases as internal names; a user column landing on one of them
-    # would silently corrupt the arbitration CASE exprs — fail loudly
-    # instead (mirrors the update_cols/delete_col validation below)
-    reserved = {_TP, _SP} | {_SRC + c for c in spayload}
-    clash = (set(target.columns) | set(source.columns)) & reserved
+    # the rewrite stakes out _TP/_SP and the whole __src_* prefix as
+    # internal names; a user column landing in that namespace — even
+    # __src_<x> for a TARGET-only x, which the r7 enumerated check
+    # missed — would satisfy the "_SRC + c in joined.columns" arbitration
+    # branch and silently corrupt inserted rows, so reject the entire
+    # prefix, not just source-payload-derived names
+    clash = {
+        c
+        for c in set(target.columns) | set(source.columns)
+        if c.startswith(_SRC) or c in (_TP, _SP)
+    }
     if clash:
         raise ValueError(
             "merge_into: column names collide with reserved internal "
-            f"markers: {sorted(clash)}"
+            f"markers (prefix {_SRC!r}, {_TP!r}, {_SP!r}): {sorted(clash)}"
         )
     if check_unique_source:
         present = F.coalesce(
@@ -205,21 +210,22 @@ def squash_cdc_log(
     the latest per key matters for a snapshot apply, and an intermediate
     delete followed by a re-insert must NOT delete.
 
-    Keeps each key's row with the greatest ``seq_col`` (ties broken by the
-    full row's remaining columns via a deterministic struct max is NOT
-    attempted — a duplicated sequence number within a key is a feed bug,
-    surfaced by merge_into's unique-source check downstream rather than
-    silently arbitrated here).
+    Keeps each key's row with the greatest ``seq_col`` via rank() — NOT
+    row_number(), deliberately: a duplicated sequence number within a key
+    is a feed bug, and rank() lets BOTH tied rows survive the squash so
+    merge_into's unique-source check downstream fails the job loudly. A
+    row_number() squash would pick one of the duplicates arbitrarily and
+    the corruption could never be detected (the r7 advisor finding).
 
     Plan: one hash partitioning on ``keys``; the rank filter plans as
-    Partial+Final WindowGroupLimit, so a hot key is pruned to 1 row per
-    map-side partition before the exchange. The squashed output rides the
-    same key partitioning straight into merge_into's full-outer join —
-    Catalyst reuses the exchange.
+    Partial+Final WindowGroupLimit, so a hot key is pruned to its top
+    rows per map-side partition before the exchange. The squashed output
+    rides the same key partitioning straight into merge_into's full-outer
+    join — Catalyst reuses the exchange.
     """
     w = W.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     return (
-        log.withColumn("__rn", F.row_number().over(w))
+        log.withColumn("__rn", F.rank().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -261,6 +267,19 @@ def snapshot_diff(
     missing = [c for c in compare_cols if c not in payload or c not in old_payload]
     if missing:
         raise ValueError(f"compare_cols absent from a snapshot: {missing}")
+    # with no comparable columns, `changed` stays literally False and every
+    # matched key's divergence is silently dropped — only legitimate when
+    # the snapshots genuinely carry nothing but keys (then membership diff,
+    # insert/delete only, IS the complete diff); any other empty set — an
+    # explicit [], or payloads that share no column — is an error, not a
+    # degenerate diff (the r7 advisor finding)
+    if not compare_cols and (payload or old_payload):
+        raise ValueError(
+            "snapshot_diff: no comparable payload columns between the "
+            "snapshots — matched-key changes would be silently dropped. "
+            "Pass compare_cols naming shared columns, or diff key-only "
+            "projections if membership (insert/delete) diff is intended."
+        )
     o = old.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias("__old_" + c) for c in old_payload],

@@ -215,6 +215,34 @@ def test_csv_empty_string_reads_as_null_documented_loss(spark, tmp_path):
     assert back.collect()[0].s is None
 
 
+def test_csv_splittable_fast_path_equivalence(spark, tmp_path):
+    # multi_line=False is the scan-splittable mode read_csv recommends at
+    # scale for newline-scrubbed corpora: quoted commas/quotes still round
+    # trip; only embedded newlines need the per-file multiLine mode. Both
+    # documented modes must agree on newline-free data.
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.io.sources import read_csv, write_csv
+
+    rows = [
+        (1, "plain"),
+        (2, 'has "quotes" inside'),
+        (3, "comma, semicolon; pipe|"),
+        (4, " leading and trailing "),
+        (5, "unicode: café — π"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    assert df.filter(F.col("s").contains("\n")).count() == 0
+    out = str(tmp_path / "csv_split")
+    write_csv(df.repartition(3), out)
+    fast = read_csv(spark, out, df.schema, multi_line=False)
+    slow = read_csv(spark, out, df.schema, multi_line=True)
+    assert {tuple(r) for r in fast.collect()} == set(rows)
+    assert {tuple(r) for r in fast.collect()} == {
+        tuple(r) for r in slow.collect()
+    }
+
+
 def test_csv_output_parses_in_duckdb(spark, tmp_path):
     # RFC-4180 doubled-quote escaping: a standard reader must agree
     import glob

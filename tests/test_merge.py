@@ -331,6 +331,63 @@ def test_squash_cdc_log_last_writer_wins(spark):
     assert rows == {3: ("back", 33.0), 4: ("v2", 2.0)}
 
 
+def test_squash_cdc_log_duplicate_seq_surfaces_downstream(spark):
+    # a duplicated sequence number within a key is a feed bug: rank() lets
+    # BOTH tied rows survive the squash, so merge_into's unique-source
+    # check fails the job instead of an arbitrary winner being applied
+    # silently (the row_number() failure mode the r7 advisor flagged)
+    import pytest
+
+    from scabillmatch_spark.operators.merge import merge_into, squash_cdc_log
+
+    log = spark.createDataFrame(
+        [(1, "a", False, 5), (1, "b", False, 5), (2, "c", False, 1)],
+        "k long, s string, del boolean, seq long",
+    )
+    sq = squash_cdc_log(log, ["k"], "seq")
+    assert sq.filter("k = 1").count() == 2  # ties both survive
+    tgt = spark.createDataFrame([(1, "t"), (2, "t")], "k long, s string")
+    with pytest.raises(Exception, match="multiple source rows matched"):
+        merge_into(tgt, sq.drop("seq"), ["k"], delete_col="del").collect()
+
+
+def test_merge_into_rejects_reserved_prefix_columns(spark):
+    # any __src_* input column is rejected — including __src_<x> for a
+    # TARGET-only x, which an enumerated spayload-derived check would miss
+    # while the arbitration branch would still misread it
+    import pytest
+
+    from scabillmatch_spark.operators.merge import merge_into
+
+    tgt = spark.createDataFrame(
+        [(1, "a", "z")], "k long, only_tgt string, __src_only_tgt string"
+    )
+    src = spark.createDataFrame([(1, "b")], "k long, s string")
+    with pytest.raises(ValueError, match="reserved"):
+        merge_into(tgt, src, ["k"])
+
+
+def test_snapshot_diff_empty_compare_cols_raises(spark):
+    import pytest
+
+    from scabillmatch_spark.operators.merge import snapshot_diff
+
+    # disjoint payloads: nothing comparable -> must refuse, not silently
+    # drop matched-key divergence
+    old = spark.createDataFrame([(1, "a")], "k long, p string")
+    new = spark.createDataFrame([(1, 2.0)], "k long, q double")
+    with pytest.raises(ValueError, match="no comparable payload"):
+        snapshot_diff(old, new, ["k"])
+    # explicit [] with shared payload: same refusal
+    with pytest.raises(ValueError, match="no comparable payload"):
+        snapshot_diff(old, old, ["k"], compare_cols=[])
+    # genuinely key-only snapshots: membership diff is the complete diff
+    o = spark.createDataFrame([(1,), (2,)], "k long")
+    n = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {(r.k, r["__op"]) for r in snapshot_diff(o, n, ["k"]).collect()}
+    assert got == {(1, "delete"), (3, "insert")}
+
+
 def test_squash_cdc_log_plan_window_group_limit(spark):
     from scabillmatch_spark.operators.merge import squash_cdc_log
 
