@@ -72,6 +72,24 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Host-phase calibration probe (r7 verdict #5): a FIXED pure-codegen
+    # plan — no IO, no shuffle, size independent of sf — timed immediately
+    # after warmup and again after the last query. Identical work at both
+    # ends, so the pair tags the RUN's host phase: last/first ≈ 1 means
+    # sub-second per-query deltas vs another run are real; a 2-3x drift
+    # means the host moved underneath the run (the documented 2-13x
+    # steal/GC variance) and uniform sub-second movements are noise-class.
+    def _calibration_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(20_000_000, numPartitions=32).selectExpr(
+            "sum((id * 2654435761) % 1000003) AS s"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _calibration_probe()  # untimed: compile the probe's own codegen first
+    calib_first = _calibration_probe()
+    print(f"# calibration_probe_first: {calib_first}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
 
     def run(name, fn):
@@ -248,6 +266,14 @@ def main() -> None:
         )
         timings[name] = min(timings[name], dt)
 
+    calib_last = _calibration_probe()
+    calib_drift = round(calib_last / calib_first, 2) if calib_first else None
+    print(
+        f"# calibration_probe_last: {calib_last}s"
+        f" (drift last/first = {calib_drift})",
+        file=sys.stderr,
+    )
+
     total = round(sum(v for k, v in timings.items() if k in HEADLINE), 2)
     full_total = round(sum(timings.values()), 2)
     print(
@@ -278,6 +304,11 @@ def main() -> None:
                     "partial": headline_only,
                     "headline": sorted(HEADLINE & set(timings)),
                     "sf": sf,
+                    "calibration": {
+                        "first": calib_first,
+                        "last": calib_last,
+                        "drift": calib_drift,
+                    },
                     "queries": timings,
                 },
                 f,
@@ -299,6 +330,14 @@ def main() -> None:
                 # headline tier); the full-set count/total live on stderr
                 # and in bench_detail.json
                 "n_queries": sum(1 for k in timings if k in HEADLINE),
+                # fixed-work host-phase probe timed first/last (see
+                # _calibration_probe): drift near 1 = trustworthy run;
+                # >>1 = host moved mid-run, sub-second deltas are noise
+                "calibration": {
+                    "first": calib_first,
+                    "last": calib_last,
+                    "drift": calib_drift,
+                },
                 "sf": sf,
             }
         )

@@ -20,6 +20,7 @@ shuffle-heavy but linear in triangle count; BFS shuffles the frontier only.
 from __future__ import annotations
 
 import contextlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,11 +159,54 @@ def _loop_partitions(spark, num_shuffle_partitions: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _round_materialize(
+    df: DataFrame, round_idx: int, checkpoint_dir: str | None
+) -> DataFrame:
+    """Per-round lineage cut for iterative loops.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks live in
+    executor memory/disk. Right for local and driver-checked runs, but at
+    cluster scale a lost executor loses blocks whose LINEAGE WAS TRUNCATED:
+    the job fails and the whole iteration restarts. With ``checkpoint_dir``
+    set (an HDFS/S3 path on a real cluster): parquet write + fresh read —
+    the reliable cut that survives executor loss, at the cost of one
+    storage round trip per round. Rounds write to round_<i> subdirs;
+    round i-1's files stop being referenced once round i is written, so
+    callers can bound disk via _sweep_older_rounds."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    path = os.path.join(checkpoint_dir, f"round_{round_idx}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _sweep_older_rounds(checkpoint_dir: str | None, upto: int) -> None:
+    """Delete round_<i> dirs for i < upto — safe once round ``upto`` has
+    been fully written (later rounds read only the latest materialization).
+    Uses the Hadoop FS API so HDFS/S3 checkpoint dirs work, not just
+    local paths."""
+    if checkpoint_dir is None:
+        return
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for i in range(upto):
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(checkpoint_dir, f"round_{i}")
+        )
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 30,
     undirected: bool = True,
     num_shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation -> (id, component),
     component = smallest vertex id in the component (GraphFrames
@@ -178,16 +222,24 @@ def connected_components(
     through 1.7k vertices) plain propagation needed >6 job-overhead-bound
     rounds, doubling converges in 3. Same per-round ``localCheckpoint`` +
     early-stop discipline as the BFS (lazy iterative frames re-execute
-    compounding join trees — the measured round-2 failure mode)."""
+    compounding join trees — the measured round-2 failure mode).
+
+    ``checkpoint_dir`` is the 100 TB-honest materialization switch
+    (_round_materialize): localCheckpoint blocks die with their executor
+    AND carry truncated lineage, so a single lost executor on a
+    1000-executor run fails the whole iteration; pass an HDFS/S3 dir to
+    cut lineage through reliable storage instead (one parquet round trip
+    per round, older rounds swept as the loop advances). Identical labels
+    either way — equality is pytest-pinned."""
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     converged = False
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
-        comp = (
-            vertices_from_edges(e)
-            .select("id", F.col("id").alias("component"))
-            .localCheckpoint()
+        comp = _round_materialize(
+            vertices_from_edges(e).select("id", F.col("id").alias("component")),
+            0,
+            checkpoint_dir,
         )
-        for _ in range(max_iter):
+        for _round in range(max_iter):
             nbr_min = (
                 e.join(comp, e.src == comp.id)
                 .select(F.col("dst").alias("id"), F.col("component").alias("nc"))
@@ -219,8 +271,9 @@ def connected_components(
                     "component",
                     (F.col("component") < F.col("__old")).alias("__improved"),
                 )
-                .localCheckpoint()
             )
+            nxt = _round_materialize(nxt, _round + 1, checkpoint_dir)
+            _sweep_older_rounds(checkpoint_dir, _round + 1)
             converged = nxt.filter(F.col("__improved")).isEmpty()
             comp = nxt.select("id", "component")
             if converged:

@@ -123,3 +123,32 @@ def test_k_core_warns_when_not_converged(spark):
         assert any("did not converge" in str(x.message) for x in w)
     # with budget: the 2-core of a path is empty
     assert k_core(edges, 2, max_iter=20).count() == 0
+
+
+def test_connected_components_reliable_checkpoint_equivalence(spark, tmp_path):
+    """checkpoint_dir is the cluster-scale materialization path (parquet
+    write+read per round instead of localCheckpoint): labels must be
+    IDENTICAL to the default path, older round dirs must be swept as the
+    loop advances, and the final round's files must survive for the
+    returned frame's consumption."""
+    import os
+
+    from scabillmatch_spark.operators.graph import connected_components
+
+    # a path graph (multi-round pointer doubling) plus a separate triangle
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    local = {
+        (r.id, r.component) for r in connected_components(edges).collect()
+    }
+    reliable_df = connected_components(edges, checkpoint_dir=ckpt)
+    reliable = {(r.id, r.component) for r in reliable_df.collect()}
+    assert reliable == local
+    rounds = sorted(os.listdir(ckpt))
+    # only the final round's materialization is retained
+    assert len(rounds) == 1, rounds
+    # the returned frame stays consumable off the surviving round dir
+    assert reliable_df.count() == 13

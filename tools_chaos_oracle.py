@@ -1,0 +1,138 @@
+"""Chaos determinism check for the correctness gate: run a set of
+queries-vs-oracle comparisons N times IN ONE session with a different
+random query order each pass, to flush any order dependence the fixed
+registry order hides (shared caches, session conf mutated by one query
+and read by the next, temp-dir reuse). A query that is green in
+registry order but red in some shuffled order is exactly the class of
+defect that could produce a driver-red/judge-green split like r7's.
+
+Usage:
+    python tools_chaos_oracle.py                  # r8-touched set, 5 passes
+    python tools_chaos_oracle.py --passes 3 --queries io_csv_roundtrip,...
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import random
+import sys
+import time
+
+T2_SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+# every entry whose Spark plan, oracle SQL, or temp-dir machinery changed
+# in round 8, plus the two r7 driver-red rows' cache-sharing neighbors
+DEFAULT_SET = [
+    "io_csv_roundtrip",
+    "doc_dedup_rewrite",
+    "doc_dup_clusters",
+    "orders_cdc_squash_merge",
+    "storage_merge_upsert",
+    "stream_merge_upsert",
+    "orders_snapshot_diff",
+    "io_json_roundtrip",
+    "io_orc_roundtrip",
+    "io_avro_roundtrip",
+    "io_sorted_compact",
+    "io_zorder_roundtrip",
+    "io_bucketed_join",
+    "io_dpp_prune",
+    "io_schema_evolution",
+    "stream_ingest_dedup",
+]
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--queries", type=str, default="")
+    ap.add_argument("--seed", type=int, default=8)
+    args = ap.parse_args()
+    names = (
+        [q for q in args.queries.split(",") if q]
+        if args.queries
+        else DEFAULT_SET
+    )
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    unknown = [n for n in names if n not in qs]
+    assert not unknown, f"unknown queries: {unknown}"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{T2_SF}/{t}.parquet')"
+        )
+    # oracle side is deterministic and session-free: compute once
+    expected = {}
+    for n in names:
+        orel = con.sql(osql[n])
+        expected[n] = (
+            sorted(d[0] for d in orel.description),
+            _normalize([d[0] for d in orel.description], orel.fetchall()),
+        )
+
+    rng = random.Random(args.seed)
+    n_red = 0
+    for p in range(args.passes):
+        order = names[:]
+        rng.shuffle(order)
+        t0 = time.time()
+        reds = []
+        for n in order:
+            sdf = qs[n](spark, T2_SF)
+            srows = [tuple(r) for r in sdf.collect()]
+            ok = (
+                sorted(sdf.columns) == expected[n][0]
+                and _normalize(sdf.columns, srows) == expected[n][1]
+            )
+            if not ok:
+                reds.append(n)
+        n_red += len(reds)
+        print(
+            f"pass {p + 1}/{args.passes} order={order} "
+            f"red={reds or 'none'} ({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+    print(f"TOTAL red rows over {args.passes} shuffled passes: {n_red}")
+    return 1 if n_red else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
