@@ -50,6 +50,7 @@ def pagerank(
     max_iter: int = 10,
     undirected: bool = True,
     num_shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank by power iteration -> (id, pagerank).
 
@@ -58,6 +59,10 @@ def pagerank(
     (GraphFrames' resetProbability/maxIter semantics, GraphUtils.scala:24-31;
     dangling mass is dropped, matching the reference's usage on similarity
     graphs where every vertex has degree >= 1.)
+
+    ``checkpoint_dir``: reliable per-CHECKPOINT_EVERY materialization through
+    HDFS/S3 instead of localCheckpoint — see _round_materialize for the
+    cluster-scale rationale (executor loss must not restart the iteration).
     """
     e = undirect(edges) if undirected else edges.select("src", "dst")
     verts = vertices_from_edges(e).cache()
@@ -83,7 +88,8 @@ def pagerank(
                 ).alias("rank"),
             )
             if (i + 1) % CHECKPOINT_EVERY == 0:
-                ranks = ranks.localCheckpoint()
+                ranks = _round_materialize(ranks, i + 1, checkpoint_dir)
+                _sweep_older_rounds(checkpoint_dir, i + 1)
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
@@ -300,6 +306,7 @@ def k_core(
     max_iter: int = 50,
     undirected: bool = True,
     num_shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The k-core of the graph: the maximal induced subgraph where every
     vertex keeps degree >= k. Returns (id, degree) — degree WITHIN the
@@ -310,26 +317,34 @@ def k_core(
     Algorithm: iterative peeling — drop vertices with current degree < k,
     recompute degrees on the induced subgraph, repeat to fixpoint. Each
     round is one aggregation + two semi-joins over the shrinking edge set,
-    localCheckpoint'd per round (same lineage discipline as BFS/CC); rounds
-    needed = peeling depth, small for dense-core graphs. At cluster scale
-    every round is one shuffle over the surviving edges — the edge set only
-    shrinks, so the heaviest round is the first.
+    localCheckpoint'd per round (same lineage discipline as BFS/CC; pass
+    ``checkpoint_dir`` for the reliable-storage cut at cluster scale —
+    see _round_materialize); rounds needed = peeling depth, small for
+    dense-core graphs. At cluster scale every round is one shuffle over
+    the surviving edges — the edge set only shrinks, so the heaviest
+    round is the first.
     """
-    e = (undirect(edges) if undirected else edges.select("src", "dst")).localCheckpoint()
+    e = _round_materialize(
+        undirect(edges) if undirected else edges.select("src", "dst"),
+        0,
+        checkpoint_dir,
+    )
     n_edges = e.count()
     converged = False
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
-        for _ in range(max_iter):
+        for _round in range(max_iter):
             deg = e.groupBy(F.col("src").alias("id")).agg(
                 F.count(F.lit(1)).alias("deg")
             )
             keep = deg.filter(F.col("deg") >= k).select("id")
-            nxt = (
+            nxt = _round_materialize(
                 e.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
                 .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
-                .select("src", "dst")
-                .localCheckpoint()
+                .select("src", "dst"),
+                _round + 1,
+                checkpoint_dir,
             )
+            _sweep_older_rounds(checkpoint_dir, _round + 1)
             n_next = nxt.count()
             converged = n_next == n_edges
             e, n_edges = nxt, n_next

@@ -152,3 +152,32 @@ def test_connected_components_reliable_checkpoint_equivalence(spark, tmp_path):
     assert len(rounds) == 1, rounds
     # the returned frame stays consumable off the surviving round dir
     assert reliable_df.count() == 13
+
+
+def test_pagerank_kcore_reliable_checkpoint_equivalence(spark, tmp_path):
+    """pagerank and k_core accept the same cluster-scale checkpoint_dir
+    switch as connected_components: results must be identical to the
+    localCheckpoint path."""
+    from scabillmatch_spark.operators.graph import k_core, pagerank
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)]
+        + [(0, 2), (2, 4), (4, 6), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    pr_local = {
+        r.id: round(r.pagerank, 9) for r in pagerank(edges, max_iter=10).collect()
+    }
+    pr_rel = {
+        r.id: round(r.pagerank, 9)
+        for r in pagerank(
+            edges, max_iter=10, checkpoint_dir=str(tmp_path / "pr")
+        ).collect()
+    }
+    assert pr_rel == pr_local
+    kc_local = {(r.id, r.degree) for r in k_core(edges, 2).collect()}
+    kc_rel = {
+        (r.id, r.degree)
+        for r in k_core(edges, 2, checkpoint_dir=str(tmp_path / "kc")).collect()
+    }
+    assert kc_rel == kc_local

@@ -400,3 +400,49 @@ def test_squash_cdc_log_plan_window_group_limit(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_snapshot_diff_feeds_scd2_history(spark):
+    """CDC generation composes with history build: three snapshot epochs,
+    diffed pairwise into version-stamped change rows, must produce the
+    SAME SCD2 history as logging the full snapshots — for keys that are
+    never deleted, a diff feed (insert/update rows only) carries exactly
+    the information the history needs."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.operators.merge import scd2_history, snapshot_diff
+
+    s0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    s1 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "k long, v string"
+    )  # 2 updated, 4 inserted
+    s2 = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "c"), (4, "D")], "k long, v string"
+    )  # 1 and 4 updated
+
+    def stamp(df, ts):
+        return df.withColumn("ts", F.lit(ts))
+
+    full_log = stamp(s0, 0).unionByName(stamp(s1, 1)).unionByName(stamp(s2, 2))
+    hist_full = {
+        (r.k, r.v, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_history(full_log, "k", "ts", ["v"]).collect()
+    }
+
+    d01 = snapshot_diff(s0, s1, ["k"]).filter(F.col("__op") != "delete")
+    d12 = snapshot_diff(s1, s2, ["k"]).filter(F.col("__op") != "delete")
+    cdc_log = (
+        stamp(s0, 0)
+        .unionByName(stamp(d01.select("k", "v"), 1))
+        .unionByName(stamp(d12.select("k", "v"), 2))
+    )
+    hist_cdc = {
+        (r.k, r.v, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_history(cdc_log, "k", "ts", ["v"]).collect()
+    }
+    assert hist_cdc == hist_full
+    # spot-check the shape: key 1 has versions [0,2) then [2,open)
+    k1 = sorted(t for t in hist_full if t[0] == 1)
+    assert k1 == [(1, "A", 2, None, 1), (1, "a", 0, 2, 0)]
