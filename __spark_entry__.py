@@ -3225,6 +3225,61 @@ def q_io_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_io_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (storage/scan tier — the ROW-level
+    sibling of io_dpp_prune's partition-level pruning, new r8): joining a
+    100 TB fact table to a selective dim on a NON-partition column, Spark
+    can inject a bloom filter built from the dim's join keys as a
+    `might_contain` predicate on the fact SCAN — rows that cannot match are
+    dropped before the shuffle instead of after it, which at scale is the
+    difference between shuffling the whole fact table and shuffling the
+    ~selectivity fraction that survives. The query ASSERTS ITS OWN PLAN
+    (bloom_filter_agg on the dim side + might_contain on the fact scan
+    filter) so a regression fails the driver row; the oracle computes the
+    same aggregate with a plain join — pruning must never change results.
+
+    Local-scale note: Spark injects bloom filters for SHUFFLE joins only —
+    a broadcast join's hash relation already prunes at the join operator,
+    so InjectRuntimeFilter skips it. The modeled scale case is therefore
+    the dim that is selective but too big to broadcast (tens of GB of
+    surviving keys): broadcast is disabled and the size heuristics
+    (creationSideThreshold / applicationSideScanSizeThreshold — which a
+    sf0.01-0.1 scan never reaches) are widened for the query's lifetime,
+    all restored in finally. At real scale the DEFAULTS (10 MB dim /
+    10 GB fact) fire on exactly this shape with no conf changes."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_size")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.count_distinct("l_orderkey").alias("n_orders"),
+                _dec_sum("l_extendedprice", "sum_price"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan or "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "runtime bloom-filter join pruning regressed (no "
+                f"might_contain/bloom_filter_agg in the plan):\n{plan}"
+            )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    return out
+
+
 def q_minhash_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest near-dup (LLM-pipeline extension; the daily-batch
     twin of minhash_lsh_dedup): docs with doc_id % 10 == 7 play the NEW
@@ -3829,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
         # -- new in round 8 — never driver-checked
         "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
+        "io_bloom_join_prune": q_io_bloom_join_prune,
         # -- latest driver row is r5 (two rounds stale) — oldest debt
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q18_having_in": q_tpch_q18,
@@ -3877,11 +3933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "events_stream_static_join": q_events_stream_static_join,
         "events_stream_interval_join": q_events_stream_interval_join,
-        "events_sessionization": q_events_sessionization,
-        # ---- 50-row window boundary (2 red + 1 new + 20 r5-green +
-        #      27 r6-green = 50). The 22 r6-green holdovers directly below
+        # ---- 50-row window boundary (2 red + 2 new + 20 r5-green +
+        #      26 r6-green = 50). The 23 r6-green holdovers directly below
         #      reach the staleness contract's two-round max this cycle and
         #      LEAD the r9 window. ----
+        "events_sessionization": q_events_sessionization,
         "orders_scd2_history": q_orders_scd2_history,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "events_stream_session": q_events_stream_session,
@@ -4448,6 +4504,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ldd USING (lang)
             LEFT JOIN lc USING (lang)
             LEFT JOIN ls USING (lang)
+        """,
+        # Runtime bloom-filter join pruning: scan-level might_contain must
+        # never change results — the oracle is the plain join.
+        "io_bloom_join_prune": """
+            SELECT p.p_size,
+                   count(*) AS n_items,
+                   count(DISTINCT l.l_orderkey) AS n_orders,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sum_price
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size <= 3
+            GROUP BY p.p_size
         """,
         # DPP roundtrip: layout + runtime pruning must never change
         # results — the oracle states the dim's predicate statically.
