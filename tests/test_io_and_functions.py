@@ -166,3 +166,38 @@ def test_sql_surface(spark, sf_small):
         ) AS c
     """).first().c
     assert abs(v - 100.0) < 1e-6
+
+
+def test_tmp_workdir_unique_and_sweeps_stale():
+    """_tmp_workdir protects the correctness gate's round-trip queries:
+    every invocation must get its OWN directory (no pid/sf collision
+    class survives), and >2h-stale scabillmatch_* leftovers from crashed
+    runs are swept on first use."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import __spark_entry__ as entrymod
+
+    a = entrymod._tmp_workdir("t", "/root/testdata/sf0.001")
+    b = entrymod._tmp_workdir("t", "/root/testdata/sf0.001")
+    assert a != b  # invocation-unique, same pid + same sf
+    root = tempfile.gettempdir()
+    assert os.path.basename(a).startswith("scabillmatch_t_sf0.001_")
+
+    stale = os.path.join(root, "scabillmatch_teststale_x")
+    fresh = os.path.join(root, "scabillmatch_testfresh_x")
+    for d in (stale, fresh):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    past = time.time() - entrymod._TMP_STALE_SECONDS - 60
+    os.utime(stale, (past, past))
+    try:
+        entrymod._swept_stale_tmp = False  # re-arm the once-per-process sweep
+        entrymod._tmp_workdir("t", "/root/testdata/sf0.001")
+        assert not os.path.exists(stale)  # old leftover swept
+        assert os.path.exists(fresh)  # recent dirs untouched
+    finally:
+        for d in (stale, fresh):
+            shutil.rmtree(d, ignore_errors=True)

@@ -228,3 +228,48 @@ def test_salted_join_equals_plain_join(spark):
         assert a == b, how
     plan = _formatted(salted_join(big, dim, "k", salt_n=8))
     assert "__salt" in plan  # the join keys include the salt
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The engine's skew story has two tiers: explicit salting
+    (operators/blocking.salted_join) and AQE's runtime skew-join split.
+    This pins the AQE tier: a 95%-one-key join must (a) produce the same
+    rows as the plain join and (b) show SortMergeJoin(skew=true) in the
+    FINAL adaptive plan — proof the hot partition was split at runtime,
+    the mechanism a 100 TB skewed shuffle relies on when salting wasn't
+    applied upstream. Thresholds are lowered for the test (local frames
+    never hit the production 256 MB factor-5 defaults) and restored."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("p"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        # 190k skew-key rows + 10k distinct-key matches below 1000
+        expected = 190_000 + sum(
+            1 for i in range(200_000) if i % 20 == 0 and i < 1000
+        )
+        assert n == expected
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
