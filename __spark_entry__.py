@@ -1330,6 +1330,56 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.shortest_paths(edges, lms, max_depth=6)
 
 
+def q_graph_open_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif pattern match (new r9; GraphFrames ``find`` shape — the
+    closed-triangle count at graph/GraphUtils.scala:38-41 is the
+    complementary special case): the open-triangle motif
+    ``(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)`` over the >=95 similarity
+    graph — a and c both near-duplicate b but not each other, the
+    transitivity violations a dedup pipeline audits before trusting
+    cluster closure — rolled up to each center vertex's local clustering
+    profile: n_wedges = deg·(deg-1)/2, n_open = motif matches, n_closed =
+    wedges - open, clustering_coeff = closed/wedges. Plan: two equi-joins
+    on vertex ids (the motif) + one left-anti (the negation) + one degree
+    agg — band-join edges only, no text, no cartesian."""
+    from scabillmatch_spark.operators import graph
+
+    edges = _doc_edges(spark, sf_dir)
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = (
+        graph.undirect(canon)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    opn = (
+        graph.open_triangles(edges)
+        .groupBy(F.col("b").alias("id"))
+        .agg(F.count(F.lit(1)).alias("__n_open"))
+    )
+    wedges = ((F.col("deg") * (F.col("deg") - 1)) / 2).cast("long")
+    n_open = F.coalesce(F.col("__n_open"), F.lit(0)).cast("long")
+    return (
+        deg.join(opn, "id", "left")
+        .select(
+            "id",
+            wedges.alias("n_wedges"),
+            n_open.alias("n_open"),
+            (wedges - n_open).alias("n_closed"),
+            F.when(
+                wedges > 0, F.round((wedges - n_open) / wedges, 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
 def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: per-user hourly resample with forward
     fill — every hour between a user's first and last event gets a row
@@ -3990,29 +4040,108 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-8 rotation:
-    #   1. the two r7 driver-RED rows lead (io_csv_roundtrip,
-    #      doc_dedup_rewrite — re-greening them is the round's #1 goal;
-    #      both are now self-diagnosing and their temp-dir/oracle surface
-    #      is hardened), plus the one query new this round;
-    #   2. the 20 entries whose latest driver row is r5 — two rounds
+    # the round-9 rotation:
+    #   1. the two driver-RED rows lead (io_csv_roundtrip,
+    #      doc_dedup_rewrite — red r7+r8 while green in every out-of-gate
+    #      reproduction; r9 strips the last ordering/collation semantics
+    #      from their outputs and forensically records every invocation),
+    #      plus the one query new this round (graph_open_triangles);
+    #   2. the 23 entries whose latest driver row is r6 — two rounds
     #      stale, at the staleness contract's max, the oldest debt;
-    #   3. 27 of the 49 r6-green entries fill the window — the heavier
-    #      families first (graph, emb/ANN, ml fits, streaming joins);
-    #   4. with 120 registered queries and a 50-row window the cycle is
-    #      ~2.4 rounds: the 22 r6-green entries directly past the boundary
-    #      (simple column/agg shapes and TPC-H plans) reach 2 rounds stale
-    #      this cycle and MUST LEAD the r9 window, followed by the 48
-    #      r7-green rows. Every entry is still re-verified at sf0.01 on
-    #      every pytest run by tests/test_oracle.py's mirror of the gate.
+    #   3. the first 24 of the 48 r7-green entries fill the window;
+    #   4. with 122 registered queries and a 50-row window the cycle is
+    #      ~2.4 rounds: the 24 remaining r7-green entries directly past
+    #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
+    #      r10 window, followed by the 48 r8-green rows (freshest, last).
+    #      Every entry is still re-verified at sf0.01 on every pytest run
+    #      by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- r7 driver-red rows, re-greening is goal #1
+        # -- r7/r8 driver-red rows, re-greening is goal #1
         "io_csv_roundtrip": q_io_csv_roundtrip,
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
-        # -- new in round 8 — never driver-checked
+        # -- new in round 9 — never driver-checked
+        "graph_open_triangles": q_graph_open_triangles,
+        # -- latest driver row is r6 (two rounds stale) — oldest debt
+        "events_sessionization": q_events_sessionization,
+        "orders_scd2_history": q_orders_scd2_history,
+        "doc_chunk_overlap": q_doc_chunk_overlap,
+        "events_stream_session": q_events_stream_session,
+        "scalar_functions": q_scalar_functions,
+        "pearson_corr": q_pearson_corr,
+        "descriptive_stats": q_descriptive_stats,
+        "histogram_events_value": q_histogram_events,
+        "events_json_agg": q_events_json,
+        "semi_anti_join": q_semi_anti_join,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        # -- latest driver row is r7 (one round stale) — first 24 fill
+        #    the window
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
+        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
+        "stream_merge_upsert": q_stream_merge_upsert,
+        "io_dpp_prune": q_io_dpp_prune,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "storage_merge_upsert": q_storage_merge_upsert,
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "doc_pair_measures": q_doc_pair_measures,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "doc_hash_sample": q_doc_hash_sample,
+        "events_tumbling_window": q_events_tumbling,
+        "events_resample_1h": q_events_resample_1h,
+        "pair_space_accounting": q_pair_space_accounting,
+        "latest_version_family": q_latest_version_family,
+        "io_json_roundtrip": q_io_json_roundtrip,
+        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
+        "pair_measure_correlation": q_pair_measure_correlation,
+        "ml_knn_probe": q_ml_knn_probe,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        # ---- 50-row window boundary (2 red + 1 new + 23 r6-green +
+        #      24 r7-green = 50). The 24 r7-green holdovers directly below
+        #      reach the staleness contract's two-round max next cycle and
+        #      MUST LEAD the r10 window. ----
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "minhash_delta_dedup": q_minhash_delta_dedup,
+        "io_bucketed_join": q_io_bucketed_join,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "events_funnel": q_events_funnel,
+        "io_zorder_roundtrip": q_io_zorder_roundtrip,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
+        "emb_outlier_audit": q_emb_outlier_audit,
+        "doc_keywords": q_doc_keywords,
+        "io_schema_evolution": q_io_schema_evolution,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "io_avro_roundtrip": q_io_avro_roundtrip,
+        "events_stream_tumbling": q_events_stream_tumbling,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_stateful": q_events_stream_stateful,
+        "doc_5gram_wordcount": q_doc_5gram_wordcount,
+        "io_sorted_compact": q_io_sorted_compact,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_exists": q_tpch_q4,
+        "tpch_q10_returned_revenue": q_tpch_q10,
+        "tpch_q14_promo_pct": q_tpch_q14,
+        "tpch_q19_disjunctive_join": q_tpch_q19,
+        # -- latest driver row is r8 — freshest, rotate back last
         "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
         "io_bloom_join_prune": q_io_bloom_join_prune,
-        # -- latest driver row is r5 (two rounds stale) — oldest debt
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q18_having_in": q_tpch_q18,
         "tpch_q12_case_agg": q_tpch_q12,
@@ -4033,7 +4162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
         "window_running_sum": q_window_running_sum,
-        # -- latest driver row is r6 — heavier families rotate back in
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -4060,83 +4188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "events_stream_static_join": q_events_stream_static_join,
         "events_stream_interval_join": q_events_stream_interval_join,
-        # ---- 50-row window boundary (2 red + 2 new + 20 r5-green +
-        #      26 r6-green = 50). The 23 r6-green holdovers directly below
-        #      reach the staleness contract's two-round max this cycle and
-        #      LEAD the r9 window. ----
-        "events_sessionization": q_events_sessionization,
-        "orders_scd2_history": q_orders_scd2_history,
-        "doc_chunk_overlap": q_doc_chunk_overlap,
-        "events_stream_session": q_events_stream_session,
-        "scalar_functions": q_scalar_functions,
-        "pearson_corr": q_pearson_corr,
-        "descriptive_stats": q_descriptive_stats,
-        "histogram_events_value": q_histogram_events,
-        "events_json_agg": q_events_json,
-        "semi_anti_join": q_semi_anti_join,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_quality_filter": q_doc_quality_filter,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
-        # -- r7-green rows past the window (one round stale); all
-        #    re-verified every pytest run via tests/test_oracle.py
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
-        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "doc_curation_pipeline": q_doc_curation_pipeline,
-        "stream_merge_upsert": q_stream_merge_upsert,
-        "io_dpp_prune": q_io_dpp_prune,
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        "storage_merge_upsert": q_storage_merge_upsert,
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
-        "doc_pair_measures": q_doc_pair_measures,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q16_supplier_cnt": q_tpch_q16,
-        "doc_hash_sample": q_doc_hash_sample,
-        "events_tumbling_window": q_events_tumbling,
-        "events_resample_1h": q_events_resample_1h,
-        "pair_space_accounting": q_pair_space_accounting,
-        "latest_version_family": q_latest_version_family,
-        "io_json_roundtrip": q_io_json_roundtrip,
-        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
-        "pair_measure_correlation": q_pair_measure_correlation,
-        "ml_knn_probe": q_ml_knn_probe,
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "minhash_delta_dedup": q_minhash_delta_dedup,
-        "io_bucketed_join": q_io_bucketed_join,
-        "doc_gopher_quality": q_doc_gopher_quality,
-        "events_funnel": q_events_funnel,
-        "io_zorder_roundtrip": q_io_zorder_roundtrip,
-        "stream_ingest_dedup": q_stream_ingest_dedup,
-        "emb_outlier_audit": q_emb_outlier_audit,
-        "doc_keywords": q_doc_keywords,
-        "io_schema_evolution": q_io_schema_evolution,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "io_avro_roundtrip": q_io_avro_roundtrip,
-        "events_stream_tumbling": q_events_stream_tumbling,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_stateful": q_events_stream_stateful,
-        "doc_5gram_wordcount": q_doc_5gram_wordcount,
-        "io_sorted_compact": q_io_sorted_compact,
-        "tpch_q1_pricing_summary": q_tpch_q1,
-        "tpch_q3_shipping_priority": q_tpch_q3,
-        "tpch_q4_exists": q_tpch_q4,
-        "tpch_q10_returned_revenue": q_tpch_q10,
-        "tpch_q14_promo_pct": q_tpch_q14,
-        "tpch_q19_disjunctive_join": q_tpch_q19,
     }
 
 
@@ -5916,6 +5967,31 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT c FROM tri
             )
             SELECT id, COUNT(*) AS count FROM tv GROUP BY id
+        """,
+        # Open-triangle motif: wedges a-b-c (a<c once) missing the closing
+        # canonical edge (ed is d1<d2 distinct), per-center clustering
+        # profile. Pure integer cells + one 6-decimal ratio.
+        "graph_open_triangles": f"""
+            WITH {edge_cte},
+            deg AS (SELECT s AS id, COUNT(*) AS deg FROM und GROUP BY s),
+            wed AS (SELECT e1.d AS a, e1.s AS b, e2.d AS c
+                    FROM und e1 JOIN und e2
+                      ON e1.s = e2.s AND e1.d < e2.d),
+            opn AS (SELECT w.b, COUNT(*) AS n_open
+                    FROM wed w LEFT JOIN ed
+                      ON ed.d1 = w.a AND ed.d2 = w.c
+                    WHERE ed.d1 IS NULL GROUP BY w.b)
+            SELECT d.id,
+                   CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges,
+                   COALESCE(o.n_open, 0) AS n_open,
+                   CAST(d.deg * (d.deg - 1) // 2 AS BIGINT)
+                       - COALESCE(o.n_open, 0) AS n_closed,
+                   CASE WHEN d.deg > 1 THEN ROUND(
+                       (CAST(d.deg * (d.deg - 1) // 2 AS DOUBLE)
+                        - COALESCE(o.n_open, 0))
+                       / (d.deg * (d.deg - 1) // 2), 6)
+                   ELSE 0.0 END AS clustering_coeff
+            FROM deg d LEFT JOIN opn o ON o.b = d.id
         """,
         "graph_shortest_paths": f"""
             WITH RECURSIVE {edge_cte},

@@ -123,6 +123,95 @@ def triangles(edges: DataFrame) -> DataFrame:
     )
 
 
+def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
+    """GraphFrames-style edge-motif pattern match -> one column per named
+    vertex (GraphFrames ``GraphFrame.find`` surface; the reference's
+    GraphUtils triangle count at graph/GraphUtils.scala:38-41 is the
+    closed-triangle special case).
+
+    ``pattern`` is ';'-separated terms, each ``(u)-[]->(v)`` (the edge
+    u->v must exist) or ``!(u)-[]->(v)`` (it must NOT exist), e.g. the
+    open-triangle motif ``"(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"``.
+    Edge names/attributes and anonymous vertices aren't supported — the
+    similarity graph's motifs are purely structural.
+
+    Plan shape: each positive term equi-joins the edge list on the vertex
+    names already bound (shuffle on the shared key, AQE-broadcastable when
+    one side is small); each negated term is one left-anti equi-join.
+    A positive term sharing no vertex with what's bound so far would be a
+    cartesian product and raises instead (the package-wide no-cartesian
+    rule); negated terms require both endpoints bound, since "no edge
+    between an unbound pair" is the complement graph — quadratic by
+    definition. Pass a DISTINCT edge list: duplicate edges multiply
+    bindings (semantics inherited from GraphFrames, which matches per
+    edge ROW)."""
+    import re
+
+    terms: list[tuple[bool, str, str]] = []
+    for raw in pattern.split(";"):
+        t = raw.strip()
+        if not t:
+            continue
+        m = re.fullmatch(r"(!?)\s*\((\w+)\)\s*-\[\]->\s*\((\w+)\)", t)
+        if m is None:
+            raise ValueError(f"unsupported motif term: {t!r}")
+        terms.append((m.group(1) == "!", m.group(2), m.group(3)))
+    if not terms:
+        raise ValueError("empty motif pattern")
+    positives = [(u, v) for neg, u, v in terms if not neg]
+    negatives = [(u, v) for neg, u, v in terms if neg]
+    if not positives:
+        raise ValueError("motif needs at least one positive term")
+
+    out: DataFrame | None = None
+    for u, v in positives:
+        if u == v:
+            raise ValueError(f"self-loop term ({u})-[]->({u}) unsupported")
+        e = edges.select(F.col("src").alias(u), F.col("dst").alias(v))
+        if out is None:
+            out = e
+        else:
+            shared = [c for c in (u, v) if c in out.columns]
+            if not shared:
+                raise ValueError(
+                    f"term ({u})-[]->({v}) shares no bound vertex — "
+                    "reorder terms so each joins on an already-bound name "
+                    "(a disconnected pattern is a cartesian product)"
+                )
+            out = out.join(e, on=shared, how="inner")
+    assert out is not None
+    for u, v in negatives:
+        missing = [c for c in (u, v) if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"negated term !({u})-[]->({v}) uses unbound vertex "
+                f"{missing} — negation is absence between BOUND vertices"
+            )
+        e = edges.select(F.col("src").alias(u), F.col("dst").alias(v))
+        out = out.join(e, on=[u, v], how="left_anti")
+    return out
+
+
+def open_triangles(edges: DataFrame) -> DataFrame:
+    """All open triangles (wedges missing their closing edge) -> (a, b, c):
+    b is the center, a~b and b~c are edges, a<c, and a~c is NOT an edge —
+    the complement of triangles() (closed form), via the motif engine.
+    The triadic-closure candidate generator: in a similarity graph an open
+    triangle is a transitivity violation worth auditing (a and c both
+    near-duplicate b but not each other)."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = undirect(canon)
+    m = motif_find(und, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    # a<c keeps each wedge once (und binds both orientations) and drops a==c
+    return m.filter(F.col("a") < F.col("c")).select("a", "b", "c")
+
+
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation (GraphFrames triangleCount shape)."""
     tri = triangles(edges)

@@ -181,3 +181,42 @@ def test_pagerank_kcore_reliable_checkpoint_equivalence(spark, tmp_path):
         for r in k_core(edges, 2, checkpoint_dir=str(tmp_path / "kc")).collect()
     }
     assert kc_rel == kc_local
+
+
+def test_open_triangles_square_graph(square_graph):
+    # square 1-2-3-4 + diagonal 1-3: closed (1,2,3) and (1,3,4); the only
+    # wedge missing its closing edge is 2-?-4 via centers 1 and 3
+    rows = {tuple(r) for r in graph.open_triangles(square_graph).collect()}
+    assert rows == {(2, 1, 4), (2, 3, 4)}
+
+
+def test_motif_find_positive_and_negated_terms(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    # directed 2-hop paths
+    two_hop = {
+        (r.a, r.b, r.c)
+        for r in graph.motif_find(edges, "(a)-[]->(b); (b)-[]->(c)").collect()
+    }
+    assert two_hop == {(1, 2, 3), (2, 3, 4), (1, 3, 4)}
+    # negation keeps only paths whose shortcut edge is absent
+    open_paths = {
+        (r.a, r.b, r.c)
+        for r in graph.motif_find(
+            edges, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+        ).collect()
+    }
+    assert open_paths == {(2, 3, 4), (1, 3, 4)}
+
+
+def test_motif_find_rejects_bad_patterns(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="unsupported motif term"):
+        graph.motif_find(edges, "(a)-[e]->(b)")
+    with pytest.raises(ValueError, match="cartesian"):
+        graph.motif_find(edges, "(a)-[]->(b); (c)-[]->(d)")
+    with pytest.raises(ValueError, match="unbound vertex"):
+        graph.motif_find(edges, "(a)-[]->(b); !(a)-[]->(z)")
+    with pytest.raises(ValueError, match="at least one positive"):
+        graph.motif_find(edges, "!(a)-[]->(b)")
