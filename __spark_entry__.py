@@ -58,7 +58,11 @@ def _tmp_workdir(prefix: str, sf_dir: str) -> str:
 
     First call per process also sweeps scabillmatch_* dirs older than
     _TMP_STALE_SECONDS out of the temp root — a crashed/killed run's
-    leftovers (the one lifecycle rmtree-in-finally cannot cover)."""
+    leftovers (the one lifecycle rmtree-in-finally cannot cover). The
+    sweep is pid-liveness-guarded (r8 advisor): the owner pid is embedded
+    in the dir name, and a stale-by-mtime dir whose owner is still alive
+    is SKIPPED — mtime is set at write time and reads don't refresh it,
+    so an over-2h run could otherwise lose a dir it is still scanning."""
     import tempfile
     import time
     import uuid
@@ -75,7 +79,23 @@ def _tmp_workdir(prefix: str, sf_dir: str) -> str:
                 continue
             p = os.path.join(root, name)
             try:
-                if os.path.isdir(p) and now - os.path.getmtime(p) > _TMP_STALE_SECONDS:
+                if not (
+                    os.path.isdir(p)
+                    and now - os.path.getmtime(p) > _TMP_STALE_SECONDS
+                ):
+                    continue
+                # name layout: scabillmatch_<prefix>_<sfdir>_<pid>_<uuid8>
+                parts = name.split("_")
+                owner_alive = False
+                if len(parts) >= 2 and parts[-2].isdigit():
+                    try:
+                        os.kill(int(parts[-2]), 0)
+                        owner_alive = True
+                    except ProcessLookupError:
+                        owner_alive = False
+                    except PermissionError:
+                        owner_alive = True  # exists, not ours — don't touch
+                if not owner_alive:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass

@@ -63,6 +63,9 @@ def pagerank(
     ``checkpoint_dir``: reliable per-CHECKPOINT_EVERY materialization through
     HDFS/S3 instead of localCheckpoint — see _round_materialize for the
     cluster-scale rationale (executor loss must not restart the iteration).
+    Each call claims its own run_<uuid> namespace inside it (concurrent or
+    repeated calls never clobber each other); the final round's files
+    outlive the call — the caller deletes run_* after consuming the result.
     """
     e = undirect(edges) if undirected else edges.select("src", "dst")
     verts = vertices_from_edges(e).cache()
@@ -70,6 +73,8 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_w = e.join(outdeg, "src").cache()
 
+    run_dir = _run_scoped(checkpoint_dir)
+    prev_round: int | None = None
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
         for i in range(max_iter):
@@ -88,8 +93,9 @@ def pagerank(
                 ).alias("rank"),
             )
             if (i + 1) % CHECKPOINT_EVERY == 0:
-                ranks = _round_materialize(ranks, i + 1, checkpoint_dir)
-                _sweep_older_rounds(checkpoint_dir, i + 1)
+                ranks = _round_materialize(ranks, i + 1, run_dir)
+                _sweep_round(edges.sparkSession, run_dir, prev_round)
+                prev_round = i + 1
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
@@ -254,46 +260,64 @@ def _loop_partitions(spark, num_shuffle_partitions: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _run_scoped(checkpoint_dir: str | None) -> str | None:
+    """Unique per-INVOCATION namespace (run_<uuid>) inside the caller's
+    checkpoint_dir. Without it, two calls sharing a checkpoint_dir
+    silently corrupt each other: each writes round_<i> with overwrite and
+    sweeps prior rounds, while the FIRST call's returned DataFrame still
+    lazily reads its final round's parquet — the second call overwrites
+    or sweeps files an unconsumed result depends on.
+
+    Lifecycle contract: the final round's dir under run_<uuid>/ OUTLIVES
+    the call (the returned frame is lazy); the caller owns deleting
+    run_* namespaces once results are consumed (or persisted elsewhere)."""
+    if checkpoint_dir is None:
+        return None
+    import uuid
+
+    return os.path.join(checkpoint_dir, f"run_{uuid.uuid4().hex[:12]}")
+
+
 def _round_materialize(
-    df: DataFrame, round_idx: int, checkpoint_dir: str | None
+    df: DataFrame, round_idx: int, run_dir: str | None
 ) -> DataFrame:
     """Per-round lineage cut for iterative loops.
 
-    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks live in
+    Default (``run_dir=None``): ``localCheckpoint`` — blocks live in
     executor memory/disk. Right for local and driver-checked runs, but at
     cluster scale a lost executor loses blocks whose LINEAGE WAS TRUNCATED:
-    the job fails and the whole iteration restarts. With ``checkpoint_dir``
-    set (an HDFS/S3 path on a real cluster): parquet write + fresh read —
-    the reliable cut that survives executor loss, at the cost of one
-    storage round trip per round. Rounds write to round_<i> subdirs;
-    round i-1's files stop being referenced once round i is written, so
-    callers can bound disk via _sweep_older_rounds."""
-    if checkpoint_dir is None:
+    the job fails and the whole iteration restarts. With ``run_dir`` set
+    (a _run_scoped namespace under an HDFS/S3 path on a real cluster):
+    parquet write + fresh read — the reliable cut that survives executor
+    loss, at the cost of one storage round trip per round. Rounds write to
+    round_<i> subdirs; round i-1's files stop being referenced once round
+    i is written, so callers bound disk via _sweep_round."""
+    if run_dir is None:
         return df.localCheckpoint()
-    path = os.path.join(checkpoint_dir, f"round_{round_idx}")
+    path = os.path.join(run_dir, f"round_{round_idx}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
 
-def _sweep_older_rounds(checkpoint_dir: str | None, upto: int) -> None:
-    """Delete round_<i> dirs for i < upto — safe once round ``upto`` has
-    been fully written (later rounds read only the latest materialization).
-    Uses the Hadoop FS API so HDFS/S3 checkpoint dirs work, not just
-    local paths."""
-    if checkpoint_dir is None:
+def _sweep_round(
+    spark: SparkSession, run_dir: str | None, round_idx: int | None
+) -> None:
+    """Delete exactly round_<round_idx> — the PREVIOUSLY written round,
+    safe once its successor is fully written (later rounds read only the
+    latest materialization). One targeted delete per loop round, not a
+    0..upto rescan: an N-round loop issues O(N) remote-FS calls instead of
+    O(N^2) — the difference is real against S3. The session comes from the
+    caller's frame (never getActiveSession(), which can be None or a
+    DIFFERENT session in multi-threaded drivers). Uses the Hadoop FS API
+    so HDFS/S3 checkpoint dirs work, not just local paths."""
+    if run_dir is None or round_idx is None:
         return
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for i in range(upto):
-        p = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(checkpoint_dir, f"round_{i}")
-        )
-        fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(run_dir, f"round_{round_idx}"))
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def connected_components(
@@ -324,16 +348,21 @@ def connected_components(
     AND carry truncated lineage, so a single lost executor on a
     1000-executor run fails the whole iteration; pass an HDFS/S3 dir to
     cut lineage through reliable storage instead (one parquet round trip
-    per round, older rounds swept as the loop advances). Identical labels
+    per round, older rounds swept as the loop advances; each call claims
+    its own run_<uuid> namespace, whose final round outlives the call —
+    the caller deletes run_* after consuming the result). Identical labels
     either way — equality is pytest-pinned."""
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     converged = False
+    run_dir = _run_scoped(checkpoint_dir)
+    prev_round: int | None = None
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
         comp = _round_materialize(
             vertices_from_edges(e).select("id", F.col("id").alias("component")),
             0,
-            checkpoint_dir,
+            run_dir,
         )
+        prev_round = 0
         for _round in range(max_iter):
             nbr_min = (
                 e.join(comp, e.src == comp.id)
@@ -367,8 +396,9 @@ def connected_components(
                     (F.col("component") < F.col("__old")).alias("__improved"),
                 )
             )
-            nxt = _round_materialize(nxt, _round + 1, checkpoint_dir)
-            _sweep_older_rounds(checkpoint_dir, _round + 1)
+            nxt = _round_materialize(nxt, _round + 1, run_dir)
+            _sweep_round(edges.sparkSession, run_dir, prev_round)
+            prev_round = _round + 1
             converged = nxt.filter(F.col("__improved")).isEmpty()
             comp = nxt.select("id", "component")
             if converged:
@@ -413,10 +443,12 @@ def k_core(
     the surviving edges — the edge set only shrinks, so the heaviest
     round is the first.
     """
+    run_dir = _run_scoped(checkpoint_dir)
+    prev_round: int | None = 0
     e = _round_materialize(
         undirect(edges) if undirected else edges.select("src", "dst"),
         0,
-        checkpoint_dir,
+        run_dir,
     )
     n_edges = e.count()
     converged = False
@@ -431,9 +463,10 @@ def k_core(
                 .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
                 .select("src", "dst"),
                 _round + 1,
-                checkpoint_dir,
+                run_dir,
             )
-            _sweep_older_rounds(checkpoint_dir, _round + 1)
+            _sweep_round(edges.sparkSession, run_dir, prev_round)
+            prev_round = _round + 1
             n_next = nxt.count()
             converged = n_next == n_edges
             e, n_edges = nxt, n_next

@@ -216,6 +216,12 @@ def squash_cdc_log(
     merge_into's unique-source check downstream fails the job loudly. A
     row_number() squash would pick one of the duplicates arbitrarily and
     the corruption could never be detected (the r7 advisor finding).
+    CAVEAT (r8 advisor): that loud-failure guarantee holds ONLY if the
+    downstream merge_into keeps ``check_unique_source=True`` (its
+    default). On the ``check_unique_source=False`` broadcast fast path,
+    tied duplicates fan out the join and silently emit contradictory
+    rows — if you must disable the merge-side check, assert uniqueness on
+    the squash output yourself first (one count-vs-distinct-count agg).
 
     Plan: one hash partitioning on ``keys``; the rank filter plans as
     Partial+Final WindowGroupLimit, so a hot key is pruned to its top

@@ -147,11 +147,37 @@ def test_connected_components_reliable_checkpoint_equivalence(spark, tmp_path):
     reliable_df = connected_components(edges, checkpoint_dir=ckpt)
     reliable = {(r.id, r.component) for r in reliable_df.collect()}
     assert reliable == local
-    rounds = sorted(os.listdir(ckpt))
-    # only the final round's materialization is retained
+    runs = sorted(os.listdir(ckpt))
+    # one run_<uuid> namespace per call
+    assert len(runs) == 1 and runs[0].startswith("run_"), runs
+    rounds = sorted(os.listdir(os.path.join(ckpt, runs[0])))
+    # only the final round's materialization is retained inside it
     assert len(rounds) == 1, rounds
     # the returned frame stays consumable off the surviving round dir
     assert reliable_df.count() == 13
+
+
+def test_checkpoint_dir_reuse_keeps_prior_result_consumable(spark, tmp_path):
+    """Two calls sharing one checkpoint_dir must not clobber each other:
+    the first call's returned (lazy) frame still reads ITS final round
+    after the second call has run and swept its own rounds."""
+    import os
+
+    from scabillmatch_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    ckpt = str(tmp_path / "shared_ckpt")
+    first = connected_components(edges, checkpoint_dir=ckpt)
+    second = connected_components(edges, checkpoint_dir=ckpt)
+    # consume SECOND first, then the first frame — pre-r9 the second call
+    # overwrote/swept round_<i> dirs the first frame still referenced
+    assert {(r.id, r.component) for r in second.collect()} == {
+        (r.id, r.component) for r in first.collect()
+    }
+    assert len(os.listdir(ckpt)) == 2  # two isolated run_* namespaces
 
 
 def test_pagerank_kcore_reliable_checkpoint_equivalence(spark, tmp_path):

@@ -193,11 +193,23 @@ def test_tmp_workdir_unique_and_sweeps_stale():
         os.makedirs(d)
     past = time.time() - entrymod._TMP_STALE_SECONDS - 60
     os.utime(stale, (past, past))
+    # liveness guard (r8 advisor): a stale-by-mtime dir whose embedded
+    # owner pid is STILL ALIVE must be skipped (a >2h run still owns it);
+    # one with a dead pid must be swept
+    live = os.path.join(root, f"scabillmatch_t_sfX_{os.getpid()}_deadbeef")
+    deadpid = 4_000_000  # beyond default pid_max — never a live process
+    dead = os.path.join(root, f"scabillmatch_t_sfX_{deadpid}_deadbeef")
+    for d in (live, dead):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        os.utime(d, (past, past))
     try:
         entrymod._swept_stale_tmp = False  # re-arm the once-per-process sweep
         entrymod._tmp_workdir("t", "/root/testdata/sf0.001")
         assert not os.path.exists(stale)  # old leftover swept
         assert os.path.exists(fresh)  # recent dirs untouched
+        assert os.path.exists(live)  # stale but owner alive: skipped
+        assert not os.path.exists(dead)  # stale and owner gone: swept
     finally:
-        for d in (stale, fresh):
+        for d in (stale, fresh, live, dead):
             shutil.rmtree(d, ignore_errors=True)
