@@ -276,6 +276,23 @@ def main() -> None:
 
     total = round(sum(v for k, v in timings.items() if k in HEADLINE), 2)
     full_total = round(sum(timings.values()), 2)
+    # Drift-adjusted headline (r8 verdict #4): the probe is FIXED work —
+    # no IO, no shuffle, sf-independent — so its absolute seconds are a
+    # host-speed unit. Scaling the raw total by CAL_REF / mean(first,last)
+    # converts it to "reference-phase seconds": cross-round comparisons
+    # stop depending on which host phase the driver happened to bench in
+    # (the r8 record alone spanned probe 0.086-0.228 s, drift 2.65, on
+    # identical code). CAL_REF is the pinned clean-phase probe floor
+    # observed on this host (r8/r9 records); it is a HOST constant —
+    # re-pin it if the container/CPU allocation changes.
+    CAL_REF = 0.089
+    mean_probe = (calib_first + calib_last) / 2 if calib_first and calib_last else 0
+    total_adj = round(total * CAL_REF / mean_probe, 2) if mean_probe else None
+    print(
+        f"# headline_total_drift_adjusted: {total_adj}s"
+        f" (raw {total}s x {CAL_REF}/mean_probe {round(mean_probe, 3)})",
+        file=sys.stderr,
+    )
     print(
         f"# headline_total: {total}s over"
         f" {sum(1 for k in timings if k in HEADLINE)} plan-distinct queries;"
@@ -308,7 +325,9 @@ def main() -> None:
                         "first": calib_first,
                         "last": calib_last,
                         "drift": calib_drift,
+                        "ref": CAL_REF,
                     },
+                    "total_drift_adjusted": total_adj,
                     "queries": timings,
                 },
                 f,
@@ -321,6 +340,11 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                # raw total scaled to the pinned clean-phase probe
+                # reference (CAL_REF / mean probe): the cross-round
+                # comparable number — raw "value" still depends on the
+                # host phase the run landed in
+                "value_drift_adjusted": total_adj,
                 "unit": "sec",
                 "queries": {
                     "flagship_doc_match": timings["flagship_doc_match"],

@@ -54,9 +54,11 @@ def dedup_time(spark, docs) -> float:
     that reason (cache hit at 1x, misses at 2x/4x)."""
     from scabillmatch_spark.operators import dedup
 
-    sets = docs.select(
-        "doc_id", TX.ngram_id_set("text", 3).alias("shingles")
-    ).persist()
+    sets = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", TX.ngram_id_set("text", 3).alias("shingles"))
+        .persist()
+    )
     sets.count()
     t0 = time.perf_counter()
     dedup.minhash_dedup_pairs(
@@ -73,11 +75,23 @@ def corpus_token_sets(docs):
     Kept OUTSIDE every timed region — persist() is lazy, so without the
     count() the first timed action would charge tokenization of the whole
     (possibly multi-copy) corpus to the match plan. The bench's 2x slope
-    point read 62 s instead of ~9 s for exactly that reason."""
-    sets = docs.select(
-        F.col("doc_id").cast("string").alias("primary_key"),
-        TX.token_id_set("text").alias("tokens"),
-    ).persist()
+    point read 62 s instead of ~9 s for exactly that reason.
+
+    Repartitioned to default parallelism BEFORE tokenizing — the same
+    single-partition-scan treatment operators/corpus.py gives the 1x
+    corpus cache. Without it each scale point's pre-shuffle map stage runs
+    on `copies` cores (the sf0.1 parquet arrives as ONE split), and the
+    check measures parallelism ramp, not plan growth: the r7/r8 "2x reads
+    above 4x" wobble was exactly this — 1x mapped on 1 core, 4x on 4."""
+    spark = docs.sparkSession
+    sets = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("doc_id").cast("string").alias("primary_key"),
+            TX.token_id_set("text").alias("tokens"),
+        )
+        .persist()
+    )
     sets.count()
     return sets
 
@@ -124,22 +138,15 @@ def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
     # charged for one-time costs the larger copies don't pay
     graph.shortest_paths(base, [lm0], max_depth=2).count()
     graph.connected_components(base, max_iter=3).count()
-    bfs_res, w_res, cc_res = {}, {}, {}
 
-    def best_of(fn, n=2):
-        # min over n runs: per-round times within a run are flat (verified by
-        # instrumentation), but isolated multi-second GC/cleanup pauses in the
-        # shared 48g JVM land randomly and dominate these ~10s totals — the
-        # r4 "super-linear 4x point" was exactly such an outlier, not plan
-        # growth. min-of-2 rejects the pause, not real work.
-        best = None
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return round(best, 2)
-
+    # Build ALL scale points up front (they're tiny — edge ids only), then
+    # INTERLEAVE trials 1x,2x,4x,1x,2x,... (r8 verdict #5): sequential
+    # per-copy timing lets one host phase own one scale point — the r7/r8
+    # records' recurring "2x reads above 4x" inversion was exactly that.
+    # Interleaving distributes phase effects evenly across points; min per
+    # point still rejects isolated GC/steal pauses.
+    frames: dict[int, object] = {}
+    n_edges: dict[int, int] = {}
     for copies in (1, 2, 4):
         parts = [
             base.select(
@@ -158,28 +165,45 @@ def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
         # Without this the iterative loops pay per-task overhead x rounds x
         # copies and the check measures its own construction, not the engine
         # (measured: CC 4x total 24.6s inherited vs 11.9s normalized).
-        e = e.repartition(32).persist()
-        n_edges = e.count()
-        lms = [lm0 + i * _COPY_OFFSET for i in range(copies)]
-        bfs_res[copies] = best_of(
-            lambda: graph.shortest_paths(e, lms, max_depth=6).count()
-        )
-        we = e.withColumn(
-            "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
-        )
-        w_res[copies] = best_of(
-            lambda: graph.weighted_shortest_paths(we, lm0, max_iter=6).count()
-        )
-        # dedup-clustering closer (doc_dup_clusters): CC over the scaled
-        # graph — disjoint copies keep per-component diameter constant, so
-        # rounds stay flat and wall time should track edge count
-        cc_res[copies] = best_of(
-            lambda: graph.connected_components(e, max_iter=30).count()
-        )
-        e.unpersist()
+        frames[copies] = e.repartition(32).persist()
+        n_edges[copies] = frames[copies].count()
+
+    bfs_res: dict[int, float] = {}
+    w_res: dict[int, float] = {}
+    cc_res: dict[int, float] = {}
+
+    def trial(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    for _round in range(2):  # min-of-2 per point, interleaved
+        for copies in (1, 2, 4):
+            e = frames[copies]
+            lms = [lm0 + i * _COPY_OFFSET for i in range(copies)]
+            dt = trial(lambda: graph.shortest_paths(e, lms, max_depth=6).count())
+            bfs_res[copies] = min(bfs_res.get(copies, dt), dt)
+            we = e.withColumn(
+                "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
+            )
+            dt = trial(
+                lambda: graph.weighted_shortest_paths(we, lm0, max_iter=6).count()
+            )
+            w_res[copies] = min(w_res.get(copies, dt), dt)
+            # dedup-clustering closer (doc_dup_clusters): CC over the scaled
+            # graph — disjoint copies keep per-component diameter constant,
+            # so rounds stay flat and wall time should track edge count
+            dt = trial(lambda: graph.connected_components(e, max_iter=30).count())
+            cc_res[copies] = min(cc_res.get(copies, dt), dt)
+    for copies in (1, 2, 4):
+        frames[copies].unpersist()
+        bfs_res[copies] = round(bfs_res[copies], 2)
+        w_res[copies] = round(w_res[copies], 2)
+        cc_res[copies] = round(cc_res[copies], 2)
         print(
-            f"# graph copies={copies} edges={n_edges} bfs={bfs_res[copies]}s"
-            f" weighted={w_res[copies]}s cc={cc_res[copies]}s",
+            f"# graph copies={copies} edges={n_edges[copies]}"
+            f" bfs={bfs_res[copies]}s weighted={w_res[copies]}s"
+            f" cc={cc_res[copies]}s",
             file=sys.stderr,
         )
     return bfs_res, w_res, cc_res
@@ -194,24 +218,42 @@ def main() -> None:
     warm = corpus(spark, sf_dir, 1)
     flagship_time(spark, warm)
     dedup_time(spark, warm)
+    # drop the warmup's plan-matched cache so no scale point inherits it
+    # (minhash_dedup_pairs persists internal projections it cannot unpersist
+    # before its action; the 1x point would otherwise be gifted warm data
+    # while 2x/4x pay full price)
+    spark.catalog.clearCache()
+    # Build all scale points up front and INTERLEAVE trials (r8 verdict #5):
+    # min-of-2 SEQUENTIAL let one host phase own one point — the 2x point
+    # read ABOVE the 4x point in both r7 runs and in r8 (2.47/5.35/3.33), an
+    # offset-class impossibility. Interleaved 1x,2x,4x,1x,... min-of-3
+    # distributes phase effects evenly and tolerates one bad window per
+    # point (the same medicine that fixed the bench's 1x/2x flagship pair).
+    docs = {c: corpus(spark, sf_dir, c) for c in (1, 2, 4)}
+    n_docs = {c: docs[c].count() for c in (1, 2, 4)}
+    sets = {c: corpus_token_sets(docs[c]) for c in (1, 2, 4)}
+    # one untimed pass per point: each scale point's FIRST execution
+    # uniquely pays broadcast/codegen/AQE-stat warmup (measured 7.47 s vs
+    # 2.26-2.53 s steady on the 2x point) — min-of-3 would merely discard
+    # it, but warming keeps all three recorded trials steady-state
+    for c in (1, 2, 4):
+        match_time(spark, sets[c])
+        dedup_time(spark, docs[c])
+    flag_trials: dict[int, list] = {c: [] for c in (1, 2, 4)}
+    dedup_trials: dict[int, list] = {c: [] for c in (1, 2, 4)}
+    for _round in range(3):
+        for c in (1, 2, 4):
+            flag_trials[c].append(match_time(spark, sets[c]))
+        for c in (1, 2, 4):
+            dedup_trials[c].append(dedup_time(spark, docs[c]))
     results, dedup_results = {}, {}
-    for copies in (1, 2, 4):
-        # keep scale points cache-independent: minhash_dedup_pairs persists
-        # internal projections it cannot unpersist before its action, and
-        # Spark's plan-matched cache would otherwise gift the 1x rerun the
-        # warmup's data while 2x/4x pay full price
-        spark.catalog.clearCache()
-        docs = corpus(spark, sf_dir, copies)
-        n = docs.count()
-        # min-of-2, same rationale as graph_times.best_of: isolated GC/steal
-        # pauses in the shared JVM land randomly on single timed passes (the
-        # r6 first run read 2x=14.1s against 4x=8.4s — impossible as a plan
-        # property, gone under min-of-2)
-        results[copies] = min(flagship_time(spark, docs) for _ in range(2))
-        dedup_results[copies] = min(dedup_time(spark, docs) for _ in range(2))
+    for c in (1, 2, 4):
+        sets[c].unpersist()
+        results[c] = min(flag_trials[c])
+        dedup_results[c] = min(dedup_trials[c])
         print(
-            f"# copies={copies} docs={n} flagship={results[copies]}s"
-            f" dedup={dedup_results[copies]}s",
+            f"# copies={c} docs={n_docs[c]} flagship={results[c]}s"
+            f" {flag_trials[c]} dedup={dedup_results[c]}s {dedup_trials[c]}",
             file=sys.stderr,
         )
     bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
