@@ -1371,6 +1371,7 @@ def q_graph_open_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .cache()  # ids only; shared by the degree agg + the motif's 3 inputs
     )
     deg = (
         graph.undirect(canon)

@@ -211,6 +211,7 @@ def open_triangles(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .cache()  # referenced by 3 join inputs — one distinct shuffle, not 3
     )
     und = undirect(canon)
     m = motif_find(und, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
