@@ -158,9 +158,16 @@ def _forensic_append(query: str, sf_dir: str, rows, extra: dict | None = None) -
         }
         if extra:
             rec["extra"] = extra
-        with open(
-            os.path.join(_FORENSICS_DIR, f"{query}.jsonl"), "a", encoding="utf-8"
-        ) as fh:
+        path = os.path.join(_FORENSICS_DIR, f"{query}.jsonl")
+        # size cap: pytest/bench invoke these queries dozens of times per
+        # round; keep the committed evidence file bounded (the gate's
+        # records are what matters and land while the file is small)
+        try:
+            if os.path.getsize(path) > 4 * 1024 * 1024:
+                return
+        except OSError:
+            pass
+        with open(path, "a", encoding="utf-8") as fh:
             fh.write(json.dumps(rec, sort_keys=True, default=str) + "\n")
     except Exception:
         pass
