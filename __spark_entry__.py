@@ -2365,6 +2365,39 @@ _ND_VARIANT_OFFSET = 1_000_000_000_000
 _ND_COS_THRESHOLD = 0.98
 
 
+def q_emb_arrow_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow all-pairs kernel (new r9; the third tier of the
+    group-local all-pairs family A5/A6 — Column-expr band joins and the
+    applyInPandas escape hatch being the first two): exact within-label
+    all-pairs cosine over the embeddings table, label playing the blocking
+    cell (in production: an LSH band, IVF cell, or near-dup cluster).
+    pyspark 4's GroupedData.applyInArrow hands each group to the worker as
+    an Arrow table; the group's matrix reaches numpy without pandas
+    materialization and all pairwise scores are ONE int64 matmul.
+
+    Determinism: vectors floor-scale to 2^20 ints, dot/norms are
+    int64-exact (the sign-LSH cascade's trick), and cosine + the >= 0.30
+    threshold are one float64 expression over those exact integers —
+    bit-identical on numpy and DuckDB, no summation-order float drift.
+
+    Scale shape: vectors shuffle ONCE on the group key; emitted pairs are
+    threshold-survivors only (kernel-side filter); oversized groups fail
+    loudly (max_group_size) instead of OOMing — unblocked quadratic work
+    is an upstream bug, not something to absorb."""
+    from scabillmatch_spark.operators.arrow_kernels import grouped_allpairs_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scores = grouped_allpairs_scores(
+        emb, "label", "vec_id", "embedding", scale_bits=20, min_cosine=0.30
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    return scores.select(
+        "label", "id1", "id2", F.round(cosine, 6).alias("cosine")
+    )
+
+
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate DETECTION (the dedup-tier sibling of
     the ANN queries) as a three-stage verify cascade: find all vector pairs
@@ -4073,12 +4106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      doc_dedup_rewrite — red r7+r8 while green in every out-of-gate
     #      reproduction; r9 strips the last ordering/collation semantics
     #      from their outputs and forensically records every invocation),
-    #      plus the one query new this round (graph_open_triangles);
+    #      plus the two queries new this round (graph_open_triangles,
+    #      emb_arrow_block_cosine — the per-round new-query budget);
     #   2. the 23 entries whose latest driver row is r6 — two rounds
     #      stale, at the staleness contract's max, the oldest debt;
-    #   3. the first 24 of the 48 r7-green entries fill the window;
-    #   4. with 122 registered queries and a 50-row window the cycle is
-    #      ~2.4 rounds: the 24 remaining r7-green entries directly past
+    #   3. the first 23 of the 48 r7-green entries fill the window;
+    #   4. with 123 registered queries and a 50-row window the cycle is
+    #      ~2.5 rounds: the 25 remaining r7-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
     #      r10 window, followed by the 48 r8-green rows (freshest, last).
     #      Every entry is still re-verified at sf0.01 on every pytest run
@@ -4089,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
         # -- new in round 9 — never driver-checked
         "graph_open_triangles": q_graph_open_triangles,
+        "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
         # -- latest driver row is r6 (two rounds stale) — oldest debt
         "events_sessionization": q_events_sessionization,
         "orders_scd2_history": q_orders_scd2_history,
@@ -4138,11 +4173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
         "pair_measure_correlation": q_pair_measure_correlation,
         "ml_knn_probe": q_ml_knn_probe,
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
-        # ---- 50-row window boundary (2 red + 1 new + 23 r6-green +
-        #      24 r7-green = 50). The 24 r7-green holdovers directly below
+        # ---- 50-row window boundary (2 red + 2 new + 23 r6-green +
+        #      23 r7-green = 50). The 25 r7-green holdovers directly below
         #      reach the staleness contract's two-round max next cycle and
         #      MUST LEAD the r10 window. ----
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_mixture_sample": q_doc_mixture_sample,
         "minhash_delta_dedup": q_minhash_delta_dedup,
         "io_bucketed_join": q_io_bucketed_join,
@@ -5978,6 +6013,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT d1, d2, ROUND(100.0 * dot / (n1.norm * n2.norm), 6) AS cosine100
             FROM dots JOIN norms n1 ON n1.doc_id = d1 JOIN norms n2 ON n2.doc_id = d2
             WHERE 100.0 * dot / (n1.norm * n2.norm) >= 60.0
+        """,
+        # Arrow grouped kernel: same floor-scaled int64 dot/norm arithmetic
+        # as the Spark kernel (exact on both engines), then the identical
+        # float64 cosine expression and threshold — bit-for-bit agreement
+        # with numpy's matmul because every operand is an exact integer.
+        "emb_arrow_block_cosine": """
+            WITH q AS (
+                SELECT label, vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)
+                                AS BIGINT)) AS qv
+                FROM embeddings
+            ),
+            ex AS (
+                SELECT label, vec_id, unnest(qv) AS val,
+                       generate_subscripts(qv, 1) AS pos
+                FROM q
+            ),
+            norms AS (
+                SELECT label, vec_id, CAST(SUM(val * val) AS BIGINT) AS nrm
+                FROM ex GROUP BY label, vec_id
+            ),
+            dots AS (
+                SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+                       CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+                FROM ex a JOIN ex b
+                  ON a.label = b.label AND a.pos = b.pos
+                 AND a.vec_id < b.vec_id
+                GROUP BY a.label, a.vec_id, b.vec_id
+            )
+            SELECT d.label, d.id1, d.id2,
+                   ROUND(CAST(d.dot AS DOUBLE)
+                         / (sqrt(CAST(x.nrm AS DOUBLE))
+                            * sqrt(CAST(y.nrm AS DOUBLE))), 6) AS cosine
+            FROM dots d
+            JOIN norms x ON x.label = d.label AND x.vec_id = d.id1
+            JOIN norms y ON y.label = d.label AND y.vec_id = d.id2
+            WHERE CAST(d.dot AS DOUBLE)
+                  / (sqrt(CAST(x.nrm AS DOUBLE))
+                     * sqrt(CAST(y.nrm AS DOUBLE))) >= 0.30
         """,
         "emb_lsh_ann": _emb_lsh_ann_oracle(),
         "emb_brp_euclidean_join": _emb_brp_oracle(),
