@@ -84,10 +84,19 @@ def _tmp_workdir(prefix: str, sf_dir: str) -> str:
                     and now - os.path.getmtime(p) > _TMP_STALE_SECONDS
                 ):
                     continue
-                # name layout: scabillmatch_<prefix>_<sfdir>_<pid>_<uuid8>
+                # name layout: scabillmatch_<prefix>_<sfdir>_<pid>_<uuid8>.
+                # Liveness is only trusted up to a hard age cap: pids
+                # recycle (a crashed run's pid can later belong to an
+                # unrelated daemon, making the dir unsweepable forever) —
+                # nothing here legitimately runs for 48h, so beyond that
+                # the mtime verdict stands regardless of the pid.
                 parts = name.split("_")
                 owner_alive = False
-                if len(parts) >= 2 and parts[-2].isdigit():
+                if (
+                    now - os.path.getmtime(p) < 24 * _TMP_STALE_SECONDS
+                    and len(parts) >= 2
+                    and parts[-2].isdigit()
+                ):
                     try:
                         os.kill(int(parts[-2]), 0)
                         owner_alive = True
@@ -1372,21 +1381,17 @@ def q_graph_open_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.operators import graph
 
     edges = _doc_edges(spark, sf_dir)
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .cache()  # ids only; shared by the degree agg + the motif's 3 inputs
-    )
+    # ids only; ONE cached frame serves the degree agg + the motif's 3
+    # join inputs (passed into open_triangles explicitly — no reliance on
+    # implicit plan-match caching of independently-built identical plans)
+    canon = graph.canonical_edges(edges).cache()
     deg = (
         graph.undirect(canon)
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     opn = (
-        graph.open_triangles(edges)
+        graph.open_triangles(edges, canon=canon)
         .groupBy(F.col("b").alias("id"))
         .agg(F.count(F.lit(1)).alias("__n_open"))
     )
@@ -1535,6 +1540,11 @@ def q_doc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.bit_xor("__chk"), F.lit(0)).alias("kept_chk_xor"),
         )
     )
+    # the plan gate can't see this query's joins (it returns a collected
+    # LocalRelation for forensics) — keep the no-cartesian guarantee as a
+    # runtime assert on the pre-collect plan instead
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "cartesian in dedup-rewrite plan"
     rows = out.collect()
     _forensic_append("doc_dedup_rewrite", sf_dir, rows)
     return spark.createDataFrame(rows, out.schema)
@@ -1885,12 +1895,22 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_mismatched_vs_source"),
             F.lit(n_files).cast("long").alias("n_files_total"),
         )
+        # the plan gate can't see this query's joins (it returns a
+        # collected LocalRelation for forensics) — keep the no-cartesian
+        # guarantee as a runtime assert on the pre-collect plan instead
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, "cartesian in csv-roundtrip plan"
         rows = out.collect()
-        listing = sorted(
-            (name, os.path.getsize(os.path.join(out_dir, name)))
-            for name in os.listdir(out_dir)
-            if not name.startswith(("_", "."))
-        )
+        try:
+            # probe-only: an OSError here (external cleaner, remote tmp fs)
+            # must not fail the query whose green result it is recording
+            listing = sorted(
+                (name, os.path.getsize(os.path.join(out_dir, name)))
+                for name in os.listdir(out_dir)
+                if not name.startswith(("_", "."))
+            )
+        except OSError:
+            listing = None
         _forensic_append(
             "io_csv_roundtrip",
             sf_dir,
@@ -2386,7 +2406,11 @@ def q_emb_arrow_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an upstream bug, not something to absorb."""
     from scabillmatch_spark.operators.arrow_kernels import grouped_allpairs_scores
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # NULL blocking keys are excluded EXPLICITLY: Spark's groupBy gathers
+    # them into one real group while SQL equi-join oracles drop them — the
+    # one semantic gap between the two formulations (no NULLs in the
+    # generated data, but the filter keeps the contract visible)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     scores = grouped_allpairs_scores(
         emb, "label", "vec_id", "embedding", scale_bits=20, min_cosine=0.30
     )
@@ -4148,7 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_stock": q_tpch_q11,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q20_dominant_supplier": q_tpch_q20,
-        # -- latest driver row is r7 (one round stale) — first 24 fill
+        # -- latest driver row is r7 (one round stale) — first 23 fill
         #    the window
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_fuzzy_title_join": q_doc_fuzzy_title_join,

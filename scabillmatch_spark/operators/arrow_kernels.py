@@ -56,6 +56,12 @@ def grouped_allpairs_scores(
     Groups larger than ``max_group_size`` raise: an unblocked group is a
     quadratic bug upstream, and failing the task loudly beats an executor
     OOM with no named cause.
+
+    NULL group keys: Spark's groupBy gathers NULL-keyed rows into one real
+    group and this kernel scores it like any other — note that SQL
+    equi-join reformulations (oracles, downstream joins on the group
+    column) DROP those pairs instead. Filter NULL keys upstream when the
+    two must agree.
     """
     import pyarrow as pa
 

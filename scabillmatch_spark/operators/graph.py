@@ -74,6 +74,8 @@ def pagerank(
     e_w = e.join(outdeg, "src").cache()
 
     run_dir = _run_scoped(checkpoint_dir)
+    if checkpoint_dir is not None:
+        sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
     prev_round: int | None = None
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
@@ -109,14 +111,24 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Distinct canonicalized (src < dst) edges, self-loops dropped — the
+    shared preprocessing of every undirected-pair algorithm here. Callers
+    that feed one canonical frame to several joins should .cache() it."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """All (a,b,c) triangles with a<b<c from an undirected edge list."""
     e = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+        canonical_edges(edges)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .cache()
     )
     ab = e.select(F.col("a"), F.col("b"))
@@ -198,21 +210,21 @@ def motif_find(edges: DataFrame, pattern: str) -> DataFrame:
     return out
 
 
-def open_triangles(edges: DataFrame) -> DataFrame:
+def open_triangles(edges: DataFrame, canon: DataFrame | None = None) -> DataFrame:
     """All open triangles (wedges missing their closing edge) -> (a, b, c):
     b is the center, a~b and b~c are edges, a<c, and a~c is NOT an edge —
     the complement of triangles() (closed form), via the motif engine.
     The triadic-closure candidate generator: in a similarity graph an open
     triangle is a transitivity violation worth auditing (a and c both
-    near-duplicate b but not each other)."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .cache()  # referenced by 3 join inputs — one distinct shuffle, not 3
-    )
+    near-duplicate b but not each other).
+
+    ``canon``: a pre-built (ideally cached) canonical_edges frame — pass it
+    when the caller also computes degrees/joins off the same frame, so one
+    shared cache serves every reference instead of relying on Spark's
+    implicit plan-match of independently-built identical plans."""
+    if canon is None:
+        # referenced by 3 join inputs — one distinct shuffle, not 3
+        canon = canonical_edges(edges).cache()
     und = undirect(canon)
     m = motif_find(und, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
     # a<c keeps each wedge once (und binds both orientations) and drops a==c
@@ -261,6 +273,9 @@ def _loop_partitions(spark, num_shuffle_partitions: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+RUN_NAMESPACE_STALE_HOURS = 24
+
+
 def _run_scoped(checkpoint_dir: str | None) -> str | None:
     """Unique per-INVOCATION namespace (run_<uuid>) inside the caller's
     checkpoint_dir. Without it, two calls sharing a checkpoint_dir
@@ -271,12 +286,50 @@ def _run_scoped(checkpoint_dir: str | None) -> str | None:
 
     Lifecycle contract: the final round's dir under run_<uuid>/ OUTLIVES
     the call (the returned frame is lazy); the caller owns deleting
-    run_* namespaces once results are consumed (or persisted elsewhere)."""
+    run_* namespaces once results are consumed (or persisted elsewhere) —
+    and as a backstop against callers that never do (plus crashed runs
+    that leave every unswept round), each new call best-effort sweeps
+    sibling run_* namespaces older than RUN_NAMESPACE_STALE_HOURS via
+    sweep_stale_run_namespaces, so a shared checkpoint_dir's disk use is
+    bounded by a day of runs, not unbounded history."""
     if checkpoint_dir is None:
         return None
     import uuid
 
     return os.path.join(checkpoint_dir, f"run_{uuid.uuid4().hex[:12]}")
+
+
+def sweep_stale_run_namespaces(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    max_age_hours: float = RUN_NAMESPACE_STALE_HOURS,
+) -> None:
+    """Best-effort removal of run_<uuid> namespaces older than
+    ``max_age_hours`` (by FS modification time) under ``checkpoint_dir``.
+    Called automatically at the start of every checkpointed iterative run;
+    also public so a caller can reclaim a namespace eagerly after
+    consuming its result. Never raises — a sweep failure must not fail
+    the computation it is housekeeping for."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        fs = root.getFileSystem(hconf)
+        if not fs.exists(root):
+            return
+        import time
+
+        cutoff_ms = (time.time() - max_age_hours * 3600) * 1000
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                name.startswith("run_")
+                and st.isDirectory()
+                and st.getModificationTime() < cutoff_ms
+            ):
+                fs.delete(st.getPath(), True)
+    except Exception:
+        pass
 
 
 def _round_materialize(
@@ -356,6 +409,8 @@ def connected_components(
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     converged = False
     run_dir = _run_scoped(checkpoint_dir)
+    if checkpoint_dir is not None:
+        sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
     prev_round: int | None = None
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
         comp = _round_materialize(
@@ -445,6 +500,8 @@ def k_core(
     round is the first.
     """
     run_dir = _run_scoped(checkpoint_dir)
+    if checkpoint_dir is not None:
+        sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
     prev_round: int | None = 0
     e = _round_materialize(
         undirect(edges) if undirected else edges.select("src", "dst"),

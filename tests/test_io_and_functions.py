@@ -197,7 +197,11 @@ def test_tmp_workdir_unique_and_sweeps_stale():
     # owner pid is STILL ALIVE must be skipped (a >2h run still owns it);
     # one with a dead pid must be swept
     live = os.path.join(root, f"scabillmatch_t_sfX_{os.getpid()}_deadbeef")
-    deadpid = 4_000_000  # beyond default pid_max — never a live process
+    # strictly beyond this host's pid_max — a pid that cannot exist (a
+    # fixed constant like 4_000_000 IS a valid pid under systemd's
+    # pid_max=4194304 default and could belong to a live process)
+    with open("/proc/sys/kernel/pid_max") as fh:
+        deadpid = int(fh.read().strip()) + 1
     dead = os.path.join(root, f"scabillmatch_t_sfX_{deadpid}_deadbeef")
     for d in (live, dead):
         shutil.rmtree(d, ignore_errors=True)
