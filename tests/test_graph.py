@@ -246,3 +246,33 @@ def test_motif_find_rejects_bad_patterns(spark):
         graph.motif_find(edges, "(a)-[]->(b); !(a)-[]->(z)")
     with pytest.raises(ValueError, match="at least one positive"):
         graph.motif_find(edges, "!(a)-[]->(b)")
+
+
+def test_stale_run_namespace_sweep(spark, tmp_path):
+    """A checkpointed call sweeps sibling run_* namespaces older than the
+    staleness horizon (crashed/unconsumed runs must not grow a shared
+    checkpoint_dir forever) while leaving fresh ones alone."""
+    import os
+
+    from scabillmatch_spark.operators.graph import (
+        connected_components,
+        sweep_stale_run_namespaces,
+    )
+
+    ckpt = tmp_path / "shared"
+    stale = ckpt / "run_deadbeefcafe"
+    fresh = ckpt / "run_freshfreshaa"
+    for d in (stale, fresh):
+        d.mkdir(parents=True)
+        (d / "round_0").mkdir()
+    old = 1  # epoch seconds — far beyond any horizon
+    os.utime(stale, (old, old))
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    connected_components(edges, checkpoint_dir=str(ckpt)).collect()
+    names = set(os.listdir(ckpt))
+    assert "run_deadbeefcafe" not in names  # stale sibling swept
+    assert "run_freshfreshaa" in names  # fresh sibling kept
+    # direct call with a tiny horizon reclaims the fresh one too
+    sweep_stale_run_namespaces(spark, str(ckpt), max_age_hours=0.0)
+    assert "run_freshfreshaa" not in set(os.listdir(ckpt))
