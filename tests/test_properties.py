@@ -326,3 +326,118 @@ def test_weighted_sample_matches_python_model(spark, rows, k):
         for rk, (_, doc_id) in enumerate(sorted(entries)[:k], 1):
             want[(lang, rk)] = doc_id
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r9 surfaces: motif engine and Arrow grouped kernel vs brute force
+# ---------------------------------------------------------------------------
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_strategy)
+def test_motif_open_path_matches_bruteforce(spark, edge_list):
+    """motif_find's (a)->(b)->(c) with !(a)->(c) must equal a pure-Python
+    enumeration over the same DIRECTED distinct edge set."""
+    from scabillmatch_spark.operators.graph import motif_find
+
+    edges = {(s, d) for s, d in edge_list if s != d}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        (r.a, r.b, r.c)
+        for r in motif_find(
+            df, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+        ).collect()
+    }
+    expect = {
+        (a, b, c)
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b2 == b and (a, c) not in edges
+    }
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edges_strategy)
+def test_open_triangles_matches_bruteforce(spark, edge_list):
+    """open_triangles must equal brute-force wedge-minus-closure over the
+    canonicalized undirected graph."""
+    from scabillmatch_spark.operators.graph import open_triangles
+
+    canon = {(min(s, d), max(s, d)) for s, d in edge_list if s != d}
+    if not canon:
+        return
+    df = spark.createDataFrame(sorted(canon), "src long, dst long")
+    got = {(r.a, r.b, r.c) for r in open_triangles(df).collect()}
+    und = canon | {(d, s) for s, d in canon}
+    verts = {v for e in canon for v in e}
+    expect = {
+        (a, b, c)
+        for b in verts
+        for (b1, a) in und
+        if b1 == b
+        for (b2, c) in und
+        if b2 == b and a < c and (a, c) not in canon
+    }
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.lists(
+                st.floats(-4, 4, allow_nan=False, width=32),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_grouped_allpairs_matches_pure_python(spark, rows):
+    """The Arrow kernel's int64 dot/norm cells must equal a sequential
+    pure-Python computation over the identically floor-scaled vectors —
+    the same determinism contract the DuckDB oracle relies on."""
+    import math
+
+    from scabillmatch_spark.operators.arrow_kernels import (
+        grouped_allpairs_scores,
+    )
+
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, vid long, v array<float>")
+    got = {
+        (r.g, r.id1, r.id2): (r.dot, r.n1, r.n2)
+        for r in grouped_allpairs_scores(df, "g", "vid", "v").collect()
+    }
+    # pure-Python reference: float32 storage semantics first, then scale
+    import numpy as np
+
+    def q(vec):
+        return [
+            int(math.floor(float(np.float32(x)) * (1 << 20))) for x in vec
+        ]
+
+    expect = {}
+    for g1, i1, v1 in data:
+        for g2, i2, v2 in data:
+            if g1 != g2 or i1 >= i2:
+                continue
+            a, b = q(v1), q(v2)
+            expect[(g1, i1, i2)] = (
+                sum(x * y for x, y in zip(a, b)),
+                sum(x * x for x in a),
+                sum(y * y for y in b),
+            )
+    assert got == expect
