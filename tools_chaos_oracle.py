@@ -26,15 +26,18 @@ TABLES = (
 )
 
 # every entry whose Spark plan, oracle SQL, or temp-dir machinery changed
-# in round 8, plus the two r7 driver-red rows' cache-sharing neighbors
+# in round 9 (arithmetic-checksum red-row rework, motif + Arrow kernel,
+# canonical_edges refactor, checkpoint namespaces), plus the round-trip
+# family sharing the temp-dir machinery
 DEFAULT_SET = [
     "io_csv_roundtrip",
     "doc_dedup_rewrite",
     "doc_dup_clusters",
-    "orders_cdc_squash_merge",
-    "storage_merge_upsert",
-    "stream_merge_upsert",
-    "orders_snapshot_diff",
+    "graph_open_triangles",
+    "emb_arrow_block_cosine",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "graph_kcore",
     "io_json_roundtrip",
     "io_orc_roundtrip",
     "io_avro_roundtrip",
@@ -43,7 +46,6 @@ DEFAULT_SET = [
     "io_bucketed_join",
     "io_dpp_prune",
     "io_schema_evolution",
-    "stream_ingest_dedup",
 ]
 
 
