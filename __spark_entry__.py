@@ -4615,11 +4615,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    count(*) AS n_docs,
                    count(DISTINCT doc_id) AS n_ids,
-                   sum(n_chars) AS sum_chars,
-                   sum(strlen(text)) AS sum_text_bytes,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(strlen(text)) AS BIGINT) AS sum_text_bytes,
                    count(DISTINCT md5(text)) AS n_distinct_md5,
-                   COALESCE(sum(('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT
-                                % 1000000007), 0) AS text_chk_sum,
+                   CAST(COALESCE(
+                       sum(('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT
+                           % 1000000007), 0) AS BIGINT) AS text_chk_sum,
                    COALESCE(bit_xor(('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT),
                             0) AS text_chk_xor,
                    CAST(0 AS BIGINT) AS n_mismatched_vs_source,
@@ -6173,12 +6174,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
             )
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(keep) AS n_kept,
-                   COUNT(*) - SUM(keep) AS n_dropped,
-                   SUM(CASE WHEN keep = 1 THEN doc_id END) AS kept_id_sum,
-                   COALESCE(SUM(CASE WHEN keep = 1
-                                     THEN chk % 1000000007 END), 0)
-                       AS kept_chk_sum,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept,
+                   CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+                   CAST(SUM(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
+                       AS kept_id_sum,
+                   CAST(COALESCE(SUM(CASE WHEN keep = 1
+                                          THEN chk % 1000000007 END), 0)
+                        AS BIGINT) AS kept_chk_sum,
                    COALESCE(bit_xor(CASE WHEN keep = 1 THEN chk END), 0)
                        AS kept_chk_xor
             FROM k GROUP BY lang

@@ -14,10 +14,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import math
 import random
 import sys
 import time
+
+from tools_compare import normalize as _normalize
+from tools_compare import oracle_type_sig, spark_type_sig
 
 T2_SF = "/root/testdata/sf0.01"
 TABLES = (
@@ -47,23 +49,6 @@ DEFAULT_SET = [
     "io_dpp_prune",
     "io_schema_evolution",
 ]
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return str(v)
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
@@ -101,13 +86,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{T2_SF}/{t}.parquet')"
         )
-    # oracle side is deterministic and session-free: compute once
+    # oracle side is deterministic and session-free: compute once.
+    # r10: also pin the canonical Arrow TYPE signature — the layer the
+    # r7-r9 value-only mirror missed (DuckDB HUGEINT vs Spark int64).
     expected = {}
     for n in names:
         orel = con.sql(osql[n])
         expected[n] = (
             sorted(d[0] for d in orel.description),
             _normalize([d[0] for d in orel.description], orel.fetchall()),
+            oracle_type_sig(con, osql[n]),
         )
 
     rng = random.Random(args.seed)
@@ -123,6 +111,7 @@ def main() -> int:
             ok = (
                 sorted(sdf.columns) == expected[n][0]
                 and _normalize(sdf.columns, srows) == expected[n][1]
+                and spark_type_sig(sdf) == expected[n][2]
             )
             if not ok:
                 reds.append(n)

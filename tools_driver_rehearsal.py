@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import subprocess
 import sys
@@ -39,23 +38,6 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return str(v)
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
 def run_once(window_n: int) -> int:
@@ -102,25 +84,22 @@ def run_once(window_n: int) -> int:
             f"read_parquet('{T2_SF}/{t}.parquet')"
         )
 
+    from tools_compare import compare_typed
+
     t0 = time.time()
     results = {}
     n_red = 0
     for name in window:
         sdf = qs[name](spark, T2_SF)
         srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
-        orel = con.sql(osql[name])
-        ocols = [d[0] for d in orel.description]
-        orows = orel.fetchall()
-        rows_ok = len(srows) == len(orows)
-        cols_ok = sorted(scols) == sorted(ocols)
-        hash_ok = _normalize(scols, srows) == _normalize(ocols, orows)
-        results[name] = {
-            "rows_match": rows_ok,
-            "schema_match": cols_ok,
-            "hash_match": hash_ok,
-        }
-        if not (rows_ok and cols_ok and hash_ok):
+        # r10: compare_typed adds the Arrow-typed layer (canonical type
+        # signatures) the r7-r9 value-only mirror was blind to — a DuckDB
+        # HUGEINT column now reds here exactly as it did in the gate.
+        results[name] = compare_typed(sdf, srows, con, osql[name])
+        if not all(
+            results[name][k]
+            for k in ("rows_match", "schema_match", "hash_match", "type_match")
+        ):
             n_red += 1
             print(f"RED {name}: {results[name]}", flush=True)
     print(f"# t2 compare {len(window)}q @sf0.01: {time.time() - t0:.1f}s", flush=True)
