@@ -1413,6 +1413,43 @@ def q_graph_open_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pregel_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic vertex-program surface (new r10; GraphFrames'
+    aggregateMessages/Pregel — the one GraphFrames form the engine's 7
+    fixed algorithms didn't yet expose; the reference's GraphFrames
+    dependency carries it alongside the calls at
+    graph/GraphUtils.scala:24-41): per vertex of the >=95 similarity
+    graph, (a) its degree via ONE aggregate_messages round (count of
+    unit messages), and (b) its 2-walk count via TWO pregel supersteps
+    of integer sum-over-in-neighbors starting from state=1 — i.e.
+    (A^2)@1 for the undirected adjacency matrix, integer-exact on both
+    engines. Plan per superstep: one edge-vertex equi-join + one groupBy
+    on the receiving id — O(1) shuffles per round, vertex state only
+    (no text, no vectors) in any exchange."""
+    from scabillmatch_spark.operators import graph
+
+    canon = graph.canonical_edges(_doc_edges(spark, sf_dir)).cache()
+    und = graph.undirect(canon)
+    verts = graph.vertices_from_edges(und)
+    deg = graph.aggregate_messages(
+        und, verts, F.count("msg").alias("deg"), send_to_dst=F.lit(1)
+    )
+    walks = graph.pregel(
+        und,
+        verts,
+        initial_state=F.lit(1).cast("long"),
+        agg_msgs=F.sum("msg"),
+        update_state=F.coalesce(F.col("msg"), F.lit(0)).cast("long"),
+        send_to_dst=F.col("src.state"),
+        max_iter=2,
+        num_shuffle_partitions=8,
+    )
+    return deg.join(walks, "id").select(
+        "id", F.col("deg").cast("long").alias("deg"),
+        F.col("state").alias("n_walks2"),
+    )
+
+
 def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: per-user hourly resample with forward
     fill — every hour between a user's first and last event gets a row
@@ -4125,82 +4162,33 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-9 rotation:
-    #   1. the two driver-RED rows lead (io_csv_roundtrip,
-    #      doc_dedup_rewrite — red r7+r8 while green in every out-of-gate
-    #      reproduction; r9 strips the last ordering/collation semantics
-    #      from their outputs and forensically records every invocation),
-    #      plus the two queries new this round (graph_open_triangles,
-    #      emb_arrow_block_cosine — the per-round new-query budget);
-    #   2. the 23 entries whose latest driver row is r6 — two rounds
+    # the round-10 rotation:
+    #   1. the two formerly-RED rows lead (io_csv_roundtrip,
+    #      doc_dedup_rewrite — red r7-r9; root-caused by the r9 judge to
+    #      un-cast SUM(BIGINT) in their ORACLE SQL, which DuckDB types as
+    #      HUGEINT/decimal128 while Spark emits int64 — fixed r10 with
+    #      CAST(... AS BIGINT), enforced suite-wide by
+    #      tests/test_oracle_types.py), plus the one query new this round
+    #      (graph_pregel_walks — the generic aggregateMessages/Pregel
+    #      vertex-program surface);
+    #   2. the 25 entries whose latest driver row is r7 — two rounds
     #      stale, at the staleness contract's max, the oldest debt;
-    #   3. the first 23 of the 48 r7-green entries fill the window;
-    #   4. with 123 registered queries and a 50-row window the cycle is
-    #      ~2.5 rounds: the 25 remaining r7-green entries directly past
+    #   3. the first 22 of the 48 r8-green entries fill the window;
+    #   4. with 124 registered queries and a 50-row window the cycle is
+    #      ~2.5 rounds: the 26 remaining r8-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
-    #      r10 window, followed by the 48 r8-green rows (freshest, last).
+    #      r11 window, followed by the 48 r9-green rows (freshest, last).
     #      Every entry is still re-verified at sf0.01 on every pytest run
     #      by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- r7/r8 driver-red rows, re-greening is goal #1
+        # -- r7-r9 driver-red rows, oracle HUGEINT typing fixed in r10 —
+        #    lead until a green official row lands
         "io_csv_roundtrip": q_io_csv_roundtrip,
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
-        # -- new in round 9 — never driver-checked
-        "graph_open_triangles": q_graph_open_triangles,
-        "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
-        # -- latest driver row is r6 (two rounds stale) — oldest debt
-        "events_sessionization": q_events_sessionization,
-        "orders_scd2_history": q_orders_scd2_history,
-        "doc_chunk_overlap": q_doc_chunk_overlap,
-        "events_stream_session": q_events_stream_session,
-        "scalar_functions": q_scalar_functions,
-        "pearson_corr": q_pearson_corr,
-        "descriptive_stats": q_descriptive_stats,
-        "histogram_events_value": q_histogram_events,
-        "events_json_agg": q_events_json,
-        "semi_anti_join": q_semi_anti_join,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_quality_filter": q_doc_quality_filter,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
-        # -- latest driver row is r7 (one round stale) — first 23 fill
-        #    the window
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
-        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "doc_curation_pipeline": q_doc_curation_pipeline,
-        "stream_merge_upsert": q_stream_merge_upsert,
-        "io_dpp_prune": q_io_dpp_prune,
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        "storage_merge_upsert": q_storage_merge_upsert,
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
-        "doc_pair_measures": q_doc_pair_measures,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q16_supplier_cnt": q_tpch_q16,
-        "doc_hash_sample": q_doc_hash_sample,
-        "events_tumbling_window": q_events_tumbling,
-        "events_resample_1h": q_events_resample_1h,
-        "pair_space_accounting": q_pair_space_accounting,
-        "latest_version_family": q_latest_version_family,
-        "io_json_roundtrip": q_io_json_roundtrip,
-        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
-        "pair_measure_correlation": q_pair_measure_correlation,
-        "ml_knn_probe": q_ml_knn_probe,
-        # ---- 50-row window boundary (2 red + 2 new + 23 r6-green +
-        #      23 r7-green = 50). The 25 r7-green holdovers directly below
-        #      reach the staleness contract's two-round max next cycle and
-        #      MUST LEAD the r10 window. ----
+        # -- new this round (the per-round new-query budget)
+        "graph_pregel_walks": q_graph_pregel_walks,
+        # -- 25 entries whose latest driver row is r7 — two rounds stale,
+        #    the staleness contract's max; the oldest debt leads
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_mixture_sample": q_doc_mixture_sample,
         "minhash_delta_dedup": q_minhash_delta_dedup,
@@ -4226,7 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_revenue": q_tpch_q10,
         "tpch_q14_promo_pct": q_tpch_q14,
         "tpch_q19_disjunctive_join": q_tpch_q19,
-        # -- latest driver row is r8 — freshest, rotate back last
+        # -- first 22 of the 48 r8-green entries fill the window
         "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
         "io_bloom_join_prune": q_io_bloom_join_prune,
         "tpch_q5_local_supplier": q_tpch_q5,
@@ -4249,6 +4237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
         "window_running_sum": q_window_running_sum,
+        # ---- 50-row window boundary (2 red + 1 new + 25 r7-green +
+        #      22 r8-green = 50). The 26 r8-green entries directly
+        #      below reach the staleness contract's two-round max next
+        #      cycle and MUST LEAD the r11 window, filled with the
+        #      oldest r9-green entries. ----
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -4275,6 +4268,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "events_stream_static_join": q_events_stream_static_join,
         "events_stream_interval_join": q_events_stream_interval_join,
+        # -- latest driver row is r9 — freshest, rotate back last
+        "graph_open_triangles": q_graph_open_triangles,
+        "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
+        "events_sessionization": q_events_sessionization,
+        "orders_scd2_history": q_orders_scd2_history,
+        "doc_chunk_overlap": q_doc_chunk_overlap,
+        "events_stream_session": q_events_stream_session,
+        "scalar_functions": q_scalar_functions,
+        "pearson_corr": q_pearson_corr,
+        "descriptive_stats": q_descriptive_stats,
+        "histogram_events_value": q_histogram_events,
+        "events_json_agg": q_events_json,
+        "semi_anti_join": q_semi_anti_join,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
+        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
+        "stream_merge_upsert": q_stream_merge_upsert,
+        "io_dpp_prune": q_io_dpp_prune,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "storage_merge_upsert": q_storage_merge_upsert,
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "doc_pair_measures": q_doc_pair_measures,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "doc_hash_sample": q_doc_hash_sample,
+        "events_tumbling_window": q_events_tumbling,
+        "events_resample_1h": q_events_resample_1h,
+        "pair_space_accounting": q_pair_space_accounting,
+        "latest_version_family": q_latest_version_family,
+        "io_json_roundtrip": q_io_json_roundtrip,
+        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
+        "pair_measure_correlation": q_pair_measure_correlation,
+        "ml_knn_probe": q_ml_knn_probe,
     }
 
 
@@ -4424,6 +4466,26 @@ def _pagerank_oracle(iters: int = 3) -> str:
     sql += f"""
     SELECT id, ROUND(rank, 6) AS pagerank FROM {prev}"""
     return sql
+
+
+def _pregel_walks_oracle() -> str:
+    """Degree + 2-walk counts over the similarity graph (und(s,d) both
+    directions, verts(id)): w1 = sum of 1 over in-neighbors = degree;
+    w2(v) = sum of w1 over in-neighbors = #2-walks ending at v. Integer
+    arithmetic only; every aggregate CAST AS BIGINT per the house
+    convention (test_oracle_types.py)."""
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
+    return f"""
+    WITH {cte},
+    deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY s),
+    w2 AS (SELECT u.d AS id, CAST(SUM(dg.deg) AS BIGINT) AS w
+           FROM und u JOIN deg dg ON u.s = dg.id GROUP BY u.d)
+    SELECT v.id, dg.deg,
+           CAST(COALESCE(w2.w, 0) AS BIGINT) AS n_walks2
+    FROM verts v
+    JOIN deg dg ON dg.id = v.id
+    LEFT JOIN w2 ON w2.id = v.id"""
 
 
 def _emb_lsh_ann_oracle() -> str:
@@ -6082,6 +6144,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_ann": _emb_lsh_ann_oracle(),
         "emb_brp_euclidean_join": _emb_brp_oracle(),
         "graph_pagerank": _pagerank_oracle(3),
+        "graph_pregel_walks": _pregel_walks_oracle(),
         "graph_triangle_count": f"""
             WITH {edge_cte},
             tri AS (

@@ -276,3 +276,115 @@ def test_stale_run_namespace_sweep(spark, tmp_path):
     # direct call with a tiny horizon reclaims the fresh one too
     sweep_stale_run_namespaces(spark, str(ckpt), max_age_hours=0.0)
     assert "run_freshfreshaa" not in set(os.listdir(ckpt))
+
+
+def test_aggregate_messages_both_directions(spark):
+    # directed path 1->2->3 with weights; vertex attr 'val'
+    edges = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 3, 20.0)], ["src", "dst", "weight"]
+    )
+    verts = spark.createDataFrame([(1, 5), (2, 7), (3, 9)], ["id", "val"])
+    # to dst: src.val * edge.weight; to src: dst.val
+    got = {
+        r.id: (r.s_in, r.n_in)
+        for r in graph.aggregate_messages(
+            edges,
+            verts,
+            F.sum("msg").alias("s_in"),
+            send_to_dst=F.col("src.val") * F.col("edge.weight"),
+        )
+        .join(
+            graph.aggregate_messages(
+                edges, verts, F.count("msg").alias("n_in"),
+                send_to_dst=F.lit(1),
+            ),
+            "id",
+        )
+        .collect()
+    }
+    assert got == {2: (50.0, 1), 3: (140.0, 1)}
+    # send_to_src only: each src hears its dst's val
+    back = {
+        r.id: r.m
+        for r in graph.aggregate_messages(
+            edges, verts, F.max("msg").alias("m"),
+            send_to_src=F.col("dst.val"),
+        ).collect()
+    }
+    assert back == {1: 7, 2: 9}
+    with pytest.raises(ValueError):
+        graph.aggregate_messages(edges, verts, F.sum("msg").alias("x"))
+
+
+def test_aggregate_messages_edge_only_expr_joins_no_vertices(spark):
+    # expression referencing only edge attrs must not require vertex attrs
+    edges = spark.createDataFrame([(1, 2, 3.0), (1, 3, 4.0)], ["src", "dst", "w"])
+    verts = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    res = graph.aggregate_messages(
+        edges, verts, F.sum("msg").alias("wsum"), send_to_src=F.col("edge.w")
+    )
+    assert {r.id: r.wsum for r in res.collect()} == {1: 7.0}
+    # and the plan contains no join against the vertex frame at all
+    assert "__vattrs" not in res._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pregel_two_step_walk_counts(spark, square_graph):
+    # state0=1; two supersteps of sum-over-in-neighbors = 2-walk counts,
+    # i.e. (A^2 @ 1) for the undirected adjacency matrix
+    import numpy as np
+
+    canon = graph.canonical_edges(square_graph)
+    und = graph.undirect(canon)
+    verts = graph.vertices_from_edges(und)
+    res = graph.pregel(
+        und,
+        verts,
+        initial_state=F.lit(1).cast("long"),
+        agg_msgs=F.sum("msg"),
+        update_state=F.coalesce(F.col("msg"), F.lit(0)).cast("long"),
+        send_to_dst=F.col("src.state"),
+        max_iter=2,
+    )
+    got = {r.id: r.state for r in res.collect()}
+    ids = sorted(got)
+    a = np.zeros((len(ids), len(ids)), dtype=np.int64)
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in canon.collect():
+        a[idx[r.src], idx[r.dst]] = 1
+        a[idx[r.dst], idx[r.src]] = 1
+    expect = (a @ a) @ np.ones(len(ids), dtype=np.int64)
+    assert got == {v: int(expect[idx[v]]) for v in ids}
+
+
+def test_pagerank_pregel_matches_direct(spark, square_graph):
+    """r10 equality pin: the generic pregel surface reproduces the
+    hand-written pagerank() to fp-roundoff."""
+    direct = {r.id: r.pagerank for r in graph.pagerank(square_graph, max_iter=7).collect()}
+    via_pregel = {
+        r.id: r.pagerank
+        for r in graph.pagerank_pregel(square_graph, max_iter=7).collect()
+    }
+    assert direct.keys() == via_pregel.keys()
+    for k in direct:
+        assert abs(direct[k] - via_pregel[k]) < 1e-12, (k, direct[k], via_pregel[k])
+
+
+def test_pregel_checkpointed_equivalence(spark, square_graph, tmp_path):
+    # > CHECKPOINT_EVERY rounds so the reliable cut actually fires
+    kwargs = dict(
+        initial_state=F.lit(1.0),
+        agg_msgs=F.sum("msg"),
+        update_state=F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(1.0),
+        send_to_dst=F.col("src.state"),
+        max_iter=graph.CHECKPOINT_EVERY + 2,
+    )
+    und = graph.undirect(square_graph)
+    verts = graph.vertices_from_edges(und)
+    plain = {r.id: r.state for r in graph.pregel(und, verts, **kwargs).collect()}
+    ckpt = {
+        r.id: r.state
+        for r in graph.pregel(
+            und, verts, checkpoint_dir=str(tmp_path / "ck"), **kwargs
+        ).collect()
+    }
+    assert plain == ckpt
