@@ -79,14 +79,19 @@ def main() -> None:
     # sub-second per-query deltas vs another run are real; a 2-3x drift
     # means the host moved underneath the run (the documented 2-13x
     # steal/GC variance) and uniform sub-second movements are noise-class.
-    def _calibration_probe() -> float:
-        t0 = time.perf_counter()
-        spark.range(20_000_000, numPartitions=32).selectExpr(
-            "sum((id * 2654435761) % 1000003) AS s"
-        ).collect()
-        return round(time.perf_counter() - t0, 3)
+    def _calibration_probe(samples: int = 3) -> float:
+        # median of several samples (r9 advice): one scheduler hiccup in a
+        # 2-sample mean skewed the adjusted headline by its full weight
+        ts = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            spark.range(20_000_000, numPartitions=32).selectExpr(
+                "sum((id * 2654435761) % 1000003) AS s"
+            ).collect()
+            ts.append(time.perf_counter() - t0)
+        return round(sorted(ts)[len(ts) // 2], 3)
 
-    _calibration_probe()  # untimed: compile the probe's own codegen first
+    _calibration_probe(samples=1)  # untimed: compile the probe's codegen
     calib_first = _calibration_probe()
     print(f"# calibration_probe_first: {calib_first}s", file=sys.stderr)
 
@@ -284,13 +289,21 @@ def main() -> None:
     # (the r8 record alone spanned probe 0.086-0.228 s, drift 2.65, on
     # identical code). CAL_REF is the pinned clean-phase probe floor
     # observed on this host (r8/r9 records); it is a HOST constant —
-    # re-pin it if the container/CPU allocation changes.
-    CAL_REF = 0.089
+    # override via SPARK_GRAFT_CAL_REF on any other host (the default is
+    # meaningless elsewhere). The factor is CLAMPED to [0.25, 2.0]: the
+    # adjustment is only valid under roughly-uniform slowdown (PLANS.md
+    # pins the CPU-only-contention overcorrection), so a probe implying
+    # >4x correction is a low-confidence tag, not a measurement.
+    CAL_REF = float(os.environ.get("SPARK_GRAFT_CAL_REF", "0.089"))
     mean_probe = (calib_first + calib_last) / 2 if calib_first and calib_last else 0
-    total_adj = round(total * CAL_REF / mean_probe, 2) if mean_probe else None
+    factor_raw = CAL_REF / mean_probe if mean_probe else None
+    factor = min(2.0, max(0.25, factor_raw)) if factor_raw else None
+    total_adj = round(total * factor, 2) if factor else None
     print(
         f"# headline_total_drift_adjusted: {total_adj}s"
-        f" (raw {total}s x {CAL_REF}/mean_probe {round(mean_probe, 3)})",
+        f" (raw {total}s x clamp({round(factor_raw, 3) if factor_raw else None})"
+        f"={round(factor, 3) if factor else None},"
+        f" CAL_REF {CAL_REF}/mean_probe {round(mean_probe, 3)})",
         file=sys.stderr,
     )
     print(
@@ -326,6 +339,10 @@ def main() -> None:
                         "last": calib_last,
                         "drift": calib_drift,
                         "ref": CAL_REF,
+                        "adjust_factor_raw": round(factor_raw, 4)
+                        if factor_raw
+                        else None,
+                        "adjust_factor_clamped": factor != factor_raw,
                     },
                     "total_drift_adjusted": total_adj,
                     "queries": timings,

@@ -434,7 +434,12 @@ def _loop_partitions(spark, num_shuffle_partitions: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-RUN_NAMESPACE_STALE_HOURS = 24
+# Sweep horizon for run_<uuid> namespaces. Env-configurable (r9 advice):
+# a returned lazy DataFrame held longer than the horizon would lose its
+# backing parquet to an unrelated later call's sweep — callers that hold
+# results that long should raise SCABILLMATCH_RUN_STALE_HOURS (or persist
+# the result and delete the namespace themselves, the documented contract).
+RUN_NAMESPACE_STALE_HOURS = float(os.environ.get("SCABILLMATCH_RUN_STALE_HOURS", "24"))
 
 
 def _run_scoped(checkpoint_dir: str | None) -> str | None:

@@ -123,8 +123,17 @@ def main() -> int:
         if not os.path.exists(path):
             print(f"{q}: no forensic records yet")
             continue
+        records = []
         with open(path, encoding="utf-8") as fh:
-            records = [json.loads(line) for line in fh if line.strip()]
+            for lineno, line in enumerate(fh, 1):
+                if not line.strip():
+                    continue
+                try:
+                    records.append(json.loads(line))
+                except ValueError:
+                    # a torn/corrupt line (e.g. interleaved append) must
+                    # not crash the analysis of every OTHER record
+                    print(f"WARN {q}: skipping unparsable line {lineno}")
         shown = 0
         for rec in records:
             if not args.all and _is_builder(rec):
