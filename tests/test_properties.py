@@ -441,3 +441,48 @@ def test_grouped_allpairs_matches_pure_python(spark, rows):
                 sum(y * y for y in b),
             )
     assert got == expect
+
+
+# ---- generic vertex program (r10): pregel == adjacency-matrix power ------
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_edge_lists, st.integers(min_value=1, max_value=3))
+def test_pregel_walks_match_matrix_power(spark, raw_edges, n_iter):
+    """k supersteps of integer sum-over-in-neighbors from state=1 must
+    equal A^k @ 1 on the DIRECTED distinct edge set — pregel's message
+    flow is exactly repeated sparse-matrix multiplication."""
+    import numpy as np
+
+    from scabillmatch_spark.operators import graph
+
+    edges_d = sorted(set(raw_edges))
+    edges = spark.createDataFrame(edges_d, ["src", "dst"])
+    verts = graph.vertices_from_edges(edges)
+    res = graph.pregel(
+        edges,
+        verts,
+        initial_state=F.lit(1).cast("long"),
+        agg_msgs=F.sum("msg"),
+        update_state=F.coalesce(F.col("msg"), F.lit(0)).cast("long"),
+        send_to_dst=F.col("src.state"),
+        max_iter=n_iter,
+    )
+    got = {r.id: r.state for r in res.collect()}
+    ids = sorted(got)
+    idx = {v: i for i, v in enumerate(ids)}
+    a = np.zeros((len(ids), len(ids)), dtype=np.int64)
+    for s, d in edges_d:
+        a[idx[d], idx[s]] = 1  # messages flow src -> dst: state' = A @ state
+    state = np.ones(len(ids), dtype=np.int64)
+    for _ in range(n_iter):
+        state = a @ state
+    assert got == {v: int(state[idx[v]]) for v in ids}

@@ -27,27 +27,21 @@ TABLES = (
     "documents embeddings".split()
 )
 
-# every entry whose Spark plan, oracle SQL, or temp-dir machinery changed
-# in round 9 (arithmetic-checksum red-row rework, motif + Arrow kernel,
-# canonical_edges refactor, checkpoint namespaces), plus the round-trip
-# family sharing the temp-dir machinery
+# every entry whose Spark plan, oracle SQL, or shared machinery changed
+# in round 10 (red-row oracle CAST fix + forensic-append rework, the new
+# aggregate_messages/pregel surface in the graph module), plus the graph
+# family sharing _doc_edges/canonical_edges caches with the new query
 DEFAULT_SET = [
     "io_csv_roundtrip",
     "doc_dedup_rewrite",
-    "doc_dup_clusters",
-    "graph_open_triangles",
-    "emb_arrow_block_cosine",
-    "graph_triangle_count",
+    "graph_pregel_walks",
     "graph_pagerank",
+    "graph_open_triangles",
+    "graph_triangle_count",
     "graph_kcore",
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
-    "io_avro_roundtrip",
-    "io_sorted_compact",
-    "io_zorder_roundtrip",
-    "io_bucketed_join",
-    "io_dpp_prune",
-    "io_schema_evolution",
+    "graph_shortest_paths",
+    "graph_weighted_paths",
+    "doc_dup_clusters",
 ]
 
 
