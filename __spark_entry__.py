@@ -1438,7 +1438,9 @@ def q_graph_pregel_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     canon = graph.canonical_edges(_doc_edges(spark, sf_dir)).cache()
     und = graph.undirect(canon)
-    verts = graph.vertices_from_edges(und)
+    # one distinct shuffle serves the degree round and the pregel initial
+    # frame (vertex-state lineage then chains off it per superstep)
+    verts = graph.vertices_from_edges(und).cache()
     deg = graph.aggregate_messages(
         und, verts, F.count("msg").alias("deg"), send_to_dst=F.lit(1)
     )

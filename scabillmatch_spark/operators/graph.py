@@ -355,6 +355,15 @@ def pregel(
                 v = _round_materialize(v, i + 1, run_dir)
                 _sweep_round(edges.sparkSession, run_dir, prev_round)
                 prev_round = i + 1
+        if num_shuffle_partitions is not None and max_iter % CHECKPOINT_EVERY != 0:
+            # bind the un-checkpointed tail supersteps to the loop-sized
+            # conf: without a cut HERE they execute lazily at the caller's
+            # action under the SESSION default — the exact cluster-width-
+            # shuffles-on-a-tiny-frame overhead the caller passed
+            # num_shuffle_partitions to avoid (measured 26% of wall on the
+            # sf0.1 similarity graph, PLANS.md round 10)
+            v = _round_materialize(v, max_iter, run_dir)
+            _sweep_round(edges.sparkSession, run_dir, prev_round)
     return v
 
 
