@@ -1460,6 +1460,49 @@ def q_graph_pregel_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-weighted PageRank through the generic pregel surface
+    (new r10, completing its triplet coverage: graph_pregel_walks
+    exercises src-state messages, this one exercises EDGE-ATTRIBUTE
+    messages — ``src.state * edge.w / src.wout``). The reference runs
+    PageRank on a similarity-weighted GraphFrame
+    (graph/GraphUtils.scala:24-31 builds edges carrying the score at
+    :19-20); the unweighted query (graph_pagerank) matches its default
+    maxIter semantics, this one propagates mass proportionally to edge
+    similarity — higher-similarity neighbors receive more rank, the
+    natural centrality for picking a dedup cluster's canonical doc.
+    3 supersteps, reset 0.15, ROUND(,6) like the unweighted oracle.
+    Plan per superstep: one edge-vertex equi-join + one groupBy on dst —
+    ids/doubles only in every exchange."""
+    from scabillmatch_spark.operators import graph
+
+    sc = _scored_doc_pairs(spark, sf_dir).filter(F.col("similarity") >= 95.0)
+    half = sc.select(
+        F.col("pk1").alias("src"), F.col("pk2").alias("dst"),
+        F.col("similarity").alias("w"),
+    )
+    e = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    wout = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wout"))
+    verts = graph.vertices_from_edges(e).cache()
+    n = verts.count()
+    ranked = graph.pregel(
+        e,
+        verts.join(wout, "id"),
+        initial_state=F.lit(1.0 / n),
+        send_to_dst=F.col("src.state") * F.col("edge.w") / F.col("src.wout"),
+        agg_msgs=F.sum("msg"),
+        update_state=F.lit(0.15 / n)
+        + F.lit(0.85) * F.coalesce(F.col("msg"), F.lit(0.0)),
+        max_iter=3,
+        num_shuffle_partitions=8,
+    )
+    return ranked.select("id", F.round("state", 6).alias("wpagerank"))
+
+
 def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: per-user hourly resample with forward
     fill — every hour between a user's first and last event gets a row
@@ -4200,14 +4243,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      un-cast SUM(BIGINT) in their ORACLE SQL, which DuckDB types as
     #      HUGEINT/decimal128 while Spark emits int64 — fixed r10 with
     #      CAST(... AS BIGINT), enforced suite-wide by
-    #      tests/test_oracle_types.py), plus the one query new this round
-    #      (graph_pregel_walks — the generic aggregateMessages/Pregel
-    #      vertex-program surface);
+    #      tests/test_oracle_types.py), plus the two queries new this
+    #      round (graph_pregel_walks, graph_weighted_pagerank — the
+    #      generic aggregateMessages/Pregel vertex-program surface, state
+    #      and edge-attribute message paths respectively);
     #   2. the 25 entries whose latest driver row is r7 — two rounds
     #      stale, at the staleness contract's max, the oldest debt;
-    #   3. the first 22 of the 48 r8-green entries fill the window;
-    #   4. with 124 registered queries and a 50-row window the cycle is
-    #      ~2.5 rounds: the 26 remaining r8-green entries directly past
+    #   3. the first 21 of the 48 r8-green entries fill the window;
+    #   4. with 125 registered queries and a 50-row window the cycle is
+    #      ~2.5 rounds: the 27 remaining r8-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
     #      r11 window, followed by the 48 r9-green rows (freshest, last).
     #      Every entry is still re-verified at sf0.01 on every pytest run
@@ -4219,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
         # -- new this round (the per-round new-query budget)
         "graph_pregel_walks": q_graph_pregel_walks,
+        "graph_weighted_pagerank": q_graph_weighted_pagerank,
         # -- 25 entries whose latest driver row is r7 — two rounds stale,
         #    the staleness contract's max; the oldest debt leads
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
@@ -4268,12 +4313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": q_pivot_lineitem,
         "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
+        # ---- 50-row window boundary (2 red + 2 new + 25 r7-green +
+        #      21 r8-green = 50). window_running_sum and the 26 r8-green
+        #      entries below reach the staleness contract's two-round
+        #      max next cycle and MUST LEAD the r11 window. ----
         "window_running_sum": q_window_running_sum,
-        # ---- 50-row window boundary (2 red + 1 new + 25 r7-green +
-        #      22 r8-green = 50). The 26 r8-green entries directly
-        #      below reach the staleness contract's two-round max next
-        #      cycle and MUST LEAD the r11 window, filled with the
-        #      oldest r9-green entries. ----
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -4518,6 +4562,42 @@ def _pregel_walks_oracle() -> str:
     FROM verts v
     JOIN deg dg ON dg.id = v.id
     LEFT JOIN w2 ON w2.id = v.id"""
+
+
+def _weighted_pagerank_oracle(iters: int = 3) -> str:
+    """Similarity-weighted PageRank mirror: same banded/scored CTE as the
+    unweighted oracle, edges carry w = 100.0*inter/uni, mass splits
+    proportionally to w/wout. Float SUM order differs between engines by
+    design; ROUND(,6) absorbs it exactly as in _pagerank_oracle (green
+    since r6 at two sfs)."""
+    banded = _banded_pairs_cte(_DUCK_TOKIDSET)
+    sql = f"""
+    WITH {banded},
+    edw AS (SELECT d1, d2, 100.0 * inter / uni AS w FROM scored
+            WHERE 100.0 * inter / uni >= 95.0),
+    undw AS (SELECT d1 AS s, d2 AS d, w FROM edw
+             UNION ALL SELECT d2, d1, w FROM edw),
+    verts AS (SELECT DISTINCT s AS id FROM undw),
+    nn AS (SELECT COUNT(*) AS n FROM verts),
+    wdeg AS (SELECT s, SUM(w) AS wout FROM undw GROUP BY s),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT v.id,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.insum, 0.0) AS rank
+        FROM verts v LEFT JOIN (
+            SELECT u.d AS id, SUM(r.rank * u.w / dg.wout) AS insum
+            FROM undw u JOIN {prev} r ON u.s = r.id JOIN wdeg dg ON dg.s = u.s
+            GROUP BY u.d
+        ) c ON v.id = c.id
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT id, ROUND(rank, 6) AS wpagerank FROM {prev}"""
+    return sql
 
 
 def _emb_lsh_ann_oracle() -> str:
@@ -6177,6 +6257,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_brp_euclidean_join": _emb_brp_oracle(),
         "graph_pagerank": _pagerank_oracle(3),
         "graph_pregel_walks": _pregel_walks_oracle(),
+        "graph_weighted_pagerank": _weighted_pagerank_oracle(3),
         "graph_triangle_count": f"""
             WITH {edge_cte},
             tri AS (

@@ -388,3 +388,30 @@ def test_pregel_checkpointed_equivalence(spark, square_graph, tmp_path):
         ).collect()
     }
     assert plain == ckpt
+
+
+def test_weighted_pregel_pagerank_uniform_weights_match_unweighted(spark, square_graph):
+    """Edge-attribute message path pin: with all weights equal, the
+    similarity-weighted pregel PageRank (the graph_weighted_pagerank
+    pattern) must reproduce the unweighted pagerank() exactly —
+    w/wout == 1/outdeg."""
+    und = graph.undirect(square_graph).withColumn("w", F.lit(2.5))
+    wout = und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wout"))
+    verts = graph.vertices_from_edges(und)
+    n = verts.count()
+    ranked = graph.pregel(
+        und,
+        verts.join(wout, "id"),
+        initial_state=F.lit(1.0 / n),
+        send_to_dst=F.col("src.state") * F.col("edge.w") / F.col("src.wout"),
+        agg_msgs=F.sum("msg"),
+        update_state=F.lit(0.15 / n)
+        + F.lit(0.85) * F.coalesce(F.col("msg"), F.lit(0.0)),
+        max_iter=5,
+    )
+    weighted = {r.id: r.state for r in ranked.collect()}
+    plain = {r.id: r.pagerank for r in graph.pagerank(square_graph, max_iter=5).collect()}
+    assert weighted.keys() == plain.keys()
+    for k in plain:
+        assert abs(weighted[k] - plain[k]) < 1e-12, (k, weighted[k], plain[k])
+    assert abs(sum(weighted.values()) - 1.0) < 1e-6

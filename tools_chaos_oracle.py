@@ -35,6 +35,7 @@ DEFAULT_SET = [
     "io_csv_roundtrip",
     "doc_dedup_rewrite",
     "graph_pregel_walks",
+    "graph_weighted_pagerank",
     "graph_pagerank",
     "graph_open_triangles",
     "graph_triangle_count",
