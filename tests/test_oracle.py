@@ -70,6 +70,15 @@ def test_query_matches_oracle(spark, duck_con, name):
     orows = orel.fetchall()
     assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} != {len(orows)}"
     assert sorted(scols) == sorted(ocols), f"{name}: cols {scols} vs {ocols}"
+    # r10: typed layer — the gate hashes TYPED values (the r7-r9 red rows
+    # were a HUGEINT-vs-int64 type mismatch with equal values, invisible
+    # to the value comparison below); canonical Arrow type classes must
+    # match, same comparator as the rehearsal/chaos mirrors
+    from tools_compare import oracle_type_sig, spark_type_sig
+
+    ssig = spark_type_sig(sdf)
+    osig = oracle_type_sig(duck_con, oracle)
+    assert ssig == osig, f"{name}: type signatures differ: {ssig} vs {osig}"
     ncols, nspark = _normalize(scols, [tuple(r) for r in srows])
     _, noracle = _normalize(ocols, orows)
     mism = [i for i, (a, b) in enumerate(zip(nspark, noracle)) if a != b]
