@@ -268,6 +268,11 @@ def aggregate_messages(
 
     if send_to_dst is None and send_to_src is None:
         raise ValueError("need send_to_dst and/or send_to_src")
+    if "id" not in vertices.columns:
+        raise ValueError("vertices frame needs an 'id' column")
+    missing = {"src", "dst"} - set(edges.columns)
+    if missing:
+        raise ValueError(f"edges frame missing column(s) {sorted(missing)}")
     exprs_txt = " ".join(str(c) for c in (send_to_dst, send_to_src) if c is not None)
 
     def _referenced(side: str) -> bool:
@@ -332,6 +337,15 @@ def pregel(
     ``num_shuffle_partitions``. Each superstep is one or two vertex-edge
     equi-joins + one groupBy on the receiving id — O(1) shuffles per
     round, never materializing anything quadratic."""
+    # fail loud on reserved-name collisions: the superstep join lands the
+    # aggregate in a 'msg' column and the state in state_col — a caller
+    # frame already carrying either would be silently overwritten/dropped
+    clash = {c for c in (state_col, "msg") if c in vertices.columns}
+    if clash:
+        raise ValueError(
+            f"vertices frame already has column(s) {sorted(clash)} — "
+            "rename them or pass a different state_col"
+        )
     run_dir = _run_scoped(checkpoint_dir)
     if checkpoint_dir is not None:
         sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)

@@ -415,3 +415,24 @@ def test_weighted_pregel_pagerank_uniform_weights_match_unweighted(spark, square
     for k in plain:
         assert abs(weighted[k] - plain[k]) < 1e-12, (k, weighted[k], plain[k])
     assert abs(sum(weighted.values()) - 1.0) < 1e-6
+
+
+def test_vertex_program_input_contracts(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    bad_edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    verts = spark.createDataFrame([(1,), (2,)], ["id"])
+    no_id = spark.createDataFrame([(1,)], ["vertex"])
+    with_msg = spark.createDataFrame([(1, 0)], ["id", "msg"])
+    with pytest.raises(ValueError, match="'id' column"):
+        graph.aggregate_messages(edges, no_id, F.sum("msg").alias("x"),
+                                 send_to_dst=F.lit(1))
+    with pytest.raises(ValueError, match="missing column"):
+        graph.aggregate_messages(bad_edges, verts, F.sum("msg").alias("x"),
+                                 send_to_dst=F.lit(1))
+    kw = dict(initial_state=F.lit(0), agg_msgs=F.sum("msg"),
+              update_state=F.coalesce(F.col("msg"), F.lit(0)),
+              send_to_dst=F.lit(1), max_iter=1)
+    with pytest.raises(ValueError, match="msg"):
+        graph.pregel(edges, with_msg, **kw)
+    with pytest.raises(ValueError, match="state_col"):
+        graph.pregel(edges, verts.withColumn("state", F.lit(0)), **kw)
