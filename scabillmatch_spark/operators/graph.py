@@ -415,6 +415,78 @@ def pagerank_pregel(
     return ranked.select("id", F.col("state").alias("pagerank"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+    undirected: bool = True,
+    num_shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation -> (id, label): community detection
+    (GraphFrames ``labelPropagation`` semantics — fixed maxIter, every
+    vertex starts as its own community). Each round every vertex adopts
+    the MODE of its neighbors' labels; ties break DETERMINISTICALLY to
+    the smallest label (GraphFrames breaks ties randomly — the one
+    deliberate deviation, so results are oracle-able and stable across
+    runs). Known property inherited from synchronous LPA: labels can
+    oscillate on bipartite structures; a bounded run returns the
+    labeling after exactly ``max_iter`` rounds.
+
+    For the dedup tier this is the SOFT counterpart of
+    connected_components: CC gives transitive-closure clusters (one
+    bridge edge merges two communities), LPA keeps densely-connected
+    groups separate when joined by thin bridges — the usual audit pair
+    for near-dup cluster quality.
+
+    Plan per round: one edge-labels equi-join (shuffle on src), one
+    (id,label) count agg, one deterministic arg-max (max over a
+    (cnt, -label, label) struct — no window, no row explosion), one
+    left join back for isolated-vertex carry-over. Labels are ids
+    (longs): every exchange carries two integer columns. O(max_iter)
+    rounds, lineage cut per CHECKPOINT_EVERY on the shared scaffolding."""
+    e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
+    labels = vertices_from_edges(e).select("id", F.col("id").alias("label"))
+    run_dir = _run_scoped(checkpoint_dir)
+    if checkpoint_dir is not None:
+        sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
+    prev_round: int | None = None
+    with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
+        for i in range(max_iter):
+            nbr = e.join(labels, e.src == labels.id).select(
+                F.col("dst").alias("id"), "label"
+            )
+            counted = nbr.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            # deterministic mode: max struct orders by cnt, then -label
+            # (higher = smaller label), so ties pick the smallest label
+            new = (
+                counted.groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("cnt"),
+                            (-F.col("label")).alias("neg"),
+                            F.col("label"),
+                        )
+                    ).alias("s")
+                )
+                .select("id", F.col("s.label").alias("label"))
+            )
+            labels = (
+                labels.select("id", F.col("label").alias("__old"))
+                .join(new, "id", "left")
+                .select("id", F.coalesce("label", "__old").alias("label"))
+            )
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                labels = _round_materialize(labels, i + 1, run_dir)
+                _sweep_round(edges.sparkSession, run_dir, prev_round)
+                prev_round = i + 1
+        if num_shuffle_partitions is not None and max_iter % CHECKPOINT_EVERY != 0:
+            # same lazy-tail binding as pregel (PLANS.md round 10)
+            labels = _round_materialize(labels, max_iter, run_dir)
+            _sweep_round(edges.sparkSession, run_dir, prev_round)
+    return labels
+
+
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation (GraphFrames triangleCount shape)."""
     tri = triangles(edges)

@@ -436,3 +436,31 @@ def test_vertex_program_input_contracts(spark):
         graph.pregel(edges, with_msg, **kw)
     with pytest.raises(ValueError, match="state_col"):
         graph.pregel(edges, verts.withColumn("state", F.lit(0)), **kw)
+
+
+def test_label_propagation_two_communities(spark):
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    # LPA must keep them as separate communities (CC would merge them)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        ["src", "dst"],
+    )
+    got = {r.id: r.label for r in graph.label_propagation(edges, max_iter=4).collect()}
+    comm1 = {got[v] for v in (1, 2, 3)}
+    comm2 = {got[v] for v in (10, 11, 12)}
+    assert len(comm1) == 1 and len(comm2) == 1 and comm1 != comm2
+    # determinism: identical labeling on a second run
+    again = {r.id: r.label for r in graph.label_propagation(edges, max_iter=4).collect()}
+    assert got == again
+    # and CC, by contrast, merges everything across the bridge
+    cc = {r.component for r in graph.connected_components(edges).collect()}
+    assert len(cc) == 1
+
+
+def test_label_propagation_clique_converges_to_min_id(spark):
+    # K4: round 1 sends everyone to the min id (ties -> smallest label),
+    # min-id vertex itself recovers by round 2 — all-min fixed point
+    k4 = [(a, b) for a in (5, 6, 7, 8) for b in (5, 6, 7, 8) if a < b]
+    edges = spark.createDataFrame(k4, ["src", "dst"])
+    got = {r.id: r.label for r in graph.label_propagation(edges, max_iter=3).collect()}
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5}
