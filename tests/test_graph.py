@@ -464,3 +464,54 @@ def test_label_propagation_clique_converges_to_min_id(spark):
     edges = spark.createDataFrame(k4, ["src", "dst"])
     got = {r.id: r.label for r in graph.label_propagation(edges, max_iter=3).collect()}
     assert got == {5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_label_propagation_matches_unrolled_sql_oracle(spark):
+    """r11 query pre-validation: the LPA operator on the >=95 similarity
+    graph matches a DuckDB oracle that unrolls k synchronous rounds as
+    CTEs (mode = count + argmax by cnt DESC, label ASC — the operator's
+    deterministic tie-break). Cell-exact at sf0.001; also verified at
+    sf0.01 out-of-band (PLANS.md round 10)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    iters = 4
+    cte = entrymod._DUCK_EDGE_CTE.format(
+        banded=entrymod._banded_pairs_cte(entrymod._DUCK_TOKIDSET)
+    )
+    sql = f"WITH {cte},\n    l0 AS (SELECT id, id AS label FROM verts)"
+    prev = "l0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (SELECT u.d AS id, p.label, COUNT(*) AS cnt
+             FROM und u JOIN {prev} p ON u.s = p.id
+             GROUP BY u.d, p.label),
+    l{i} AS (
+        SELECT v.id,
+               COALESCE(
+                 (SELECT c.label FROM c{i} c WHERE c.id = v.id
+                  ORDER BY c.cnt DESC, c.label ASC LIMIT 1),
+                 p.label) AS label
+        FROM verts v JOIN {prev} p ON p.id = v.id
+    )"""
+        prev = f"l{i}"
+    sql += f"\n    SELECT id, label FROM {prev}"
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = dict(con.execute(sql).fetchall())
+    got = {
+        r.id: r.label
+        for r in graph.label_propagation(
+            entrymod._doc_edges(spark, sf), max_iter=iters
+        ).collect()
+    }
+    assert got == want
