@@ -347,6 +347,41 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_banded_projection(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    with_size: bool = True,
+    tag: str = "r",
+) -> DataFrame:
+    """The reusable band-index projection: (id, [size,] band-key) rows,
+    one per (doc, band). This is the frame a 100 TB deployment
+    MATERIALIZES ONCE as an append-only band-index table and joins every
+    delta against — recomputing the corpus MinHash signatures per ingest
+    batch is the cost this factors out (stream_delta_dedup persists it
+    once per run for exactly that reason). Pass the result as
+    ``right_banded`` to :func:`lsh_candidate_pairs_two_sided` (keep
+    ``with_size=True`` whenever the join will use a ``min_jaccard``
+    prune)."""
+    rows_per_band = num_hashes // num_bands
+    df = _ensure_parallelism(df)
+    sz = [F.size(F.col(set_col)).alias(f"__sz_{tag}")] if with_size else []
+    sig = df.select(
+        F.col(id_col).alias(f"__id_{tag}"),
+        *sz,
+        TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig"),
+    )
+    return sig.select(
+        f"__id_{tag}",
+        *([f"__sz_{tag}"] if with_size else []),
+        F.explode(
+            TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)
+        ).alias(f"__band_{tag}"),
+    )
+
+
 def lsh_candidate_pairs_two_sided(
     left: DataFrame,
     right: DataFrame,
@@ -355,6 +390,7 @@ def lsh_candidate_pairs_two_sided(
     num_hashes: int = 16,
     num_bands: int = 8,
     min_jaccard: float | None = None,
+    right_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric banded candidates: (left x right) band collisions only —
     the INCREMENTAL-INGEST shape. When a daily delta lands on a world-scale
@@ -370,26 +406,33 @@ def lsh_candidate_pairs_two_sided(
     ids on both sides are excluded (a delta doc already present in the
     corpus is an exact-dedup concern, not a near-dup candidate). Same
     lossless ``min_jaccard`` size-ratio prune as lsh_candidate_pairs.
+
+    ``right_banded``: a pre-built (ideally persisted/materialized)
+    :func:`lsh_banded_projection` of ``right`` with tag "r" — the
+    band-index-table fast path; MUST have been built with the same
+    num_hashes/num_bands and with sizes when ``min_jaccard`` is used.
     """
-    rows_per_band = num_hashes // num_bands
+    with_size = min_jaccard is not None
 
     def banded(df: DataFrame, tag: str) -> DataFrame:
-        df = _ensure_parallelism(df)
-        sz = [F.size(F.col(set_col)).alias(f"__sz_{tag}")] if min_jaccard is not None else []
-        sig = df.select(
-            F.col(id_col).alias(f"__id_{tag}"),
-            *sz,
-            TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig"),
-        )
-        return sig.select(
-            f"__id_{tag}",
-            *([f"__sz_{tag}"] if min_jaccard is not None else []),
-            F.explode(
-                TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)
-            ).alias(f"__band_{tag}"),
+        return lsh_banded_projection(
+            df, id_col, set_col, num_hashes, num_bands,
+            with_size=with_size, tag=tag,
         )
 
-    lb, rb = banded(left, "l"), banded(right, "r")
+    lb = banded(left, "l")
+    if right_banded is not None:
+        need = {"__id_r", "__band_r"} | ({"__sz_r"} if with_size else set())
+        missing = need - set(right_banded.columns)
+        if missing:
+            raise ValueError(
+                f"right_banded missing column(s) {sorted(missing)} — build "
+                "it with lsh_banded_projection(..., tag='r'"
+                + (", with_size=True)" if with_size else ")")
+            )
+        rb = right_banded
+    else:
+        rb = banded(right, "r")
     cond = (F.col("__band_l") == F.col("__band_r")) & (
         F.col("__id_l") != F.col("__id_r")
     )

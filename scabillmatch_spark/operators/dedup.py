@@ -150,6 +150,28 @@ def simhash_dup_pairs(
     )
 
 
+def corpus_band_index(
+    corpus_sets: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "shingles",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Build the corpus's reusable band-index projection for
+    :func:`minhash_dedup_delta` (pass as ``corpus_banded``). At 100 TB
+    this is the append-only table a deployment materializes once and
+    reuses across every ingest batch instead of re-minhashing the corpus
+    per delta — persist (or write) the result before looping."""
+    from scabillmatch_spark.operators import blocking
+
+    c = corpus_sets.select(
+        F.col(id_col).alias("__id"), F.col(set_col).alias("__set")
+    )
+    return blocking.lsh_banded_projection(
+        c, "__id", "__set", num_hashes, num_bands, with_size=True, tag="r"
+    )
+
+
 def minhash_dedup_delta(
     corpus_sets: DataFrame,
     delta_sets: DataFrame,
@@ -158,6 +180,7 @@ def minhash_dedup_delta(
     num_hashes: int = 32,
     num_bands: int = 8,
     jaccard_threshold: float = 70.0,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: MinHash-LSH candidates between a NEW
     batch (``delta_sets``) and the EXISTING corpus (``corpus_sets``), then
@@ -169,6 +192,10 @@ def minhash_dedup_delta(
     Inputs are (id, shingle-id-set) frames (build via
     text.ngram_ids_from_token_ids over the corpus cache). Returns
     (pk1 = delta id, pk2 = corpus id, similarity) for pairs >= threshold.
+
+    ``corpus_banded``: a persisted :func:`corpus_band_index` of
+    ``corpus_sets`` (same num_hashes/num_bands) — skips re-minhashing the
+    corpus on every call, the per-ingest-batch fast path.
     """
     from scabillmatch_spark.operators import blocking
 
@@ -180,7 +207,7 @@ def minhash_dedup_delta(
     ).persist()
     cands = blocking.lsh_candidate_pairs_two_sided(
         d, c, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands,
-        min_jaccard=jaccard_threshold,
+        min_jaccard=jaccard_threshold, right_banded=corpus_banded,
     )
     s1 = d.select(F.col("__id").alias("pk1"), F.col("__set").alias("__s1"))
     s2 = c.select(F.col("__id").alias("pk2"), F.col("__set").alias("__s2"))

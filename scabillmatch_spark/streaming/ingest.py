@@ -40,11 +40,19 @@ def stream_delta_dedup(
     ``minhash_dedup_delta`` exactly — each delta doc is processed once and
     its candidates depend only on the static corpus, never on batching.
 
-    Scale note: the corpus band projection is recomputed per micro-batch
-    from the persisted set frame (narrow compute, no shuffle); a real
-    deployment materializes it once as a band-index table and swaps it in.
+    Scale note (r10): the corpus BAND INDEX is built and persisted ONCE
+    per run and every micro-batch joins against it — the real
+    deployment's materialize-once band-index-table shape. Before r10 each
+    batch re-minhashed the whole corpus (narrow but CPU-heavy: num_hashes
+    LCG passes over every shingle set, times n_batches); measured ~1.25x
+    end-to-end on the sf0.1 corpus, where fixed streaming overhead
+    dominates — the factor grows with corpus/batch ratio (PLANS.md
+    round 10).
     """
-    from scabillmatch_spark.operators.dedup import minhash_dedup_delta
+    from scabillmatch_spark.operators.dedup import (
+        corpus_band_index,
+        minhash_dedup_delta,
+    )
 
     tag = uuid.uuid4().hex[:12]
     in_dir = os.path.join(work_dir, f"delta_in_{tag}")
@@ -53,6 +61,10 @@ def stream_delta_dedup(
 
     corpus_sets = corpus_sets.persist()
     corpus_sets.count()
+    corpus_banded = corpus_band_index(
+        corpus_sets, id_col, set_col, num_hashes=num_hashes, num_bands=num_bands
+    ).persist()
+    corpus_banded.count()
     delta_sets.repartition(n_batches).write.mode("overwrite").parquet(in_dir)
     schema = spark.read.parquet(in_dir).schema
 
@@ -61,6 +73,7 @@ def stream_delta_dedup(
             corpus_sets, batch_df, id_col, set_col,
             num_hashes=num_hashes, num_bands=num_bands,
             jaccard_threshold=jaccard_threshold,
+            corpus_banded=corpus_banded,
         )
         pairs.write.mode("append").parquet(out_dir)
 
@@ -78,6 +91,7 @@ def stream_delta_dedup(
     q.awaitTermination()
     # result lives in parquet now — release the corpus cache
     corpus_sets.unpersist()
+    corpus_banded.unpersist()
     return spark.read.parquet(out_dir)
 
 

@@ -140,3 +140,38 @@ def test_blocked_edit_distance_join_no_cartesian_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     out.count()  # executes
+
+
+def test_two_sided_precomputed_band_index_equals_fresh(spark):
+    """r10 band-index-table fast path: passing a prebuilt
+    lsh_banded_projection as right_banded must yield exactly the fresh
+    result, and a malformed index fails loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.operators import blocking
+    from scabillmatch_spark.operators.dedup import corpus_band_index
+
+    rows = [(i, list(range(i, i + 12))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<long>")
+    left = df.filter(F.col("doc_id") % 3 == 0)
+    right = df.filter(F.col("doc_id") % 3 != 0)
+    kw = dict(num_hashes=16, num_bands=8, min_jaccard=50.0)
+    fresh = blocking.lsh_candidate_pairs_two_sided(
+        left, right, "doc_id", "shingles", **kw
+    )
+    idx = corpus_band_index(right, "doc_id", "shingles", num_hashes=16, num_bands=8)
+    via_index = blocking.lsh_candidate_pairs_two_sided(
+        left.selectExpr("doc_id AS __id", "shingles AS __set"),
+        right.selectExpr("doc_id AS __id", "shingles AS __set"),
+        "__id", "__set", num_hashes=16, num_bands=8, min_jaccard=50.0,
+        right_banded=idx,
+    )
+    a = {(r.pk1, r.pk2) for r in fresh.collect()}
+    b = {(r.pk1, r.pk2) for r in via_index.collect()}
+    assert a == b and a  # equal and non-trivial
+    with pytest.raises(ValueError, match="__sz_r"):
+        blocking.lsh_candidate_pairs_two_sided(
+            left, right, "doc_id", "shingles", **kw,
+            right_banded=idx.drop("__sz_r"),
+        )
