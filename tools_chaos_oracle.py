@@ -43,6 +43,10 @@ DEFAULT_SET = [
     "graph_shortest_paths",
     "graph_weighted_paths",
     "doc_dup_clusters",
+    # r10 band-index-reuse touched the minhash delta family
+    "stream_ingest_dedup",
+    "minhash_delta_dedup",
+    "minhash_lsh_dedup",
 ]
 
 
