@@ -515,3 +515,39 @@ def test_label_propagation_matches_unrolled_sql_oracle(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bellman_ford_via_pregel_matches_dedicated(spark):
+    """Second genericity proof for the r10 vertex-program surface: bounded
+    Bellman-Ford is exactly pregel with min-relaxation messages
+    (msg = src.state + edge.w, agg = min, update = least(state, msg)) —
+    must equal the dedicated frontier implementation for reachable
+    vertices after the same number of rounds."""
+    edges = spark.createDataFrame(
+        [(1, 2, 4.0), (1, 3, 1.0), (3, 2, 1.5), (2, 4, 2.0), (3, 4, 6.0),
+         (4, 5, 0.5)],
+        ["src", "dst", "weight"],
+    )
+    inf = float("inf")
+    e = edges.select("src", "dst", "weight").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    verts = graph.vertices_from_edges(e)
+    res = graph.pregel(
+        e,
+        verts,
+        initial_state=F.when(F.col("id") == 1, F.lit(0.0)).otherwise(F.lit(inf)),
+        agg_msgs=F.min("msg"),
+        update_state=F.least(
+            F.col("state"), F.coalesce(F.col("msg"), F.lit(inf))
+        ),
+        send_to_dst=F.col("src.state") + F.col("edge.weight"),
+        max_iter=6,
+    )
+    via_pregel = {r.id: r.state for r in res.collect()}
+    dedicated = {
+        r.id: r.distance
+        for r in graph.weighted_shortest_paths(edges, 1, max_iter=6).collect()
+    }
+    # dedicated returns reachable vertices only; pregel carries inf rows
+    assert {k: v for k, v in via_pregel.items() if v != inf} == dedicated
