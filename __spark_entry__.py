@@ -2064,6 +2064,59 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(spark, out, out_dir)
 
 
+def q_io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round trip (io.sources.write_xml/read_xml, Spark 4
+    built-in XML): the documents table — free text with markup characters
+    (<, &, quotes) and embedded newlines, the entity-escaping worst case —
+    written as partitioned XML and read back with an explicit schema,
+    fingerprinted per lang with the house arithmetic set checksum (SUM +
+    BIT_XOR over md5-derived 60-bit ints; every integer aggregate CAST
+    per the r10 type convention). The oracle computes the identical
+    fingerprint straight from parquet — an escaping or newline bug
+    changes an md5 and breaks the hash. NOT yet registered: r11 window
+    candidate (the r10 new-query budget was spent on the pregel pair);
+    pre-validated against its oracle in
+    tests/test_io_and_functions.py::test_xml_roundtrip_matches_oracle."""
+    from scabillmatch_spark.io.sources import read_xml, write_xml
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    out_dir = _tmp_workdir("xml", sf_dir)
+    write_xml(docs.repartition(4), out_dir, row_tag="doc", root_tag="docs")
+    back = read_xml(spark, out_dir, docs.schema, row_tag="doc")
+    chk = _md5_int60(F.col("text"))
+    out = back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_md5"),
+        F.coalesce(F.sum(chk % _CHK_MOD), F.lit(0)).cast("long").alias("text_chk_sum"),
+        F.coalesce(F.bit_xor(chk), F.lit(0)).alias("text_chk_xor"),
+    )
+    return _materialize_and_clean(spark, out, out_dir)
+
+
+def _io_xml_roundtrip_oracle() -> str:
+    """Oracle for the (unregistered until r11) XML round trip: fingerprint
+    the SOURCE table; equality proves the XML codec lossless. Same cells
+    as the CSV oracle minus the byte-length column (strlen adds nothing
+    over n_chars here), all integer aggregates CAST AS BIGINT."""
+    return """
+        SELECT lang,
+               count(*) AS n_docs,
+               count(DISTINCT doc_id) AS n_ids,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(DISTINCT md5(text)) AS n_distinct_md5,
+               CAST(COALESCE(
+                   sum(('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT
+                       % 1000000007), 0) AS BIGINT) AS text_chk_sum,
+               COALESCE(bit_xor(('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT),
+                        0) AS text_chk_xor
+        FROM documents GROUP BY lang
+    """
+
+
 def q_io_sorted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-maintenance tier end-to-end: fragment the events table into
     40 small files, compact them (io.sources.compact_parquet, Hadoop-FS

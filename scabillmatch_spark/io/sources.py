@@ -281,6 +281,56 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in writer; the reference's data-format
+    breadth — Avro/JSON ingest per README.md:11-31 — extended to the one
+    interchange format enterprise feeds still mandate). Entity escaping
+    (&lt; &amp; &quot; ...) is the writer's job, so free text with markup
+    characters and embedded newlines survives the round trip; NULL fields
+    are omitted elements (Spark's XML convention) and read back as NULL.
+    One XML part file per partition under ``path``, same layout contract
+    as the CSV/JSON sinks."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML source with an EXPLICIT schema (inference costs an extra full
+    pass, and XML inference can widen types — never acceptable at scale).
+    XML files are element-structured, so like multiLine CSV each file is
+    effectively one task's parse unit: write many medium part files (the
+    sink's partition-per-file layout already does) rather than one huge
+    document.
+
+    ignoreSurroundingSpaces=False because the reader's default TRIMS
+    leading/trailing whitespace from every text element — silent data
+    loss for free text (caught by test_xml_roundtrip_nasty_strings; same
+    reasoning as write_csv's ignore*WhiteSpace=False)."""
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", False)
+        .load(path)
+    )
+
+
 def zorder_value(cols: list, bits: int = 8) -> "F.Column":
     """Morton (Z-order) code: interleave the low ``bits`` bits of each
     already-bucketed non-negative int column — bit (i*d + j) of the result

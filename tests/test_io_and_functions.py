@@ -217,3 +217,57 @@ def test_tmp_workdir_unique_and_sweeps_stale():
     finally:
         for d in (stale, fresh, live, dead):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_xml_roundtrip_nasty_strings(spark, tmp_path):
+    """Entity escaping, embedded newlines/tabs, unicode, whitespace edges."""
+    from pyspark.sql import types as T
+
+    from scabillmatch_spark.io.sources import read_xml, write_xml
+
+    rows = [
+        (1, 'a<b&c>"d\'e'),
+        (2, "line1\nline2\r\nline3"),
+        (3, "  leading and trailing  "),
+        (4, "tab\there"),
+        (5, "unicode é中文 \U0001f600"),
+        (6, "]]> cdata-ish & <row> fake tag </row>"),
+    ]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("txt", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "xml")
+    write_xml(df, path, row_tag="r", root_tag="rs")
+    back = read_xml(spark, path, schema, row_tag="r")
+    assert {(r.id, r.txt) for r in back.collect()} == set(rows)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint", "string",
+    ]
+
+
+def test_xml_roundtrip_matches_oracle(spark):
+    """r11 query pre-validation (like the LPA pin): the unregistered
+    q_io_xml_roundtrip matches its DuckDB oracle typed-exact at sf0.001;
+    also verified at sf0.01 out-of-band (PLANS.md round 10)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_io_xml_roundtrip(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    res = compare_typed(df, rows, con, entrymod._io_xml_roundtrip_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
