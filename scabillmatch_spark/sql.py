@@ -44,6 +44,30 @@ def register(spark: SparkSession, sf_dir: str | None = None) -> None:
     spark.udf.register("sim_jaccard", _jaccard, T.DoubleType())
     spark.udf.register("sim_overlap", _overlap, T.DoubleType())
 
+    # table function (Spark 4 Python UDTF): lateral text chunking for
+    # SQL-first users — the DataFrame tier's chunker (curation /
+    # doc_chunk_overlap) stays the codegen'd hot path; this exposes the
+    # same sliding-window semantics as
+    #   SELECT d.doc_id, c.* FROM documents d,
+    #          LATERAL chunk_text(d.text, 200, 40) c
+    from pyspark.sql.functions import udtf
+
+    class _ChunkText:
+        def eval(self, text, size, overlap):
+            if text is None or size is None or size <= 0:
+                return
+            step = max(1, size - (overlap or 0))
+            idx, i = 0, 0
+            while i < len(text):
+                yield idx, text[i : i + size]
+                idx += 1
+                i += step
+
+    spark.udtf.register(
+        "chunk_text",
+        udtf(_ChunkText, returnType="chunk_idx int, chunk string"),
+    )
+
     if sf_dir:
         from scabillmatch_spark.io.sources import register_tables
 

@@ -166,6 +166,20 @@ def test_sql_surface(spark, sf_small):
         ) AS c
     """).first().c
     assert abs(v - 100.0) < 1e-6
+    # table function: lateral sliding-window chunking (Spark 4 UDTF)
+    chunks = spark.sql("""
+        SELECT chunk_idx, chunk
+        FROM (SELECT 'abcdefghij' AS t), LATERAL chunk_text(t, 4, 1)
+        ORDER BY chunk_idx
+    """).collect()
+    assert [(r.chunk_idx, r.chunk) for r in chunks] == [
+        (0, "abcd"), (1, "defg"), (2, "ghij"), (3, "j"),
+    ]
+    null_rows = spark.sql(
+        "SELECT * FROM (SELECT CAST(NULL AS STRING) AS t),"
+        " LATERAL chunk_text(t, 4, 1)"
+    ).collect()
+    assert null_rows == []
 
 
 def test_tmp_workdir_unique_and_sweeps_stale():
