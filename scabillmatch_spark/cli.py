@@ -186,6 +186,37 @@ def cmd_graph(args) -> None:
             max_iter=50 if args.iters is None else args.iters,
             num_shuffle_partitions=args.loop_partitions,
         )
+    elif args.algo == "lpa":
+        out = graph.label_propagation(
+            edges,
+            max_iter=5 if args.iters is None else args.iters,
+            num_shuffle_partitions=args.loop_partitions,
+        )
+    elif args.algo == "wpagerank":
+        # similarity-weighted pagerank through the generic pregel surface
+        w_edges = scored.select(
+            F.col("pk1").alias("src"), F.col("pk2").alias("dst"),
+            F.col("similarity").alias("w"),
+        )
+        e = w_edges.unionByName(
+            w_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        wout = e.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wout"))
+        verts = graph.vertices_from_edges(e).cache()
+        n = verts.count()
+        out = graph.pregel(
+            e,
+            verts.join(wout, "id"),
+            initial_state=F.lit(1.0 / n),
+            send_to_dst=F.col("src.state") * F.col("edge.w") / F.col("src.wout"),
+            agg_msgs=F.sum("msg"),
+            update_state=F.lit(args.reset_prob / n)
+            + F.lit(1.0 - args.reset_prob) * F.coalesce(F.col("msg"), F.lit(0.0)),
+            max_iter=10 if args.iters is None else args.iters,
+            num_shuffle_partitions=args.loop_partitions,
+        ).select("id", F.col("state").alias("pagerank"))
     else:
         out = graph.shortest_paths(
             edges,
@@ -395,7 +426,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--scored", required=True)
     g.add_argument("--output", required=True)
     g.add_argument(
-        "--algo", choices=["pagerank", "triangles", "bfs", "components"], default="pagerank"
+        "--algo",
+        choices=["pagerank", "triangles", "bfs", "components", "lpa", "wpagerank"],
+        default="pagerank",
     )
     g.add_argument("--reset-prob", type=float, default=0.15)
     # default None -> per-algo default in cmd_graph (components needs

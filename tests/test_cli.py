@@ -203,3 +203,25 @@ def test_cli_diff_and_fuzzy_join(spark, corpus, tmp_path):
               "--max-distance", "30", "--prefix-len", "4"])
     fz = spark.read.parquet(out + "/fz")
     assert set(fz.columns) == {"pk1", "pk2", "distance"}
+
+
+def test_cli_graph_lpa_and_weighted_pagerank(spark, tmp_path):
+    scored = str(tmp_path / "scored_g")
+    # two triangles bridged by one edge, numeric-string ids
+    spark.createDataFrame(
+        [("1", "2", 96.0), ("2", "3", 97.0), ("1", "3", 98.0),
+         ("10", "11", 96.0), ("11", "12", 97.0), ("10", "12", 98.0),
+         ("3", "10", 95.0)],
+        ["pk1", "pk2", "similarity"],
+    ).write.parquet(scored)
+    out = str(tmp_path / "lpa")
+    cli.main(["graph", "--scored", scored, "--output", out, "--algo", "lpa",
+              "--iters", "4"])
+    got = {r.id: r.label for r in spark.read.parquet(out).collect()}
+    assert len({got[v] for v in ("1", "2", "3")}) == 1
+    assert {got[v] for v in ("1", "2", "3")} != {got[v] for v in ("10", "11", "12")}
+    out2 = str(tmp_path / "wpr")
+    cli.main(["graph", "--scored", scored, "--output", out2,
+              "--algo", "wpagerank", "--iters", "3"])
+    pr = {r.id: r.pagerank for r in spark.read.parquet(out2).collect()}
+    assert len(pr) == 6 and abs(sum(pr.values()) - 1.0) < 1e-6
