@@ -168,24 +168,45 @@ def _forensic_append(query: str, sf_dir: str, rows, extra: dict | None = None) -
         if extra:
             rec["extra"] = extra
         path = os.path.join(_FORENSICS_DIR, f"{query}.jsonl")
+        data = (json.dumps(rec, sort_keys=True, default=str) + "\n").encode("utf-8")
         # size cap: pytest/bench invoke these queries dozens of times per
         # round; ROTATE (never silently drop — a late gate run is exactly
         # the record this mechanism exists to capture) so the newest
-        # records always land while history stays bounded at ~8 MB/query
+        # records always land while history stays bounded at ~8 MB/query.
+        # Rotation + append run under an exclusive flock on a sidecar
+        # lockfile (r10 advice): without it, two concurrent processes —
+        # the exact gate/bench/pytest overlap the O_APPEND rework targets
+        # — can both observe size > cap and both os.replace(), the second
+        # swap dropping up to 4 MB of the first's archive; the lock also
+        # closes the window where a record lands in a file another process
+        # just rotated away. Lock failure degrades to best-effort
+        # lock-free append (never blocks the query being observed).
+        lock_fd = None
         try:
-            if os.path.getsize(path) > 4 * 1024 * 1024:
-                os.replace(path, path + ".1")
-        except OSError:
-            pass
-        # one O_APPEND os.write per record: concurrent gate/bench/pytest
-        # processes (the exact scenario the forensics target) can't
-        # interleave partial lines the way buffered appends can
-        data = (json.dumps(rec, sort_keys=True, default=str) + "\n").encode("utf-8")
-        fd = os.open(path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+            import fcntl
+
+            lock_fd = os.open(path + ".lock", os.O_WRONLY | os.O_CREAT, 0o644)
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        except Exception:
+            if lock_fd is not None:
+                os.close(lock_fd)
+                lock_fd = None
         try:
-            os.write(fd, data)
+            try:
+                if os.path.getsize(path) > 4 * 1024 * 1024:
+                    os.replace(path, path + ".1")
+            except OSError:
+                pass
+            # one O_APPEND os.write per record: concurrent writers can't
+            # interleave partial lines the way buffered appends can
+            fd = os.open(path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+            try:
+                os.write(fd, data)
+            finally:
+                os.close(fd)
         finally:
-            os.close(fd)
+            if lock_fd is not None:
+                os.close(lock_fd)
     except Exception:
         pass
 
@@ -1454,10 +1475,16 @@ def q_graph_pregel_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=2,
         num_shuffle_partitions=8,
     )
-    return deg.join(walks, "id").select(
+    out = deg.join(walks, "id").select(
         "id", F.col("deg").cast("long").alias("deg"),
         F.col("state").alias("n_walks2"),
     )
+    # cut lineage on the small result so the loop caches can be released
+    # before returning (r10 verdict hygiene: no cache outlives the query)
+    out = out.localCheckpoint()
+    canon.unpersist()
+    verts.unpersist()
+    return out
 
 
 def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,7 +1527,35 @@ def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=3,
         num_shuffle_partitions=8,
     )
+    # ranked is already cut by pregel's loop-sized tail materialization —
+    # the count()-populated vertex cache can be released immediately
+    verts.unpersist()
     return ranked.select("id", F.round("state", 6).alias("wpagerank"))
+
+
+def q_doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the >=95 similarity graph via synchronous
+    label propagation (new r11; GraphFrames ``labelPropagation`` — the
+    reference's GraphFrames dependency exposes it alongside the calls at
+    graph/GraphUtils.scala:24-41). The SOFT counterpart of
+    doc_dup_clusters' connected components: CC transitively merges any
+    two clusters sharing one bridge edge, LPA keeps densely-connected
+    near-dup groups separate across thin bridges — the audit pair for
+    dedup cluster quality. 4 synchronous rounds, ties broken
+    deterministically to the smallest label (the engine's documented
+    deviation from GraphFrames' random tie-break, making the result
+    oracle-able). Plan per round: one edge-labels equi-join + one
+    (id,label) count agg + one struct-argmax + one isolated-vertex left
+    join — labels are ids (longs), every exchange carries two integer
+    columns; loop-sized shuffle partitions, lineage cut at loop end.
+    Oracle: the same 4 rounds unrolled as DuckDB CTEs (mode = count +
+    argmax by cnt DESC, label ASC), pre-validated cell-exact at 2 sfs in
+    tests/test_graph.py::test_label_propagation_matches_unrolled_sql_oracle."""
+    from scabillmatch_spark.operators import graph
+
+    return graph.label_propagation(
+        _doc_edges(spark, sf_dir), max_iter=4, num_shuffle_partitions=8
+    )
 
 
 def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2073,10 +2128,9 @@ def q_io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIT_XOR over md5-derived 60-bit ints; every integer aggregate CAST
     per the r10 type convention). The oracle computes the identical
     fingerprint straight from parquet — an escaping or newline bug
-    changes an md5 and breaks the hash. NOT yet registered: r11 window
-    candidate (the r10 new-query budget was spent on the pregel pair);
-    pre-validated against its oracle in
-    tests/test_io_and_functions.py::test_xml_roundtrip_matches_oracle."""
+    changes an md5 and breaks the hash. Registered in the r11 window
+    (pre-validated against its oracle at 2 sfs in r10:
+    tests/test_io_and_functions.py::test_xml_roundtrip_matches_oracle)."""
     from scabillmatch_spark.io.sources import read_xml, write_xml
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -2098,7 +2152,7 @@ def q_io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _io_xml_roundtrip_oracle() -> str:
-    """Oracle for the (unregistered until r11) XML round trip: fingerprint
+    """Oracle for the XML round trip (registered r11): fingerprint
     the SOURCE table; equality proves the XML codec lossless. Same cells
     as the CSV oracle minus the byte-length column (strlen adds nothing
     over n_chars here), all integer aggregates CAST AS BIGINT."""
@@ -4290,86 +4344,25 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-10 rotation:
-    #   1. the two formerly-RED rows lead (io_csv_roundtrip,
-    #      doc_dedup_rewrite — red r7-r9; root-caused by the r9 judge to
-    #      un-cast SUM(BIGINT) in their ORACLE SQL, which DuckDB types as
-    #      HUGEINT/decimal128 while Spark emits int64 — fixed r10 with
-    #      CAST(... AS BIGINT), enforced suite-wide by
-    #      tests/test_oracle_types.py), plus the two queries new this
-    #      round (graph_pregel_walks, graph_weighted_pagerank — the
-    #      generic aggregateMessages/Pregel vertex-program surface, state
-    #      and edge-attribute message paths respectively);
-    #   2. the 25 entries whose latest driver row is r7 — two rounds
-    #      stale, at the staleness contract's max, the oldest debt;
-    #   3. the first 21 of the 48 r8-green entries fill the window;
-    #   4. with 125 registered queries and a 50-row window the cycle is
-    #      ~2.5 rounds: the 27 remaining r8-green entries directly past
+    # the round-11 rotation:
+    #   1. the 27 entries whose latest driver row is r8 — two rounds
+    #      stale, at the staleness contract's max, the oldest debt leads
+    #      (window_running_sum + the ANN/graph/ml-featurization families
+    #      through events_stream_interval_join);
+    #   2. the two queries new this round (doc_label_propagation — the
+    #      LPA community-detection row pre-validated in r10;
+    #      io_xml_roundtrip — the XML codec row pre-validated in r10);
+    #   3. the first 21 of the 48 r9-green entries fill the window
+    #      (graph_open_triangles .. tpch_q8_market_share);
+    #   4. with 127 registered queries and a 50-row window the cycle is
+    #      ~2.5 rounds: the 27 remaining r9-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
-    #      r11 window, followed by the 48 r9-green rows (freshest, last).
-    #      Every entry is still re-verified at sf0.01 on every pytest run
-    #      by tests/test_oracle.py's mirror of the gate.
+    #      r12 window, topped up from the 50 r10-green rows (freshest,
+    #      last). Every entry is still re-verified at sf0.01 on every
+    #      pytest run by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- r7-r9 driver-red rows, oracle HUGEINT typing fixed in r10 —
-        #    lead until a green official row lands
-        "io_csv_roundtrip": q_io_csv_roundtrip,
-        "doc_dedup_rewrite": q_doc_dedup_rewrite,
-        # -- new this round (the per-round new-query budget)
-        "graph_pregel_walks": q_graph_pregel_walks,
-        "graph_weighted_pagerank": q_graph_weighted_pagerank,
-        # -- 25 entries whose latest driver row is r7 — two rounds stale,
+        # -- 27 entries whose latest driver row is r8 — two rounds stale,
         #    the staleness contract's max; the oldest debt leads
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "minhash_delta_dedup": q_minhash_delta_dedup,
-        "io_bucketed_join": q_io_bucketed_join,
-        "doc_gopher_quality": q_doc_gopher_quality,
-        "events_funnel": q_events_funnel,
-        "io_zorder_roundtrip": q_io_zorder_roundtrip,
-        "stream_ingest_dedup": q_stream_ingest_dedup,
-        "emb_outlier_audit": q_emb_outlier_audit,
-        "doc_keywords": q_doc_keywords,
-        "io_schema_evolution": q_io_schema_evolution,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "io_avro_roundtrip": q_io_avro_roundtrip,
-        "events_stream_tumbling": q_events_stream_tumbling,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_stateful": q_events_stream_stateful,
-        "doc_5gram_wordcount": q_doc_5gram_wordcount,
-        "io_sorted_compact": q_io_sorted_compact,
-        "tpch_q1_pricing_summary": q_tpch_q1,
-        "tpch_q3_shipping_priority": q_tpch_q3,
-        "tpch_q4_exists": q_tpch_q4,
-        "tpch_q10_returned_revenue": q_tpch_q10,
-        "tpch_q14_promo_pct": q_tpch_q14,
-        "tpch_q19_disjunctive_join": q_tpch_q19,
-        # -- first 22 of the 48 r8-green entries fill the window
-        "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
-        "io_bloom_join_prune": q_io_bloom_join_prune,
-        "tpch_q5_local_supplier": q_tpch_q5,
-        "tpch_q18_having_in": q_tpch_q18,
-        "tpch_q12_case_agg": q_tpch_q12,
-        "tpch_q17_correlated_avg": q_tpch_q17,
-        "window_topn_orders_per_customer": q_window_topn,
-        "latest_order_per_customer": q_latest_order_per_customer,
-        "set_ops_union_intersect_except": q_set_ops,
-        "approx_sketch_stats": q_approx_sketch_stats,
-        "doc_quality_lang": q_doc_quality_lang,
-        "doc_simhash": q_doc_simhash,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_sections": q_doc_sections,
-        "emb_vector_measures": q_emb_vector_measures,
-        "orders_rollup": q_orders_rollup,
-        "pivot_lineitem": q_pivot_lineitem,
-        "probe_search": q_probe_search,
-        "events_sliding_window": q_events_sliding_window,
-        # ---- 50-row window boundary (2 red + 2 new + 25 r7-green +
-        #      21 r8-green = 50). window_running_sum and the 26 r8-green
-        #      entries below reach the staleness contract's two-round
-        #      max next cycle and MUST LEAD the r11 window. ----
         "window_running_sum": q_window_running_sum,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
@@ -4397,7 +4390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "events_stream_static_join": q_events_stream_static_join,
         "events_stream_interval_join": q_events_stream_interval_join,
-        # -- latest driver row is r9 — freshest, rotate back last
+        # -- new this round (the per-round new-query budget; both
+        #    pre-validated typed-exact vs their oracles at 2 sfs in r10)
+        "doc_label_propagation": q_doc_label_propagation,
+        "io_xml_roundtrip": q_io_xml_roundtrip,
+        # -- first 21 of the 48 r9-green entries fill the window
         "graph_open_triangles": q_graph_open_triangles,
         "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
         "events_sessionization": q_events_sessionization,
@@ -4419,6 +4416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": q_tpch_q2,
         "tpch_q7_volume_shipping": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8,
+        # ---- 50-row window boundary (27 r8-stale + 2 new + 21 r9-green
+        #      = 50). The 27 r9-green entries below reach the staleness
+        #      contract's two-round max next cycle and MUST LEAD the r12
+        #      window. ----
         "tpch_q9_product_profit": q_tpch_q9,
         "tpch_q11_important_stock": q_tpch_q11,
         "tpch_q15_top_supplier": q_tpch_q15,
@@ -4446,6 +4447,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
         "pair_measure_correlation": q_pair_measure_correlation,
         "ml_knn_probe": q_ml_knn_probe,
+        # -- latest driver row is r10 — freshest, rotate back last
+        "io_csv_roundtrip": q_io_csv_roundtrip,
+        "doc_dedup_rewrite": q_doc_dedup_rewrite,
+        "graph_pregel_walks": q_graph_pregel_walks,
+        "graph_weighted_pagerank": q_graph_weighted_pagerank,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "minhash_delta_dedup": q_minhash_delta_dedup,
+        "io_bucketed_join": q_io_bucketed_join,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "events_funnel": q_events_funnel,
+        "io_zorder_roundtrip": q_io_zorder_roundtrip,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
+        "emb_outlier_audit": q_emb_outlier_audit,
+        "doc_keywords": q_doc_keywords,
+        "io_schema_evolution": q_io_schema_evolution,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "io_avro_roundtrip": q_io_avro_roundtrip,
+        "events_stream_tumbling": q_events_stream_tumbling,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_stateful": q_events_stream_stateful,
+        "doc_5gram_wordcount": q_doc_5gram_wordcount,
+        "io_sorted_compact": q_io_sorted_compact,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_exists": q_tpch_q4,
+        "tpch_q10_returned_revenue": q_tpch_q10,
+        "tpch_q14_promo_pct": q_tpch_q14,
+        "tpch_q19_disjunctive_join": q_tpch_q19,
+        "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
+        "io_bloom_join_prune": q_io_bloom_join_prune,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q18_having_in": q_tpch_q18,
+        "tpch_q12_case_agg": q_tpch_q12,
+        "tpch_q17_correlated_avg": q_tpch_q17,
+        "window_topn_orders_per_customer": q_window_topn,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "set_ops_union_intersect_except": q_set_ops,
+        "approx_sketch_stats": q_approx_sketch_stats,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_simhash": q_doc_simhash,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_sections": q_doc_sections,
+        "emb_vector_measures": q_emb_vector_measures,
+        "orders_rollup": q_orders_rollup,
+        "pivot_lineitem": q_pivot_lineitem,
+        "probe_search": q_probe_search,
+        "events_sliding_window": q_events_sliding_window,
     }
 
 
@@ -4650,6 +4702,39 @@ def _weighted_pagerank_oracle(iters: int = 3) -> str:
         prev = f"r{i}"
     sql += f"""
     SELECT id, ROUND(rank, 6) AS wpagerank FROM {prev}"""
+    return sql
+
+
+def _label_propagation_oracle(iters: int = 4) -> str:
+    """Synchronous LPA mirror: k rounds unrolled as CTEs over the shared
+    edge CTE (und(s,d) both directions, verts(id)). Round i: count each
+    vertex's in-neighbor labels, take the mode with the operator's
+    deterministic tie-break (cnt DESC, label ASC), isolated vertices keep
+    their previous label via COALESCE. Labels are doc_ids (BIGINT on both
+    engines) — no aggregate reaches the output, so no CAST convention
+    applies. Single source of truth: the pre-validation test
+    (test_label_propagation_matches_unrolled_sql_oracle) runs THIS string."""
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
+    sql = f"""
+    WITH {cte},
+    l0 AS (SELECT id, id AS label FROM verts)"""
+    prev = "l0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (SELECT u.d AS id, p.label, COUNT(*) AS cnt
+             FROM und u JOIN {prev} p ON u.s = p.id
+             GROUP BY u.d, p.label),
+    l{i} AS (
+        SELECT v.id,
+               COALESCE(
+                 (SELECT c.label FROM c{i} c WHERE c.id = v.id
+                  ORDER BY c.cnt DESC, c.label ASC LIMIT 1),
+                 p.label) AS label
+        FROM verts v JOIN {prev} p ON p.id = v.id
+    )"""
+        prev = f"l{i}"
+    sql += f"""
+    SELECT id, label FROM {prev}"""
     return sql
 
 
@@ -6311,6 +6396,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(3),
         "graph_pregel_walks": _pregel_walks_oracle(),
         "graph_weighted_pagerank": _weighted_pagerank_oracle(3),
+        "doc_label_propagation": _label_propagation_oracle(4),
+        "io_xml_roundtrip": _io_xml_roundtrip_oracle(),
         "graph_triangle_count": f"""
             WITH {edge_cte},
             tri AS (

@@ -217,6 +217,19 @@ def cmd_graph(args) -> None:
             max_iter=10 if args.iters is None else args.iters,
             num_shuffle_partitions=args.loop_partitions,
         ).select("id", F.col("state").alias("pagerank"))
+        verts.unpersist()
+    elif args.algo == "paths":
+        # witnessing shortest PATHS between two vertex ids (GraphFrames
+        # bfs form; --algo bfs returns hop distances only)
+        if args.landmark is None or args.to is None:
+            sys.exit("--algo paths needs --landmark <from-id> and --to <to-id>")
+        out = graph.bfs(
+            edges,
+            F.col("id") == args.landmark,
+            F.col("id") == args.to,
+            max_path_length=10 if args.iters is None else args.iters,
+            num_shuffle_partitions=args.loop_partitions,
+        )
     else:
         out = graph.shortest_paths(
             edges,
@@ -427,10 +440,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output", required=True)
     g.add_argument(
         "--algo",
-        choices=["pagerank", "triangles", "bfs", "components", "lpa", "wpagerank"],
+        choices=["pagerank", "triangles", "bfs", "components", "lpa",
+                 "wpagerank", "paths"],
         default="pagerank",
     )
     g.add_argument("--reset-prob", type=float, default=0.15)
+    g.add_argument("--to", default=None,
+                   help="target vertex id for --algo paths (source via "
+                        "--landmark)")
     # default None -> per-algo default in cmd_graph (components needs
     # graph-diameter rounds, far more than pagerank's damped fixpoint)
     g.add_argument("--iters", type=int, default=None)

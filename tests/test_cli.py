@@ -225,3 +225,19 @@ def test_cli_graph_lpa_and_weighted_pagerank(spark, tmp_path):
               "--algo", "wpagerank", "--iters", "3"])
     pr = {r.id: r.pagerank for r in spark.read.parquet(out2).collect()}
     assert len(pr) == 6 and abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_cli_graph_paths(spark, tmp_path):
+    scored = str(tmp_path / "scored_p")
+    # square a-b-c-d-a: two shortest a->c paths (via b and via d)
+    spark.createDataFrame(
+        [("a", "b", 96.0), ("b", "c", 97.0), ("c", "d", 98.0),
+         ("d", "a", 95.0)],
+        ["pk1", "pk2", "similarity"],
+    ).write.parquet(scored)
+    out = str(tmp_path / "paths")
+    cli.main(["graph", "--scored", scored, "--output", out, "--algo", "paths",
+              "--landmark", "a", "--to", "c"])
+    rows = spark.read.parquet(out).collect()
+    assert {tuple(r.path) for r in rows} == {("a", "b", "c"), ("a", "d", "c")}
+    assert all(r.length == 2 for r in rows)

@@ -328,6 +328,65 @@ def test_aggregate_messages_edge_only_expr_joins_no_vertices(spark):
     assert "__vattrs" not in res._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_aggregate_messages_explicit_side_overrides(spark):
+    """r10 advice/verdict: join_src/join_dst state the side dependency
+    explicitly, removing the str(Column) text-scan from the API contract.
+    (a) A string LITERAL containing a bare 'dst' token false-positives the
+    heuristic into an extra join — results must be unchanged (join-only
+    cost, the documented failure mode); join_dst=False removes even that.
+    (b) join flags force/skip sides regardless of the expression text."""
+    edges = spark.createDataFrame([(1, 2, 3.0), (1, 3, 4.0)], ["src", "dst", "w"])
+    verts = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    # literal contains the token 'dst': heuristic adds a dst join
+    lit_msg = F.when(F.lit("send to dst") == "never", F.lit(0.0)).otherwise(
+        F.col("edge.w")
+    )
+    heur = graph.aggregate_messages(
+        edges, verts, F.sum("msg").alias("wsum"), send_to_src=lit_msg
+    )
+    assert {r.id: r.wsum for r in heur.collect()} == {1: 7.0}
+    # the false-positive vertex join is present (analyzed plan — the
+    # optimizer prunes the struct name away but the Join node remains)
+    plan_heur = heur._jdf.queryExecution().analyzed().toString()
+    assert "__vattrs" in plan_heur
+    # explicit override: same result, no vertex join in the plan
+    expl = graph.aggregate_messages(
+        edges, verts, F.sum("msg").alias("wsum"), send_to_src=lit_msg,
+        join_src=False, join_dst=False,
+    )
+    assert {r.id: r.wsum for r in expl.collect()} == {1: 7.0}
+    assert "__vattrs" not in expl._jdf.queryExecution().optimizedPlan().toString()
+    # force-join a side the text scan would skip: vertex attrs resolvable
+    verts_v = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 9.0)], ["id", "val"])
+    forced = graph.aggregate_messages(
+        edges, verts_v, F.sum("msg").alias("s"),
+        send_to_dst=F.col("src.val"), join_src=True, join_dst=True,
+    )
+    assert {r.id: r.s for r in forced.collect()} == {2: 5.0, 3: 5.0}
+
+
+def test_run_stale_hours_env_parsed_lazily(spark, tmp_path, monkeypatch):
+    """r10 advice: a malformed SCABILLMATCH_RUN_STALE_HOURS must not break
+    module import (it used to raise at import time); it fails at the
+    point of use with an error naming the variable, and a valid value
+    parses."""
+    import importlib
+
+    monkeypatch.setenv("SCABILLMATCH_RUN_STALE_HOURS", "24h")
+    importlib.reload(graph)  # would have raised before the r11 fix
+    try:
+        with pytest.raises(ValueError, match="SCABILLMATCH_RUN_STALE_HOURS"):
+            graph.sweep_stale_run_namespaces(spark, str(tmp_path))
+        monkeypatch.setenv("SCABILLMATCH_RUN_STALE_HOURS", "0.5")
+        assert graph._run_namespace_stale_hours() == 0.5
+        graph.sweep_stale_run_namespaces(spark, str(tmp_path))  # no raise
+        monkeypatch.delenv("SCABILLMATCH_RUN_STALE_HOURS")
+        assert graph._run_namespace_stale_hours() == 24.0
+    finally:
+        monkeypatch.delenv("SCABILLMATCH_RUN_STALE_HOURS", raising=False)
+        importlib.reload(graph)
+
+
 def test_pregel_two_step_walk_counts(spark, square_graph):
     # state0=1; two supersteps of sum-over-in-neighbors = 2-walk counts,
     # i.e. (A^2 @ 1) for the undirected adjacency matrix
@@ -467,37 +526,19 @@ def test_label_propagation_clique_converges_to_min_id(spark):
 
 
 def test_label_propagation_matches_unrolled_sql_oracle(spark):
-    """r11 query pre-validation: the LPA operator on the >=95 similarity
-    graph matches a DuckDB oracle that unrolls k synchronous rounds as
-    CTEs (mode = count + argmax by cnt DESC, label ASC — the operator's
-    deterministic tie-break). Cell-exact at sf0.001; also verified at
-    sf0.01 out-of-band (PLANS.md round 10)."""
+    """Registered-query pre-validation (r11 row doc_label_propagation):
+    the LPA operator on the >=95 similarity graph matches THE oracle the
+    gate runs — entrymod._label_propagation_oracle(4), k synchronous
+    rounds unrolled as CTEs (mode = count + argmax by cnt DESC, label
+    ASC — the operator's deterministic tie-break). Cell-exact at
+    sf0.001; also verified at sf0.01 out-of-band (PLANS.md round 10)."""
     import duckdb
 
     import __spark_entry__ as entrymod
 
     sf = "/root/testdata/sf0.001"
     iters = 4
-    cte = entrymod._DUCK_EDGE_CTE.format(
-        banded=entrymod._banded_pairs_cte(entrymod._DUCK_TOKIDSET)
-    )
-    sql = f"WITH {cte},\n    l0 AS (SELECT id, id AS label FROM verts)"
-    prev = "l0"
-    for i in range(1, iters + 1):
-        sql += f""",
-    c{i} AS (SELECT u.d AS id, p.label, COUNT(*) AS cnt
-             FROM und u JOIN {prev} p ON u.s = p.id
-             GROUP BY u.d, p.label),
-    l{i} AS (
-        SELECT v.id,
-               COALESCE(
-                 (SELECT c.label FROM c{i} c WHERE c.id = v.id
-                  ORDER BY c.cnt DESC, c.label ASC LIMIT 1),
-                 p.label) AS label
-        FROM verts v JOIN {prev} p ON p.id = v.id
-    )"""
-        prev = f"l{i}"
-    sql += f"\n    SELECT id, label FROM {prev}"
+    sql = entrymod._label_propagation_oracle(iters)
 
     con = duckdb.connect()
     for t in (
@@ -551,3 +592,124 @@ def test_bellman_ford_via_pregel_matches_dedicated(spark):
     }
     # dedicated returns reachable vertices only; pregel carries inf rows
     assert {k: v for k, v in via_pregel.items() if v != inf} == dedicated
+
+
+def _bfs_reference(edge_list, sources, targets, max_len, directed=False):
+    """Pure-Python golden reference: ALL minimum-length simple paths from
+    any source to any target, as a set of id tuples (GraphFrames bfs
+    semantics; zero-length when sources and targets intersect)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    hit0 = {(v,) for v in sources if v in targets}
+    if hit0:
+        return hit0
+    paths = [(v,) for v in sources]
+    for _depth in range(1, max_len + 1):
+        paths = [
+            p + (n,)
+            for p in paths
+            for n in adj.get(p[-1], ())
+            if n not in p
+        ]
+        hits = {p for p in paths if p[-1] in targets}
+        if hits:
+            return hits
+    return set()
+
+
+def test_bfs_path_enumeration_square(spark, square_graph):
+    """GraphFrames bfs shape: witnessing paths, not just distances.
+    2 -> 4 on the square+diagonal has two length-2 shortest paths."""
+    res = graph.bfs(
+        square_graph, F.col("id") == 2, F.col("id") == 4, max_path_length=5
+    ).collect()
+    got = {tuple(r.path) for r in res}
+    assert got == {(2, 1, 4), (2, 3, 4)}
+    assert all(r.length == 2 and r.start == 2 and r.end == 4 for r in res)
+
+
+def test_bfs_zero_length_and_unreachable(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+    # from/to intersect: zero-length path, GraphFrames-style
+    z = graph.bfs(edges, F.col("id") <= 2, F.col("id") == 2).collect()
+    assert [(r.start, r.end, r.length, list(r.path)) for r in z] == [(2, 2, 0, [2])]
+    # disconnected components: empty result with the contract schema
+    none = graph.bfs(edges, F.col("id") == 1, F.col("id") == 4, max_path_length=6)
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["start", "end", "length", "path"]
+
+
+def test_bfs_respects_max_path_length_and_direction(spark):
+    # directed chain 1->2->3->4: reachable only along edge direction
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    ok = graph.bfs(
+        edges, F.col("id") == 1, F.col("id") == 4,
+        max_path_length=3, undirected=False,
+    ).collect()
+    assert [tuple(r.path) for r in ok] == [(1, 2, 3, 4)]
+    # budget one hop short: no path
+    short = graph.bfs(
+        edges, F.col("id") == 1, F.col("id") == 4,
+        max_path_length=2, undirected=False,
+    )
+    assert short.count() == 0
+    # against the direction: empty under undirected=False, found undirected
+    assert graph.bfs(
+        edges, F.col("id") == 4, F.col("id") == 1,
+        max_path_length=3, undirected=False,
+    ).count() == 0
+    assert graph.bfs(
+        edges, F.col("id") == 4, F.col("id") == 1, max_path_length=3
+    ).count() == 1
+
+
+def test_bfs_vertex_attribute_predicates(spark):
+    """from/to predicates over a caller vertex frame's attributes (the
+    GraphFrames fromExpr/toExpr form: arbitrary Column predicates)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "b"), (5, "c")], ["id", "kind"]
+    )
+    res = graph.bfs(
+        edges, F.col("kind") == "a", F.col("kind") == "c",
+        max_path_length=6, vertices=verts,
+    ).collect()
+    assert [tuple(r.path) for r in res] == [(1, 2, 3, 4, 5)]
+    assert res[0].length == 4
+
+
+def test_bfs_matches_pure_python_reference(spark):
+    """Golden check on a fixed pseudo-random graph: every (source set,
+    target set) probe agrees with a brute-force all-shortest-simple-paths
+    enumeration."""
+    import random
+
+    rng = random.Random(1107)
+    n = 14
+    edge_list = sorted(
+        {
+            (a, b)
+            for _ in range(26)
+            for a, b in [(rng.randrange(n), rng.randrange(n))]
+            if a != b
+        }
+    )
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    probes = [({0}, {7}), ({1, 2}, {11}), ({3}, {3}), ({5}, {12, 13})]
+    for sources, targets in probes:
+        want = _bfs_reference(edge_list, sources, targets, 6)
+        got = {
+            tuple(r.path)
+            for r in graph.bfs(
+                edges,
+                F.col("id").isin(*sources),
+                F.col("id").isin(*targets),
+                max_path_length=6,
+            ).collect()
+        }
+        assert got == want, (sources, targets)

@@ -246,6 +246,13 @@ def test_xml_roundtrip_nasty_strings(spark, tmp_path):
         (4, "tab\there"),
         (5, "unicode é中文 \U0001f600"),
         (6, "]]> cdata-ish & <row> fake tag </row>"),
+        # r10 advice: the empty-string/NULL distinction is the classic XML
+        # reader trap (many readers collapse <txt></txt> to NULL). With
+        # ignoreSurroundingSpaces=False pinned in read_xml, '' survives as
+        # '' and NULL (omitted element) as NULL — verified distinguishable
+        # here BEFORE q_io_xml_roundtrip's r11 registration.
+        (7, ""),
+        (8, None),
     ]
     schema = T.StructType([
         T.StructField("id", T.LongType()),
