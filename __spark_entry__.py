@@ -1558,6 +1558,90 @@ def q_doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Witnessing shortest paths via graph.bfs (GraphFrames ``bfs`` — the
+    last GraphFrames API form, new r11; the reference's dependency exposes
+    it beside graph/GraphUtils.scala:33-36 whose shortest_paths call
+    returns DISTANCES only): all minimum-length simple paths from the
+    similarity graph's minimum-id vertex to the maximum-id vertex of ITS
+    component (same-component by construction — never vacuously empty;
+    measured 1-2 hops through the dense near-dup cluster at every sf).
+    Path arrays are emitted as '->'-joined strings so the gate's
+    value-hash covers the full witness, not just endpoints. The two
+    endpoint scalars come from the session-persisted component frame
+    (same tiny-driver-scalar precedent as weighted-pagerank's
+    verts.count()); the BFS itself is per-depth: one frontier-edge
+    equi-join + cycle filter + distinct, frontier checkpointed, early
+    exit at the first hit depth — ids only in every exchange. NOT yet
+    registered: r12 window candidate (the r11 new-query budget was spent
+    on doc_label_propagation + io_xml_roundtrip); pre-validated against
+    its oracle in tests/test_graph.py::test_bfs_paths_query_matches_oracle."""
+    from scabillmatch_spark.operators import graph
+
+    comp = _doc_dup_components(spark, sf_dir)
+    mn = comp.agg(F.min("id")).first()[0]
+    c = comp.filter(F.col("id") == mn).first().component
+    mx = comp.filter(F.col("component") == c).agg(F.max("id")).first()[0]
+    res = graph.bfs(
+        _doc_edges(spark, sf_dir),
+        F.col("id") == mn,
+        F.col("id") == mx,
+        max_path_length=4,
+        num_shuffle_partitions=8,
+    )
+    return res.select(
+        "start",
+        "end",
+        "length",
+        F.array_join(F.col("path").cast("array<string>"), "->").alias("path_str"),
+    )
+
+
+def _graph_bfs_paths_oracle() -> str:
+    """Oracle for the (unregistered until r12) bfs-paths query: components
+    via the recursive-reach CTE (as in doc_dup_clusters), endpoints =
+    (global min id, max id of its component), then bounded simple-path
+    enumeration from the single source — UNION ALL recursion pruned by
+    list_contains (simple paths), len < 4 (the query's max_path_length),
+    and head <> target (a path THROUGH the target can never become a
+    minimal hit); minimal hits selected by len = MIN(len). Single-source
+    recursion over the banded edge set stays small (≤ deg^3 list rows at
+    the observed 1-2 hop answer depth)."""
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
+    return f"""
+    WITH RECURSIVE {cte},
+    reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+    lm AS (SELECT MIN(id) AS src FROM verts),
+    tgt AS (
+        SELECT MAX(c.id) AS dst FROM comp c
+        WHERE c.component = (
+            SELECT component FROM comp WHERE id = (SELECT src FROM lm)
+        )
+    ),
+    paths(head, path, len) AS (
+        SELECT src, [src], 0 FROM lm
+        UNION ALL
+        SELECT u.d, list_append(p.path, u.d), p.len + 1
+        FROM paths p JOIN und u ON u.s = p.head
+        WHERE NOT list_contains(p.path, u.d)
+          AND p.len < 4
+          AND p.head <> (SELECT dst FROM tgt)
+    ),
+    hits AS (SELECT * FROM paths WHERE head = (SELECT dst FROM tgt))
+    SELECT (SELECT src FROM lm) AS start,
+           head AS "end",
+           CAST(len AS INT) AS length,
+           array_to_string(
+               list_transform(path, x -> CAST(x AS VARCHAR)), '->'
+           ) AS path_str
+    FROM hits WHERE len = (SELECT MIN(len) FROM hits)"""
+
+
 def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: per-user hourly resample with forward
     fill — every hour between a user's first and last event gets a row

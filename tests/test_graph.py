@@ -713,3 +713,31 @@ def test_bfs_matches_pure_python_reference(spark):
             ).collect()
         }
         assert got == want, (sources, targets)
+
+
+def test_bfs_paths_query_matches_oracle(spark):
+    """r12 query pre-validation (the r10->r11 pattern): the unregistered
+    q_graph_bfs_paths matches its DuckDB oracle — recursive-reach
+    components + bounded simple-path enumeration — typed-exact at
+    sf0.001; also verified at sf0.01 out-of-band (PLANS.md round 11)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_graph_bfs_paths(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows, "probe regressed: endpoints are same-component by construction"
+    res = compare_typed(df, rows, con, entrymod._graph_bfs_paths_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res

@@ -269,9 +269,9 @@ def test_xml_roundtrip_nasty_strings(spark, tmp_path):
 
 
 def test_xml_roundtrip_matches_oracle(spark):
-    """r11 query pre-validation (like the LPA pin): the unregistered
-    q_io_xml_roundtrip matches its DuckDB oracle typed-exact at sf0.001;
-    also verified at sf0.01 out-of-band (PLANS.md round 10)."""
+    """Registered-query pin (r11 row io_xml_roundtrip): the query matches
+    its DuckDB oracle typed-exact at sf0.001; also verified at sf0.01
+    out-of-band (PLANS.md round 10)."""
     import duckdb
 
     import __spark_entry__ as entrymod
