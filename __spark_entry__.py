@@ -1642,6 +1642,62 @@ def _graph_bfs_paths_oracle() -> str:
     FROM hits WHERE len = (SELECT MIN(len) FROM hits)"""
 
 
+def q_graph_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster-quality audit (r12 window candidate; the CC-vs-LPA
+    'audit pair' the dedup tier documents): per connected component of
+    the >=95 similarity graph, its size and the number of distinct
+    4-round LPA communities inside it — n_communities > 1 flags a
+    transitive cluster held together by thin bridges (CC would rewrite
+    all of it to one keeper; LPA says it is really several dense
+    near-dup groups — the classic over-merge signal reviewed before
+    trusting a corpus rewrite). Both inputs are engine operators already
+    driver-green individually (doc_dup_clusters r8, doc_label_propagation
+    r11); this composes them: one id equi-join + one component groupBy —
+    labels and ids (longs) only in every exchange, the component frame is
+    the session-persisted one every dedup query shares. NOT yet
+    registered: r12 window candidate with graph_bfs_paths; pre-validated
+    in tests/test_graph.py::test_cluster_audit_query_matches_oracle."""
+    from scabillmatch_spark.operators import graph
+
+    comp = _doc_dup_components(spark, sf_dir)
+    lpa = graph.label_propagation(
+        _doc_edges(spark, sf_dir), max_iter=4, num_shuffle_partitions=8
+    )
+    return (
+        comp.join(lpa, "id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.count_distinct("label").alias("n_communities"),
+            (F.count_distinct("label") > 1).alias("is_bridged"),
+        )
+    )
+
+
+def _graph_cluster_audit_oracle(iters: int = 4) -> str:
+    """Oracle for the (unregistered until r12) cluster audit: recursive
+    reachability for components (as in doc_dup_clusters) + the shared
+    unrolled LPA rounds (_lpa_rounds_cte — the exact text the LPA oracle
+    runs), joined on vertex id and rolled up per component. Integer
+    aggregates CAST per the house convention."""
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
+    rounds, final = _lpa_rounds_cte(iters)
+    return f"""
+    WITH RECURSIVE {cte},
+    reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),{rounds}
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(COUNT(DISTINCT l.label) AS BIGINT) AS n_communities,
+           COUNT(DISTINCT l.label) > 1 AS is_bridged
+    FROM comp c JOIN {final} l ON l.id = c.id
+    GROUP BY c.component"""
+
+
 def q_events_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: per-user hourly resample with forward
     fill — every hour between a user's first and last event gets a row
@@ -4789,18 +4845,14 @@ def _weighted_pagerank_oracle(iters: int = 3) -> str:
     return sql
 
 
-def _label_propagation_oracle(iters: int = 4) -> str:
-    """Synchronous LPA mirror: k rounds unrolled as CTEs over the shared
-    edge CTE (und(s,d) both directions, verts(id)). Round i: count each
-    vertex's in-neighbor labels, take the mode with the operator's
-    deterministic tie-break (cnt DESC, label ASC), isolated vertices keep
-    their previous label via COALESCE. Labels are doc_ids (BIGINT on both
-    engines) — no aggregate reaches the output, so no CAST convention
-    applies. Single source of truth: the pre-validation test
-    (test_label_propagation_matches_unrolled_sql_oracle) runs THIS string."""
-    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
-    sql = f"""
-    WITH {cte},
+def _lpa_rounds_cte(iters: int) -> tuple[str, str]:
+    """The k unrolled synchronous-LPA CTE rounds over the shared edge CTE
+    (und(s,d) both directions, verts(id)) -> (cte_chunk, final_name).
+    Round i: count each vertex's in-neighbor labels, take the mode with
+    the operator's deterministic tie-break (cnt DESC, label ASC),
+    isolated vertices keep their previous label via COALESCE. Shared by
+    the LPA oracle and the (r12-candidate) cluster-audit oracle."""
+    sql = """
     l0 AS (SELECT id, id AS label FROM verts)"""
     prev = "l0"
     for i in range(1, iters + 1):
@@ -4817,9 +4869,20 @@ def _label_propagation_oracle(iters: int = 4) -> str:
         FROM verts v JOIN {prev} p ON p.id = v.id
     )"""
         prev = f"l{i}"
-    sql += f"""
-    SELECT id, label FROM {prev}"""
-    return sql
+    return sql, prev
+
+
+def _label_propagation_oracle(iters: int = 4) -> str:
+    """Synchronous LPA mirror: k rounds unrolled as CTEs (_lpa_rounds_cte).
+    Labels are doc_ids (BIGINT on both engines) — no aggregate reaches
+    the output, so no CAST convention applies. Single source of truth:
+    the pre-validation test
+    (test_label_propagation_matches_unrolled_sql_oracle) runs THIS string."""
+    cte = _DUCK_EDGE_CTE.format(banded=_banded_pairs_cte(_DUCK_TOKIDSET))
+    rounds, final = _lpa_rounds_cte(iters)
+    return f"""
+    WITH {cte},{rounds}
+    SELECT id, label FROM {final}"""
 
 
 def _emb_lsh_ann_oracle() -> str:

@@ -741,3 +741,32 @@ def test_bfs_paths_query_matches_oracle(spark):
     assert all(
         res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
     ), res
+
+
+def test_cluster_audit_query_matches_oracle(spark):
+    """r12 query pre-validation #2: the unregistered q_graph_cluster_audit
+    (CC components x LPA communities per component) matches its DuckDB
+    oracle — recursive reach + the shared unrolled-LPA rounds — typed-
+    exact at sf0.001; also verified at sf0.01 out-of-band (PLANS.md
+    round 11)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_graph_cluster_audit(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows, "similarity graph always has at least one component"
+    res = compare_typed(df, rows, con, entrymod._graph_cluster_audit_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res

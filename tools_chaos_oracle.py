@@ -28,10 +28,15 @@ TABLES = (
 )
 
 # every entry whose Spark plan, oracle SQL, or shared machinery changed
-# in round 10 (red-row oracle CAST fix + forensic-append rework, the new
-# aggregate_messages/pregel surface in the graph module), plus the graph
-# family sharing _doc_edges/canonical_edges caches with the new query
+# in round 11: the two NEW registered rows (doc_label_propagation,
+# io_xml_roundtrip), the whole graph family (unpersist hygiene landed in
+# CC/BFS/Bellman-Ford/LPA/pagerank_pregel and the pregel queries now
+# release/localCheckpoint their caches — exactly the shared-cache class
+# chaos exists to flush), and the forensic-append flock rework's two
+# historically-red consumers
 DEFAULT_SET = [
+    "doc_label_propagation",
+    "io_xml_roundtrip",
     "io_csv_roundtrip",
     "doc_dedup_rewrite",
     "graph_pregel_walks",
@@ -43,10 +48,6 @@ DEFAULT_SET = [
     "graph_shortest_paths",
     "graph_weighted_paths",
     "doc_dup_clusters",
-    # r10 band-index-reuse touched the minhash delta family
-    "stream_ingest_dedup",
-    "minhash_delta_dedup",
-    "minhash_lsh_dedup",
 ]
 
 
