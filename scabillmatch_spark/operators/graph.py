@@ -344,8 +344,12 @@ def pregel(
     ``state_col`` + ``msg``) produces the next state. ``initial_state``
     is a Column over the vertex attrs.
 
-    Runs on the same scaffolding as the fixed algorithms: per-
-    CHECKPOINT_EVERY lineage cuts (localCheckpoint locally; with
+    Runs on the same scaffolding as the fixed algorithms: lineage cut
+    EVERY superstep (r11 — the vertex-state frame is referenced TWICE
+    per superstep, once inside aggregate_messages and once in the update
+    join, so an uncut lineage DOUBLES per superstep and re-executes
+    superstep 1 up to 2^k times; same per-round cadence and rationale as
+    connected_components/BFS; localCheckpoint locally, with
     ``checkpoint_dir`` a reliable parquet cut in a per-run namespace that
     survives executor loss), loop-sized shuffle partitions via
     ``num_shuffle_partitions``. Each superstep is one or two vertex-edge
@@ -379,19 +383,12 @@ def pregel(
                 .withColumn(state_col, update_state)
                 .drop("msg")
             )
-            if (i + 1) % CHECKPOINT_EVERY == 0:
-                v = _round_materialize(v, i + 1, run_dir)
-                _sweep_round(edges.sparkSession, run_dir, prev_round)
-                prev_round = i + 1
-        if num_shuffle_partitions is not None and max_iter % CHECKPOINT_EVERY != 0:
-            # bind the un-checkpointed tail supersteps to the loop-sized
-            # conf: without a cut HERE they execute lazily at the caller's
-            # action under the SESSION default — the exact cluster-width-
-            # shuffles-on-a-tiny-frame overhead the caller passed
-            # num_shuffle_partitions to avoid (measured 26% of wall on the
-            # sf0.1 similarity graph, PLANS.md round 10)
-            v = _round_materialize(v, max_iter, run_dir)
+            # per-superstep cut (r11): also subsumes the r10 lazy-tail
+            # binding — every superstep now executes inside the
+            # loop-sized-shuffle conf block by construction
+            v = _round_materialize(v, i + 1, run_dir)
             _sweep_round(edges.sparkSession, run_dir, prev_round)
+            prev_round = i + 1
     return v
 
 
@@ -461,7 +458,11 @@ def label_propagation(
     (cnt, -label, label) struct — no window, no row explosion), one
     left join back for isolated-vertex carry-over. Labels are ids
     (longs): every exchange carries two integer columns. O(max_iter)
-    rounds, lineage cut per CHECKPOINT_EVERY on the shared scaffolding."""
+    rounds, lineage cut EVERY round (r11; the label frame is referenced
+    TWICE per round — neighbor join + carry-over join — so an uncut
+    lineage DOUBLES per round and re-executes round 1 up to 2^k times:
+    measured 10.5 s -> ~2 s at sf0.1/4 rounds; same per-round cadence
+    and rationale as connected_components)."""
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     labels = vertices_from_edges(e).select("id", F.col("id").alias("label"))
     run_dir = _run_scoped(checkpoint_dir)
@@ -494,14 +495,9 @@ def label_propagation(
                 .join(new, "id", "left")
                 .select("id", F.coalesce("label", "__old").alias("label"))
             )
-            if (i + 1) % CHECKPOINT_EVERY == 0:
-                labels = _round_materialize(labels, i + 1, run_dir)
-                _sweep_round(edges.sparkSession, run_dir, prev_round)
-                prev_round = i + 1
-        if num_shuffle_partitions is not None and max_iter % CHECKPOINT_EVERY != 0:
-            # same lazy-tail binding as pregel (PLANS.md round 10)
-            labels = _round_materialize(labels, max_iter, run_dir)
+            labels = _round_materialize(labels, i + 1, run_dir)
             _sweep_round(edges.sparkSession, run_dir, prev_round)
+            prev_round = i + 1
     # long-lived-session hygiene (r10 verdict): release the loop cache.
     # If nothing materialized (no checkpoint round and no loop-sized tail
     # cut) the cache was never populated — unpersist is free; if lazy tail
