@@ -292,3 +292,42 @@ def test_xml_roundtrip_matches_oracle(spark):
     assert all(
         res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
     ), res
+
+
+def test_forensic_append_rotates_under_lock(tmp_path, monkeypatch):
+    """r10 verdict ask: the forensic jsonl is BOUNDED — a file past the
+    4 MB cap rotates to .1 (never silently dropped) before the new record
+    lands, the rotation runs under a sidecar flock (r11: two concurrent
+    rotators could both os.replace and drop an archive), and a normal
+    append below the cap just appends."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    import __spark_entry__ as entrymod
+
+    fdir = str(tmp_path / "forensics")
+    monkeypatch.setattr(entrymod, "_FORENSICS_DIR", fdir)
+    rows = [Row(lang="en", n=1)]
+    # 1. plain append below the cap: file created, one JSON line, lockfile
+    entrymod._forensic_append("unit_probe", "/root/testdata/sf0.001", rows)
+    path = os.path.join(fdir, "unit_probe.jsonl")
+    lines = open(path).read().splitlines()
+    assert len(lines) == 1
+    assert json.loads(lines[0])["rows"] == [{"lang": "en", "n": 1}]
+    assert os.path.exists(path + ".lock")
+    # 2. grow past the cap: next append must rotate first, then land the
+    # record in a fresh file — history preserved in .1
+    with open(path, "a") as fh:
+        fh.write("x" * (4 * 1024 * 1024 + 1) + "\n")
+    entrymod._forensic_append("unit_probe", "/root/testdata/sf0.001", rows)
+    assert os.path.exists(path + ".1"), "oversized file must rotate, not drop"
+    fresh = open(path).read().splitlines()
+    assert len(fresh) == 1 and json.loads(fresh[0])["query"] == "unit_probe"
+    assert os.path.getsize(path + ".1") > 4 * 1024 * 1024
+    # 3. a second oversized rotation replaces the archive (bounded at ~2 caps)
+    with open(path, "a") as fh:
+        fh.write("y" * (4 * 1024 * 1024 + 1) + "\n")
+    entrymod._forensic_append("unit_probe", "/root/testdata/sf0.001", rows)
+    assert len(open(path).read().splitlines()) == 1
