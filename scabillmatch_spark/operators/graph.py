@@ -1015,12 +1015,18 @@ def bfs(
     vertices: DataFrame | None = None,
     undirected: bool = True,
     num_shuffle_partitions: int | None = None,
+    edge_filter=None,
 ) -> DataFrame:
     """Breadth-first search returning the WITNESSING PATHS (GraphFrames
-    ``bfs(fromExpr, toExpr, maxPathLength)`` — the one GraphFrames API
-    form the engine didn't yet cover; :func:`shortest_paths` returns hop
-    DISTANCES only). The reference's GraphFrames dependency exposes it
-    alongside the calls at graph/GraphUtils.scala:33-36.
+    ``bfs(fromExpr, toExpr, edgeFilter, maxPathLength)`` — the one
+    GraphFrames API form the engine didn't yet cover; :func:`shortest_paths`
+    returns hop DISTANCES only). The reference's GraphFrames dependency
+    exposes it alongside the calls at graph/GraphUtils.scala:33-36.
+
+    ``edge_filter`` (optional Column predicate over the EDGE columns,
+    e.g. ``F.col("weight") > 0.5``) restricts which edges the search may
+    traverse — applied BEFORE undirecting, exactly GraphFrames'
+    edgeFilter semantics.
 
     ``from_expr`` / ``to_expr`` are Column predicates over the vertex
     frame (``vertices`` if given, else the ids derived from the edge
@@ -1053,6 +1059,8 @@ def bfs(
     graphs; for reachability-only questions use :func:`shortest_paths`,
     whose state is one row per (vertex, landmark)."""
     spark = edges.sparkSession
+    if edge_filter is not None:
+        edges = edges.filter(edge_filter)
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     verts = (vertices if vertices is not None else vertices_from_edges(e)).cache()
     if "id" not in verts.columns:

@@ -770,3 +770,22 @@ def test_cluster_audit_query_matches_oracle(spark):
     assert all(
         res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
     ), res
+
+
+def test_bfs_edge_filter(spark):
+    """GraphFrames edgeFilter parity: the search may only traverse edges
+    passing the predicate — a cheap direct edge excluded by the filter
+    forces the longer permitted route."""
+    edges = spark.createDataFrame(
+        [(1, 4, 0.2), (1, 2, 0.9), (2, 3, 0.9), (3, 4, 0.9)],
+        ["src", "dst", "w"],
+    )
+    # unfiltered: the direct 1-4 edge wins (length 1)
+    direct = graph.bfs(edges, F.col("id") == 1, F.col("id") == 4,
+                       max_path_length=5).collect()
+    assert [tuple(r.path) for r in direct] == [(1, 4)]
+    # filter w > 0.5: the only route is 1-2-3-4
+    filtered = graph.bfs(edges, F.col("id") == 1, F.col("id") == 4,
+                         max_path_length=5,
+                         edge_filter=F.col("w") > 0.5).collect()
+    assert [tuple(r.path) for r in filtered] == [(1, 2, 3, 4)]
