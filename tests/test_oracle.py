@@ -104,3 +104,23 @@ def test_registry_contract():
     assert len(qs) >= 50
     # every oracle is non-empty SQL text
     assert all(isinstance(v, str) and v.strip() for v in osql.values())
+
+
+def test_registry_source_has_no_duplicate_keys():
+    """The hand-maintained rotation's failure mode a runtime check can't
+    see: a duplicate dict key in queries() would SILENTLY drop the earlier
+    entry (later key wins) and shift every row behind it across the 50-row
+    window boundary. Lint the source text of the queries() body instead —
+    every registered name must appear exactly once, and the parsed count
+    must equal the dict's length (a mismatch means a name the regex missed
+    or an entry the dict swallowed)."""
+    import inspect
+    import re
+
+    src = inspect.getsource(entrymod.queries)
+    names = re.findall(r'^\s*"([a-z0-9_]+)":\s*q_', src, re.MULTILINE)
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"duplicate registry keys in source: {dupes}"
+    qs = entrymod.queries()
+    assert len(names) == len(qs), (len(names), len(qs))
+    assert names == list(qs), "source order must equal dict order"
