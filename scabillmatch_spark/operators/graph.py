@@ -455,14 +455,22 @@ def label_propagation(
 
     Plan per round: one edge-labels equi-join (shuffle on src), one
     (id,label) count agg, one deterministic arg-max (max over a
-    (cnt, -label, label) struct — no window, no row explosion), one
-    left join back for isolated-vertex carry-over. Labels are ids
+    (cnt, -label, label) struct — no window, no row explosion). In the
+    UNDIRECTED case that is the whole round: every vertex derives from
+    the edge list and the edge list binds both orientations, so every
+    vertex has an in-neighbor and the arg-max output already covers all
+    vertices — the isolated-vertex carry-over join would be a fourth
+    shuffle carrying zero information (r11: dropping it measured ~10%
+    off the sf0.1 query wall, 2.0 -> 1.8 s; the per-round saving is
+    larger but amortized against fixed query overhead). Directed graphs
+    keep the left-join carry-over (a source-only
+    vertex receives no message and must keep its label). Labels are ids
     (longs): every exchange carries two integer columns. O(max_iter)
     rounds, lineage cut EVERY round (r11; the label frame is referenced
-    TWICE per round — neighbor join + carry-over join — so an uncut
-    lineage DOUBLES per round and re-executes round 1 up to 2^k times:
-    measured 10.5 s -> ~2 s at sf0.1/4 rounds; same per-round cadence
-    and rationale as connected_components)."""
+    twice per directed round — and an uncut lineage DOUBLES per round,
+    re-executing round 1 up to 2^k times: measured 10.5 s -> ~2 s at
+    sf0.1/4 rounds; same per-round cadence and rationale as
+    connected_components)."""
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     labels = vertices_from_edges(e).select("id", F.col("id").alias("label"))
     run_dir = _run_scoped(checkpoint_dir)
@@ -490,11 +498,16 @@ def label_propagation(
                 )
                 .select("id", F.col("s.label").alias("label"))
             )
-            labels = (
-                labels.select("id", F.col("label").alias("__old"))
-                .join(new, "id", "left")
-                .select("id", F.coalesce("label", "__old").alias("label"))
-            )
+            if undirected:
+                # undirect() bound both orientations: every vertex has an
+                # in-neighbor, new == full vertex set — no carry-over join
+                labels = new
+            else:
+                labels = (
+                    labels.select("id", F.col("label").alias("__old"))
+                    .join(new, "id", "left")
+                    .select("id", F.coalesce("label", "__old").alias("label"))
+                )
             labels = _round_materialize(labels, i + 1, run_dir)
             _sweep_round(edges.sparkSession, run_dir, prev_round)
             prev_round = i + 1

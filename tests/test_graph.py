@@ -789,3 +789,25 @@ def test_bfs_edge_filter(spark):
                          max_path_length=5,
                          edge_filter=F.col("w") > 0.5).collect()
     assert [tuple(r.path) for r in filtered] == [(1, 2, 3, 4)]
+
+
+def test_label_propagation_directed_keeps_sourceless_vertex_label(spark):
+    """Directed LPA keeps the carry-over join (r11 dropped it for the
+    undirected case only, where every vertex has an in-neighbor by
+    construction): a source-only vertex receives no message and must keep
+    its own label through every round."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {
+        r.id: r.label
+        for r in graph.label_propagation(
+            edges, max_iter=3, undirected=False
+        ).collect()
+    }
+    assert got[1] == 1  # no in-edges: label carried through all rounds
+    assert got[2] == 1 and got[3] in (1, 2)  # labels flow along direction
+    # and the undirected default on the same edges covers every vertex too
+    und = {
+        r.id: r.label
+        for r in graph.label_propagation(edges, max_iter=4).collect()
+    }
+    assert set(und) == {1, 2, 3}
