@@ -2512,6 +2512,80 @@ def q_media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL audio decode (multimodal tier — the audio twin of
+    q_media_image_metadata, r13 window candidate): a valid mono 16-bit PCM
+    WAV payload is built in-plan per document (a CONSTANT 44-byte
+    RIFF/WAVE header literal + the 16 md5-of-text bytes = 8 little-endian
+    int16 samples), and the executor-side stdlib ``wave`` codec
+    (operators/multimodal.decode_wav -> extract_audio_metadata,
+    deterministic_fake=False so nothing is stubbed) parses it back
+    through mapInPandas: channels, rate, frame count, duration, RMS.
+    DuckDB recomputes every cell straight from the md5 hex (sample i =
+    signed LE int16 from hex nibbles 4i..4i+3), so a header/endianness/
+    RMS bug hash-fails. NOT registered: r13 window candidate;
+    pre-validated in tests/test_streaming_multimodal.py::
+    test_wav_audio_stats_query_matches_oracle."""
+    import struct
+
+    from scabillmatch_spark.operators import multimodal as MM
+
+    n_samples, rate = 8, 8000
+    data_bytes = n_samples * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_bytes)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_bytes)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), F.unhex(F.md5("text"))).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+    meta = MM.extract_audio_metadata(media, deterministic_fake=False)
+    return meta.select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+def _media_wav_audio_stats_oracle() -> str:
+    """Oracle for the (unregistered until r13) WAV query: every cell
+    recomputed from md5(text) hex — sample i (0..7) is the signed
+    little-endian int16 at hex chars [4i+1, 4i+4] (lo byte first), RMS =
+    sqrt(avg(v^2)). Header fields are the query's literals (mono, 8 kHz,
+    8 frames, 1 ms)."""
+    return """
+        SELECT doc_id AS media_id,
+               1 AS n_channels,
+               8000 AS sample_rate,
+               CAST(8 AS BIGINT) AS n_frames,
+               CAST(0.001 AS DOUBLE) AS duration_s,
+               ROUND(sqrt(sv.ms), 6) AS rms
+        FROM documents d,
+        LATERAL (
+            SELECT avg(v * v) AS ms FROM (
+                SELECT CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+                FROM (
+                    SELECT CAST(('0x' || substr(md5(d.text), i * 4 + 3, 2)
+                                       || substr(md5(d.text), i * 4 + 1, 2))
+                                AS INTEGER) AS raw
+                    FROM range(0, 8) t(i)
+                )
+            )
+        ) sv
+    """
+
+
 def q_doc_pair_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The set-based similarity-measure family on real token sets
     (SimilarityMeasure.scala:78-165): weighted (skew-regularized), overlap

@@ -205,3 +205,33 @@ def test_transform_with_state_running_totals(spark, sf_small):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_wav_audio_stats_query_matches_oracle(spark):
+    """r13 query pre-validation (the established pre-build pattern): the
+    unregistered q_media_wav_audio_stats — REAL stdlib-wave decode of
+    in-plan-constructed PCM payloads — matches its DuckDB oracle, which
+    recomputes channels/rate/frames/duration/RMS straight from the md5
+    hex. Typed-exact at sf0.001; also verified at sf0.01 out-of-band
+    (PLANS.md round 11)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_media_wav_audio_stats(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 500
+    res = compare_typed(df, rows, con, entrymod._media_wav_audio_stats_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
