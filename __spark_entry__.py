@@ -180,7 +180,12 @@ def _forensic_append(query: str, sf_dir: str, rows, extra: dict | None = None) -
         # swap dropping up to 4 MB of the first's archive; the lock also
         # closes the window where a record lands in a file another process
         # just rotated away. Lock failure degrades to best-effort
-        # lock-free append (never blocks the query being observed).
+        # lock-free APPEND ONLY (r11 advice): a lock-free rotation would
+        # reintroduce the exact concurrent double-os.replace archive-drop
+        # race the lock exists to close, so when the lock could not be
+        # acquired we skip rotation — an append never drops an archive,
+        # and the next locked writer rotates. Never blocks the query
+        # being observed.
         lock_fd = None
         try:
             import fcntl
@@ -193,7 +198,7 @@ def _forensic_append(query: str, sf_dir: str, rows, extra: dict | None = None) -
                 lock_fd = None
         try:
             try:
-                if os.path.getsize(path) > 4 * 1024 * 1024:
+                if lock_fd is not None and os.path.getsize(path) > 4 * 1024 * 1024:
                     os.replace(path, path + ".1")
             except OSError:
                 pass
@@ -1572,14 +1577,21 @@ def q_graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same tiny-driver-scalar precedent as weighted-pagerank's
     verts.count()); the BFS itself is per-depth: one frontier-edge
     equi-join + cycle filter + distinct, frontier checkpointed, early
-    exit at the first hit depth — ids only in every exchange. NOT yet
-    registered: r12 window candidate (the r11 new-query budget was spent
-    on doc_label_propagation + io_xml_roundtrip); pre-validated against
-    its oracle in tests/test_graph.py::test_bfs_paths_query_matches_oracle."""
+    exit at the first hit depth — ids only in every exchange. Registered
+    in the r12 window (pre-validated typed-exact at 2 sfs in r11;
+    tests/test_graph.py::test_bfs_paths_query_matches_oracle)."""
     from scabillmatch_spark.operators import graph
 
     comp = _doc_dup_components(spark, sf_dir)
     mn = comp.agg(F.min("id")).first()[0]
+    if mn is None:
+        # Degenerate scale factor: no >=95 similarity pairs at all. Fail
+        # loudly with the actual condition rather than an AttributeError
+        # on NoneType two lines down (r11 ADVICE).
+        raise ValueError(
+            "q_graph_bfs_paths: the similarity component frame is empty "
+            f"(no pairs >= threshold at {sf_dir}); no BFS endpoints exist"
+        )
     c = comp.filter(F.col("id") == mn).first().component
     mx = comp.filter(F.col("component") == c).agg(F.max("id")).first()[0]
     res = graph.bfs(
@@ -1654,9 +1666,9 @@ def q_graph_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-green individually (doc_dup_clusters r8, doc_label_propagation
     r11); this composes them: one id equi-join + one component groupBy —
     labels and ids (longs) only in every exchange, the component frame is
-    the session-persisted one every dedup query shares. NOT yet
-    registered: r12 window candidate with graph_bfs_paths; pre-validated
-    in tests/test_graph.py::test_cluster_audit_query_matches_oracle."""
+    the session-persisted one every dedup query shares. Registered in the
+    r12 window with graph_bfs_paths (pre-validated typed-exact at 2 sfs
+    in r11; tests/test_graph.py::test_cluster_audit_query_matches_oracle)."""
     from scabillmatch_spark.operators import graph
 
     comp = _doc_dup_components(spark, sf_dir)
@@ -4558,82 +4570,25 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-11 rotation:
-    #   1. the 27 entries whose latest driver row is r8 — two rounds
+    # the round-12 rotation (precomputed in PLANS.md "r12 rotation"):
+    #   1. the 27 entries whose latest driver row is r9 — two rounds
     #      stale, at the staleness contract's max, the oldest debt leads
-    #      (window_running_sum + the ANN/graph/ml-featurization families
-    #      through events_stream_interval_join);
-    #   2. the two queries new this round (doc_label_propagation — the
-    #      LPA community-detection row pre-validated in r10;
-    #      io_xml_roundtrip — the XML codec row pre-validated in r10);
-    #   3. the first 21 of the 48 r9-green entries fill the window
-    #      (graph_open_triangles .. tpch_q8_market_share);
-    #   4. with 127 registered queries and a 50-row window the cycle is
-    #      ~2.5 rounds: the 27 remaining r9-green entries directly past
+    #      (tpch_q9_product_profit .. ml_knn_probe);
+    #   2. the two queries new this round (graph_bfs_paths — the last
+    #      driver-unchecked component, pre-validated typed-exact at 2 sfs
+    #      in r11; graph_cluster_audit — the CC-vs-LPA over-merge audit,
+    #      same pre-validation);
+    #   3. the first 21 of the 50 r10-green entries fill the window
+    #      (io_csv_roundtrip .. events_stream_stateful);
+    #   4. with 129 registered queries and a 50-row window the cycle is
+    #      ~2.6 rounds: the 29 remaining r10-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
-    #      r12 window, topped up from the 50 r10-green rows (freshest,
+    #      r13 window, topped up from the 50 r11-green rows (freshest,
     #      last). Every entry is still re-verified at sf0.01 on every
     #      pytest run by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- 27 entries whose latest driver row is r8 — two rounds stale,
+        # -- 27 entries whose latest driver row is r9 — two rounds stale,
         #    the staleness contract's max; the oldest debt leads
-        "window_running_sum": q_window_running_sum,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "emb_pq_ann": q_emb_pq_ann,
-        "emb_cosine_near_dup": q_emb_cosine_near_dup,
-        "emb_lsh_ann": q_emb_lsh_ann,
-        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_ivf_ann": q_emb_ivf_ann,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_triangle_count": q_graph_triangles,
-        "graph_shortest_paths": q_graph_shortest_paths,
-        "graph_weighted_paths": q_graph_weighted_paths,
-        "graph_kcore": q_graph_kcore,
-        "pairs_postprocess_sample": q_pairs_postprocess_sample,
-        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
-        "ml_lda_topics": q_ml_lda_topics,
-        "ml_lsa_projection": q_ml_lsa_projection,
-        "ml_minhash_reference_join": q_ml_minhash_reference_join,
-        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "media_image_metadata": q_media_image_metadata,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "events_stream_static_join": q_events_stream_static_join,
-        "events_stream_interval_join": q_events_stream_interval_join,
-        # -- new this round (the per-round new-query budget; both
-        #    pre-validated typed-exact vs their oracles at 2 sfs in r10)
-        "doc_label_propagation": q_doc_label_propagation,
-        "io_xml_roundtrip": q_io_xml_roundtrip,
-        # -- first 21 of the 48 r9-green entries fill the window
-        "graph_open_triangles": q_graph_open_triangles,
-        "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
-        "events_sessionization": q_events_sessionization,
-        "orders_scd2_history": q_orders_scd2_history,
-        "doc_chunk_overlap": q_doc_chunk_overlap,
-        "events_stream_session": q_events_stream_session,
-        "scalar_functions": q_scalar_functions,
-        "pearson_corr": q_pearson_corr,
-        "descriptive_stats": q_descriptive_stats,
-        "histogram_events_value": q_histogram_events,
-        "events_json_agg": q_events_json,
-        "semi_anti_join": q_semi_anti_join,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_quality_filter": q_doc_quality_filter,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        # ---- 50-row window boundary (27 r8-stale + 2 new + 21 r9-green
-        #      = 50). The 27 r9-green entries below reach the staleness
-        #      contract's two-round max next cycle and MUST LEAD the r12
-        #      window. ----
         "tpch_q9_product_profit": q_tpch_q9,
         "tpch_q11_important_stock": q_tpch_q11,
         "tpch_q15_top_supplier": q_tpch_q15,
@@ -4661,7 +4616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
         "pair_measure_correlation": q_pair_measure_correlation,
         "ml_knn_probe": q_ml_knn_probe,
-        # -- latest driver row is r10 — freshest, rotate back last
+        # -- new this round (the per-round new-query budget; both
+        #    pre-validated typed-exact vs their oracles at 2 sfs in r11)
+        "graph_bfs_paths": q_graph_bfs_paths,
+        "graph_cluster_audit": q_graph_cluster_audit,
+        # -- first 21 of the 50 r10-green entries fill the window
         "io_csv_roundtrip": q_io_csv_roundtrip,
         "doc_dedup_rewrite": q_doc_dedup_rewrite,
         "graph_pregel_walks": q_graph_pregel_walks,
@@ -4683,6 +4642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_stateful": q_events_stream_stateful,
+        # ---- 50-row window boundary (27 r9-stale + 2 new + 21 r10-green
+        #      = 50). The 29 r10-green entries below reach the staleness
+        #      contract's two-round max next cycle and MUST LEAD the r13
+        #      window. ----
         "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "io_sorted_compact": q_io_sorted_compact,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -4712,6 +4675,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": q_pivot_lineitem,
         "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
+        # -- latest driver row is r11 — freshest, rotate back last
+        "window_running_sum": q_window_running_sum,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "emb_pq_ann": q_emb_pq_ann,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_ann": q_emb_ivf_ann,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangle_count": q_graph_triangles,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_weighted_paths": q_graph_weighted_paths,
+        "graph_kcore": q_graph_kcore,
+        "pairs_postprocess_sample": q_pairs_postprocess_sample,
+        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
+        "ml_lda_topics": q_ml_lda_topics,
+        "ml_lsa_projection": q_ml_lsa_projection,
+        "ml_minhash_reference_join": q_ml_minhash_reference_join,
+        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "media_image_metadata": q_media_image_metadata,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "events_stream_static_join": q_events_stream_static_join,
+        "events_stream_interval_join": q_events_stream_interval_join,
+        "doc_label_propagation": q_doc_label_propagation,
+        "io_xml_roundtrip": q_io_xml_roundtrip,
+        "graph_open_triangles": q_graph_open_triangles,
+        "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
+        "events_sessionization": q_events_sessionization,
+        "orders_scd2_history": q_orders_scd2_history,
+        "doc_chunk_overlap": q_doc_chunk_overlap,
+        "events_stream_session": q_events_stream_session,
+        "scalar_functions": q_scalar_functions,
+        "pearson_corr": q_pearson_corr,
+        "descriptive_stats": q_descriptive_stats,
+        "histogram_events_value": q_histogram_events,
+        "events_json_agg": q_events_json,
+        "semi_anti_join": q_semi_anti_join,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
     }
 
 
@@ -6619,6 +6633,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_weighted_pagerank": _weighted_pagerank_oracle(3),
         "doc_label_propagation": _label_propagation_oracle(4),
         "io_xml_roundtrip": _io_xml_roundtrip_oracle(),
+        "graph_bfs_paths": _graph_bfs_paths_oracle(),
+        "graph_cluster_audit": _graph_cluster_audit_oracle(4),
         "graph_triangle_count": f"""
             WITH {edge_cte},
             tri AS (

@@ -512,9 +512,8 @@ def label_propagation(
             _sweep_round(edges.sparkSession, run_dir, prev_round)
             prev_round = i + 1
     # long-lived-session hygiene (r10 verdict): release the loop cache.
-    # If nothing materialized (no checkpoint round and no loop-sized tail
-    # cut) the cache was never populated — unpersist is free; if lazy tail
-    # rounds remain they recompute the narrow undirect union, never wrong.
+    # Safe unconditionally: labels is materialized (localCheckpoint /
+    # parquet cut) EVERY round since r11, so no lazy reader of e remains.
     e.unpersist()
     return labels
 
@@ -1074,10 +1073,14 @@ def bfs(
     spark = edges.sparkSession
     if edge_filter is not None:
         edges = edges.filter(edge_filter)
-    e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
-    verts = (vertices if vertices is not None else vertices_from_edges(e)).cache()
+    e = undirect(edges) if undirected else edges.select("src", "dst")
+    verts = vertices if vertices is not None else vertices_from_edges(e)
+    # fail-fast BEFORE marking anything for caching (r11 ADVICE): lazy
+    # cache marks linger in a long-lived session on the error path
     if "id" not in verts.columns:
         raise ValueError("vertices frame needs an 'id' column")
+    e = e.cache()
+    verts = verts.cache()
     targets = verts.filter(to_expr).select("id").localCheckpoint()
 
     def _finish(found: DataFrame, depth: int) -> DataFrame:
