@@ -350,8 +350,11 @@ def pregel(
     join, so an uncut lineage DOUBLES per superstep and re-executes
     superstep 1 up to 2^k times; same per-round cadence and rationale as
     connected_components/BFS; localCheckpoint locally, with
-    ``checkpoint_dir`` a reliable parquet cut in a per-run namespace that
-    survives executor loss), loop-sized shuffle partitions via
+    ``checkpoint_dir`` the _RoundCuts hybrid — persist(DISK_ONLY) per
+    superstep + a parquet cut every CHECKPOINT_EVERY supersteps in a
+    per-run namespace, so executor loss replays at most one cadence span
+    instead of the run while remote-storage I/O stays 1/cadence of a
+    per-superstep write), loop-sized shuffle partitions via
     ``num_shuffle_partitions``. Each superstep is one or two vertex-edge
     equi-joins + one groupBy on the receiving id — O(1) shuffles per
     round, never materializing anything quadratic."""
@@ -368,7 +371,7 @@ def pregel(
     if checkpoint_dir is not None:
         sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
     v = vertices.withColumn(state_col, initial_state)
-    prev_round: int | None = None
+    cuts = _RoundCuts(edges.sparkSession, run_dir)
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
         for i in range(max_iter):
             m = aggregate_messages(
@@ -386,9 +389,10 @@ def pregel(
             # per-superstep cut (r11): also subsumes the r10 lazy-tail
             # binding — every superstep now executes inside the
             # loop-sized-shuffle conf block by construction
-            v = _round_materialize(v, i + 1, run_dir)
-            _sweep_round(edges.sparkSession, run_dir, prev_round)
-            prev_round = i + 1
+            # (localCheckpoint locally; persist + cadence parquet with
+            # checkpoint_dir — see _RoundCuts)
+            v = cuts.cut(v)
+        v = cuts.finish(v)
     return v
 
 
@@ -476,7 +480,7 @@ def label_propagation(
     run_dir = _run_scoped(checkpoint_dir)
     if checkpoint_dir is not None:
         sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
-    prev_round: int | None = None
+    cuts = _RoundCuts(edges.sparkSession, run_dir)
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
         for i in range(max_iter):
             nbr = e.join(labels, e.src == labels.id).select(
@@ -508,12 +512,12 @@ def label_propagation(
                     .join(new, "id", "left")
                     .select("id", F.coalesce("label", "__old").alias("label"))
                 )
-            labels = _round_materialize(labels, i + 1, run_dir)
-            _sweep_round(edges.sparkSession, run_dir, prev_round)
-            prev_round = i + 1
+            labels = cuts.cut(labels)
+        labels = cuts.finish(labels)
     # long-lived-session hygiene (r10 verdict): release the loop cache.
     # Safe unconditionally: labels is materialized (localCheckpoint /
-    # parquet cut) EVERY round since r11, so no lazy reader of e remains.
+    # persist-or-parquet via _RoundCuts) EVERY round since r11, and
+    # finish parquet-rooted any held tail, so no lazy reader of e remains.
     e.unpersist()
     return labels
 
@@ -658,9 +662,11 @@ def _round_materialize(
     the job fails and the whole iteration restarts. With ``run_dir`` set
     (a _run_scoped namespace under an HDFS/S3 path on a real cluster):
     parquet write + fresh read — the reliable cut that survives executor
-    loss, at the cost of one storage round trip per round. Rounds write to
+    loss, at the cost of one storage round trip per cut. Rounds write to
     round_<i> subdirs; round i-1's files stop being referenced once round
-    i is written, so callers bound disk via _sweep_round."""
+    i is written, so callers bound disk via _sweep_round. Per-round loops
+    don't call this every round with run_dir set — they go through
+    _RoundCuts, which persists per round and parquet-cuts on a cadence."""
     if run_dir is None:
         return df.localCheckpoint()
     path = os.path.join(run_dir, f"round_{round_idx}")
@@ -687,6 +693,74 @@ def _sweep_round(
     fs = p.getFileSystem(hconf)
     if fs.exists(p):
         fs.delete(p, True)
+
+
+class _RoundCuts:
+    """Per-round lineage policy for one iterative-loop call (r12, the
+    r11-advice hybrid for the ``checkpoint_dir`` path).
+
+    ``run_dir=None`` (local and driver-checked runs): ``localCheckpoint``
+    at EVERY cut — the r11 lesson (a state frame referenced twice per
+    round doubles its lineage per round and re-executes round 1 up to
+    2^k times unless cut every round; guarded by
+    tests/test_lineage_guard.py).
+
+    ``run_dir`` set (reliable cluster cuts through HDFS/S3): the naive
+    per-round parquet write+read would pay one remote-storage round trip
+    PER ROUND — 5x the I/O of the old per-CHECKPOINT_EVERY cadence.
+    Instead: ``persist(DISK_ONLY)`` every round with a parquet cut every
+    ``cadence`` rounds. The per-round persist is what kills the 2^k
+    re-execution (both references to the state frame resolve to the same
+    InMemoryRelation, computed once per job and served from local disk),
+    while the cadence parquet bounds both the analyzed-plan depth and
+    the recovery cost: a lost executor loses DISK_ONLY blocks but their
+    lineage is intact back to the last parquet round, so at most
+    ``cadence`` rounds recompute instead of the whole iteration failing
+    (the localCheckpoint failure mode) or every round paying remote I/O
+    (the r11 behavior). ``finish`` parquet-roots the final state and
+    releases every held block, so the returned frame's only dependency
+    is the final round's files in the run namespace — the existing
+    caller contract (consume, then delete run_*).
+    """
+
+    def __init__(self, spark: SparkSession, run_dir: str | None,
+                 cadence: int = CHECKPOINT_EVERY):
+        self._spark = spark
+        self._run_dir = run_dir
+        self._cadence = cadence
+        self._held: list[DataFrame] = []
+        self._last_parquet: int | None = None
+        self._idx = 0
+
+    def _parquet_cut(self, df: DataFrame) -> DataFrame:
+        out = _round_materialize(df, self._idx, self._run_dir)
+        for h in self._held:
+            h.unpersist()
+        self._held.clear()
+        _sweep_round(self._spark, self._run_dir, self._last_parquet)
+        self._last_parquet = self._idx
+        return out
+
+    def cut(self, df: DataFrame) -> DataFrame:
+        self._idx += 1
+        if self._run_dir is None:
+            return df.localCheckpoint()
+        if self._idx % self._cadence == 0:
+            return self._parquet_cut(df)
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        self._held.append(df)
+        return df
+
+    def finish(self, df: DataFrame) -> DataFrame:
+        """Hand back the loop result: parquet-root it and release held
+        blocks if any round since the last cadence cut persisted state;
+        no-op when everything is already parquet-rooted (or local)."""
+        if self._run_dir is None or not self._held:
+            return df
+        self._idx += 1
+        return self._parquet_cut(df)
 
 
 def connected_components(
@@ -716,24 +790,22 @@ def connected_components(
     (_round_materialize): localCheckpoint blocks die with their executor
     AND carry truncated lineage, so a single lost executor on a
     1000-executor run fails the whole iteration; pass an HDFS/S3 dir to
-    cut lineage through reliable storage instead (one parquet round trip
-    per round, older rounds swept as the loop advances; each call claims
-    its own run_<uuid> namespace, whose final round outlives the call —
-    the caller deletes run_* after consuming the result). Identical labels
-    either way — equality is pytest-pinned."""
+    cut lineage through reliable storage instead (the _RoundCuts hybrid:
+    persist(DISK_ONLY) per round + a parquet cut every CHECKPOINT_EVERY
+    rounds, older parquet rounds swept as the loop advances; each call
+    claims its own run_<uuid> namespace, whose final round outlives the
+    call — the caller deletes run_* after consuming the result).
+    Identical labels either way — equality is pytest-pinned."""
     e = (undirect(edges) if undirected else edges.select("src", "dst")).cache()
     converged = False
     run_dir = _run_scoped(checkpoint_dir)
     if checkpoint_dir is not None:
         sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
-    prev_round: int | None = None
+    cuts = _RoundCuts(edges.sparkSession, run_dir)
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
-        comp = _round_materialize(
-            vertices_from_edges(e).select("id", F.col("id").alias("component")),
-            0,
-            run_dir,
+        comp = cuts.cut(
+            vertices_from_edges(e).select("id", F.col("id").alias("component"))
         )
-        prev_round = 0
         for _round in range(max_iter):
             nbr_min = (
                 e.join(comp, e.src == comp.id)
@@ -767,13 +839,12 @@ def connected_components(
                     (F.col("component") < F.col("__old")).alias("__improved"),
                 )
             )
-            nxt = _round_materialize(nxt, _round + 1, run_dir)
-            _sweep_round(edges.sparkSession, run_dir, prev_round)
-            prev_round = _round + 1
+            nxt = cuts.cut(nxt)
             converged = nxt.filter(F.col("__improved")).isEmpty()
             comp = nxt.select("id", "component")
             if converged:
                 break
+        comp = cuts.finish(comp)
     if not converged:
         # labels still propagating when the round budget ran out (rounds
         # needed = graph diameter, e.g. a path graph longer than max_iter):
@@ -820,12 +891,8 @@ def k_core(
     run_dir = _run_scoped(checkpoint_dir)
     if checkpoint_dir is not None:
         sweep_stale_run_namespaces(edges.sparkSession, checkpoint_dir)
-    prev_round: int | None = 0
-    e = _round_materialize(
-        undirect(edges) if undirected else edges.select("src", "dst"),
-        0,
-        run_dir,
-    )
+    cuts = _RoundCuts(edges.sparkSession, run_dir)
+    e = cuts.cut(undirect(edges) if undirected else edges.select("src", "dst"))
     n_edges = e.count()
     converged = False
     with _loop_partitions(edges.sparkSession, num_shuffle_partitions):
@@ -834,20 +901,17 @@ def k_core(
                 F.count(F.lit(1)).alias("deg")
             )
             keep = deg.filter(F.col("deg") >= k).select("id")
-            nxt = _round_materialize(
+            nxt = cuts.cut(
                 e.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
                 .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
-                .select("src", "dst"),
-                _round + 1,
-                run_dir,
+                .select("src", "dst")
             )
-            _sweep_round(edges.sparkSession, run_dir, prev_round)
-            prev_round = _round + 1
             n_next = nxt.count()
             converged = n_next == n_edges
             e, n_edges = nxt, n_next
             if converged:
                 break
+        e = cuts.finish(e)
     if not converged:
         # a long path with k=2 peels only two endpoints per round: an
         # exhausted budget would silently return a SUPERSET of the k-core

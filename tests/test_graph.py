@@ -125,9 +125,47 @@ def test_k_core_warns_when_not_converged(spark):
     assert k_core(edges, 2, max_iter=20).count() == 0
 
 
+def test_checkpoint_dir_parquet_cuts_on_cadence_only(spark, tmp_path, monkeypatch):
+    """The r12 hybrid (_RoundCuts): with checkpoint_dir set, per-round
+    loops persist(DISK_ONLY) each round and hit reliable storage only
+    every CHECKPOINT_EVERY rounds (+ the finish cut) — NOT once per round
+    (the r11 behavior the advice flagged as a 5x remote-I/O increase).
+    Counts actual parquet materializations via _round_materialize, and
+    re-asserts result equality with the local path under the spy."""
+    from scabillmatch_spark.operators import graph
+
+    calls = []
+    orig = graph._round_materialize
+
+    def spy(df, round_idx, run_dir):
+        if run_dir is not None:
+            calls.append(round_idx)
+        return orig(df, round_idx, run_dir)
+
+    monkeypatch.setattr(graph, "_round_materialize", spy)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    local = {
+        (r.id, r.label)
+        for r in graph.label_propagation(edges, max_iter=7).collect()
+    }
+    assert calls == []  # run_dir=None path never touches parquet
+    reliable = {
+        (r.id, r.label)
+        for r in graph.label_propagation(
+            edges, max_iter=7, checkpoint_dir=str(tmp_path / "lpa")
+        ).collect()
+    }
+    assert reliable == local
+    # 7 rounds -> one cadence cut (round 5) + the finish cut; a
+    # per-round-parquet regression shows 7+ entries here
+    assert len(calls) == 2, calls
+
+
 def test_connected_components_reliable_checkpoint_equivalence(spark, tmp_path):
-    """checkpoint_dir is the cluster-scale materialization path (parquet
-    write+read per round instead of localCheckpoint): labels must be
+    """checkpoint_dir is the cluster-scale materialization path (reliable
+    parquet cuts instead of localCheckpoint): labels must be
     IDENTICAL to the default path, older round dirs must be swept as the
     loop advances, and the final round's files must survive for the
     returned frame's consumption."""
