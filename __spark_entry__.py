@@ -2598,6 +2598,122 @@ def _media_wav_audio_stats_oracle() -> str:
     """
 
 
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-15 over the documents table for a
+    fixed 4-term query (operators/retrieval.bm25_topk — the query shape
+    the reference's pair-only similarity tier lacks; textbook
+    Robertson/Lucene formula). Plan: tokenize narrow -> explode FILTERED
+    to the query terms (only matching postings shuffle) -> |Q|-row idf
+    broadcast -> one doc-key agg -> TakeOrderedAndProject. Score rounded
+    to 6 BEFORE ranking, ties by doc_id — the emb_cosine_topk float-rank
+    pattern. N/avgdl are two driver scalars (weighted-pagerank
+    verts.count() precedent); the oracle recomputes them exactly (both
+    engines average exact integer sums). NOT registered: r13 window
+    candidate (with media_wav_audio_stats); pre-validated in
+    tests/test_retrieval_lm.py::test_bm25_query_matches_oracle."""
+    from scabillmatch_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, ["hash", "join", "shuffle", "window"], k=15)
+
+
+def _doc_bm25_search_oracle() -> str:
+    """Oracle for the (unregistered until r13) BM25 query: the same
+    textbook formula over the shared token-list mirror. Float identity
+    notes: every constant is written as the same double literal/compute
+    the Spark side uses (1.2 + 1.0 COMPUTED, 0.25 written directly since
+    1.0 - 0.75 is exact); ln/sum-order ulp noise is absorbed by round(6)
+    before the rank, per the house convention."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(len(t)) AS avgdl
+        FROM toks
+    ),
+    posts AS (
+        SELECT doc_id, len(t) AS dl, u.term
+        FROM toks, UNNEST(t) AS u(term)
+        WHERE u.term IN ('hash', 'join', 'shuffle', 'window')
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM posts GROUP BY doc_id, dl, term
+    ),
+    idf AS (
+        SELECT term,
+               ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                   AS idf
+        FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+              FROM tf GROUP BY term)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           round(SUM(i.idf * t.tf * (1.2 + 1.0)
+                     / (t.tf + 1.2 * (0.25 + 0.75 * CAST(t.dl AS DOUBLE)
+                                             / (SELECT avgdl FROM stats)))),
+                 6) AS score
+    FROM tf t JOIN idf i USING (term)
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC
+    LIMIT 15"""
+
+
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality scoring: corpus-trained add-0.5-smoothed
+    bigram LM perplexity per document (operators/lm — the CCNet-shaped
+    filter; a bigram model keeps the math exactly oracle-able where a
+    KenLM 5-gram would be env-gated). Plan: two count aggregations train
+    the model (bounded by |vocab| resp. observed bigrams), scoring joins
+    each doc's bigrams to the count tables on natural keys (Catalyst
+    broadcasts the small synthetic-vocab tables; same plan shuffle-joins
+    at real vocab), one doc-key agg closes. No UDFs anywhere; exchanges
+    carry short grams + ids/counts, never document text. ppl rounded to
+    4 (sum-order/ulp absorption). NOT registered: r14 window candidate;
+    pre-validated in
+    tests/test_retrieval_lm.py::test_perplexity_query_matches_oracle."""
+    from scabillmatch_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi, v = train_bigram_lm(docs)
+    scored = score_perplexity(docs, uni, bi, v, add_k=0.5)
+    return scored.select(
+        "doc_id", "n_bigrams", F.round("ppl", 4).alias("ppl_r")
+    )
+
+
+def _doc_lm_perplexity_oracle() -> str:
+    """Oracle for the (unregistered until r14) perplexity query: same
+    count tables and the same add-k formula over the shared token-list
+    mirror; DuckDB range(1, len) is end-exclusive and lists index
+    1-based, giving exactly the adjacent-pair set. exp/ln/avg-order ulp
+    noise absorbed by round(4)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+    uni AS (
+        SELECT u.w AS w1, COUNT(*) AS c1
+        FROM toks, UNNEST(t) AS u(w) GROUP BY u.w
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM uni),
+    bg AS (
+        SELECT doc_id, t[CAST(r.i AS INT)] AS w1,
+               t[CAST(r.i AS INT) + 1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    scored AS (
+        SELECT g.doc_id,
+               ln((CAST(COALESCE(b.c2, 0) AS DOUBLE) + 0.5)
+                  / (CAST(COALESCE(u.c1, 0) AS DOUBLE)
+                     + 0.5 * (SELECT vs FROM v))) AS lp
+        FROM bg g
+        LEFT JOIN bic b ON b.w1 = g.w1 AND b.w2 = g.w2
+        LEFT JOIN uni u ON u.w1 = g.w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(exp(-AVG(lp)), 4) AS ppl_r
+    FROM scored GROUP BY doc_id"""
+
+
 def q_doc_pair_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The set-based similarity-measure family on real token sets
     (SimilarityMeasure.scala:78-165): weighted (skew-regularized), overlap

@@ -1,0 +1,150 @@
+"""Corpus-trained n-gram language-model scoring (CCNet-style perplexity).
+
+The CCNet pipeline (Wenzek et al., public) filters crawl text by the
+perplexity of a language model trained on trusted text; the same shape —
+train counts once, score every document, gate on the score — is the
+standard statistical-quality filter in LLM data curation. This module is
+the honest Spark-native version: an add-k-smoothed BIGRAM model whose
+counts come from the corpus itself (or any reference corpus frame), with
+per-document average negative log-likelihood and perplexity. A bigram
+model is deliberately simple enough to be exactly reproducible by the
+DuckDB oracle (a KenLM 5-gram would be env-gated the way JPEG decode is);
+the Spark plumbing — count tables, score joins, partitioning — is
+identical at higher orders.
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k * V)
+    nll(d)     = - (1 / n_bigrams(d)) * sum ln P(w2 | w1)
+    ppl(d)     = exp(nll(d))
+
+Scale shape: tokenization and bigram assembly are narrow Column
+expressions pipelined into the scan (no UDFs). Training is two hash
+aggregations — unigram counts (bounded by |vocab|) and bigram counts
+(bounded by observed bigrams; ``min_count`` prunes the long tail exactly
+like production LM pipelines). Scoring joins each document's bigrams to
+the two count tables on their natural keys — Catalyst broadcasts them
+when small and shuffle-joins when not; nothing is ever quadratic and no
+exchange carries document text (bigrams ride as short strings; ids and
+counts otherwise). The final per-doc aggregate is one shuffle on doc id.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions.text import tokens
+
+
+def _bigrams(tok_col: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs; empty below 2 tokens."""
+    size = F.size(tok_col)
+    idx = F.sequence(F.lit(1), size - F.lit(1))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(tok_col, i).alias("w1"),
+            F.element_at(tok_col, i + F.lit(1)).alias("w2"),
+        ),
+    )
+    return F.when(size >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def train_bigram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count tables for the bigram LM -> (unigrams, bigrams, vocab_size).
+
+    ``unigrams``: (w1, c1) — context counts (every token counted; the
+    last token of a document still conditions nothing but stays in the
+    vocabulary). ``bigrams``: (w1, w2, c2), rows with c2 < min_count
+    dropped (the tail-pruning knob; smoothing covers the pruned mass).
+    ``vocab_size`` is the add-k V — a driver scalar, exact.
+    """
+    toks = corpus.select(tokens(F.col(text_col)).alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        toks.select(F.explode(_bigrams(F.col("__toks"))).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    if min_count > 1:
+        bi = bi.filter(F.col("c2") >= min_count)
+    vocab_size = uni.count()
+    return uni, bi, vocab_size
+
+
+def score_perplexity(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram NLL/perplexity -> (id_col, n_bigrams, avg_nll,
+    ppl). Documents with < 2 tokens have no bigrams and are omitted
+    (score undefined — emitting a fake value would poison a quality
+    gate). Unseen bigrams and unseen contexts are both handled by add-k:
+    the count joins are LEFT joins with 0-coalesce."""
+    if vocab_size <= 0:
+        raise ValueError("score_perplexity: vocab_size must be positive")
+    doc_bg = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, F.explode(_bigrams(F.col("__toks"))).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    jb = doc_bg.join(bigrams, ["w1", "w2"], "left").select(
+        id_col, "w1", F.coalesce(F.col("c2"), F.lit(0)).alias("c2")
+    )
+    ju = jb.join(unigrams, "w1", "left").select(
+        id_col,
+        F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        "c2",
+    )
+    lp = F.log(
+        (F.col("c2").cast("double") + F.lit(float(add_k)))
+        / (
+            F.col("c1").cast("double")
+            + F.lit(float(add_k)) * F.lit(float(vocab_size))
+        )
+    )
+    return (
+        ju.select(id_col, lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.avg("lp")).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.exp("avg_nll"))
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    max_ppl: float,
+    add_k: float = 0.5,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end CCNet-shaped gate: train on ``docs``, score
+    ``docs``, keep rows with ppl <= max_ppl. Self-training flags the
+    statistical outliers (gibberish, boilerplate storms) relative to the
+    corpus's own register — the usual first pass when no trusted LM
+    corpus exists."""
+    uni, bi, v = train_bigram_lm(docs, text_col=text_col, min_count=min_count)
+    scored = score_perplexity(
+        docs, uni, bi, v, add_k=add_k, id_col=id_col, text_col=text_col
+    )
+    return docs.join(
+        scored.filter(F.col("ppl") <= max_ppl).select(id_col, "ppl"), id_col
+    )
