@@ -2714,6 +2714,84 @@ def _doc_lm_perplexity_oracle() -> str:
     FROM scored GROUP BY doc_id"""
 
 
+def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-data targeting: DSIR importance resampling
+    (operators/dsir — Xie et al. 2023, hashed-n-gram importance weights)
+    selecting the 25 documents whose uni+bigram bag is most
+    target-corpus-like, target = the corpus's English slice, raw = the
+    whole corpus. The 1024-bucket model is broadcast-sized at ANY corpus
+    size; scoring is one narrow gram explode + one (id, bucket) count +
+    one doc-key agg; selection adds md5-derived Gumbel noise (replayable,
+    engine-exact uniforms) and ranks by the round(6) key with id
+    tie-break. NOT registered: r14 window candidate (with
+    doc_lm_perplexity); pre-validated in
+    tests/test_dsir.py::test_dsir_query_matches_oracle."""
+    from scabillmatch_spark.operators.dsir import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # Column-predicate target -> the one-pass conditional-count model
+    # (dsir_log_ratios_cond); identical to the two-frame form, pinned in
+    # tests/test_dsir.py::test_cond_path_equals_two_frame_path
+    return dsir_resample(docs, F.col("lang") == "en", n=25)
+
+
+def _doc_dsir_select_oracle() -> str:
+    """Oracle for the (unregistered until r14) DSIR query: the full
+    pipeline restated — shared token-list mirror, uni+bigram stream,
+    house md5-int60 bucketing mod 1024, add-0.5 smoothed log-ratio table
+    over a complete bucket spine, per-doc weight, md5-Gumbel key. Float
+    notes: 512.0 (= add_k * B) and 2^60 are exact doubles; ln/sum-order
+    ulp noise absorbed by round(6) before the rank."""
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_DUCK_TOKLIST} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, lang, u.g FROM toks, UNNEST(t) AS u(g)
+        UNION ALL
+        SELECT doc_id, lang,
+               t[CAST(r.i AS INT)] || ' ' || t[CAST(r.i AS INT) + 1] AS g
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT % 1024
+                   AS bucket
+        FROM grams
+    ),
+    t_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM b WHERE lang = 'en'),
+    r_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS rt FROM b),
+    tcnt AS (SELECT bucket, COUNT(*) AS t_b FROM b WHERE lang = 'en'
+             GROUP BY bucket),
+    rcnt AS (SELECT bucket, COUNT(*) AS r_b FROM b GROUP BY bucket),
+    spine AS (SELECT CAST(r.i AS BIGINT) AS bucket FROM range(0, 1024) r(i)),
+    ratio AS (
+        SELECT s.bucket,
+               ln((CAST(COALESCE(t_b, 0) AS DOUBLE) + 0.5)
+                  / ((SELECT tt FROM t_tot) + 512.0))
+             - ln((CAST(COALESCE(r_b, 0) AS DOUBLE) + 0.5)
+                  / ((SELECT rt FROM r_tot) + 512.0)) AS log_ratio
+        FROM spine s
+        LEFT JOIN tcnt ON tcnt.bucket = s.bucket
+        LEFT JOIN rcnt ON rcnt.bucket = s.bucket
+    ),
+    feat AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+             GROUP BY doc_id, bucket),
+    sc AS (
+        SELECT f.doc_id,
+               SUM(f.cnt) AS n_grams,
+               SUM(CAST(f.cnt AS DOUBLE) * ratio.log_ratio) AS log_w
+        FROM feat f JOIN ratio ON ratio.bucket = f.bucket
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           round(log_w + -ln(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::UBIGINT::BIGINT)::DOUBLE + 1.0)
+               / 1152921504606846976.0)), 6) AS key
+    FROM sc
+    ORDER BY key DESC, doc_id ASC
+    LIMIT 25"""
+
+
 def q_doc_pair_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The set-based similarity-measure family on real token sets
     (SimilarityMeasure.scala:78-165): weighted (skew-regularized), overlap
