@@ -249,6 +249,26 @@ def cmd_curate(args) -> None:
     tc, idc = args.text_col, args.id_col
     if args.op == "decontaminate" and not args.eval_docs:
         sys.exit("curate --op decontaminate requires --eval-docs")
+    if args.op == "ppl-filter":
+        from scabillmatch_spark.operators.lm import perplexity_filter
+
+        out = perplexity_filter(
+            docs, max_ppl=args.max_ppl, min_count=args.min_count,
+            id_col=idc, text_col=tc,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        return
+    if args.op == "dsir":
+        from scabillmatch_spark.operators.dsir import dsir_resample
+
+        if not args.target_where:
+            sys.exit("curate --op dsir requires --target-where (SQL predicate)")
+        out = dsir_resample(
+            docs, F.expr(args.target_where), n=args.k,
+            n_buckets=args.buckets, id_col=idc, text_col=tc,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        return
     if args.op == "decontaminate":
         grams = docs.select(
             F.col(idc),
@@ -304,6 +324,21 @@ def cmd_curate(args) -> None:
         )
     else:  # repetition
         out = docs.select(idc, *curation.repetition_stats(tc, args.ngram))
+    out.write.mode("overwrite").parquet(args.output)
+
+
+def cmd_search(args) -> None:
+    from scabillmatch_spark.operators.retrieval import bm25_topk
+
+    spark = _spark(args)
+    docs = _read_docs(spark, args.input)
+    out = bm25_topk(
+        docs,
+        [t for t in args.terms.split(",") if t],
+        k=args.k,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
     out.write.mode("overwrite").parquet(args.output)
 
 
@@ -466,7 +501,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "decontaminate", "stratified-sample", "weighted-sample", "pack",
             "pii-scrub", "repetition", "paragraph-dedup", "mixture-sample",
-            "chunk",
+            "chunk", "ppl-filter", "dsir",
         ],
         required=True,
     )
@@ -481,7 +516,24 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--mix", help="stratum=fraction,... mixture weights (mixture-sample)")
     cu.add_argument("--chunk-tokens", type=int, default=256, help="window size (chunk)")
     cu.add_argument("--stride", type=int, default=192, help="window step (chunk)")
+    cu.add_argument("--max-ppl", type=float, default=1000.0,
+                    help="keep docs with bigram-LM perplexity <= this (ppl-filter)")
+    cu.add_argument("--min-count", type=int, default=1,
+                    help="bigram count-table tail prune (ppl-filter)")
+    cu.add_argument("--target-where", default=None,
+                    help="SQL predicate defining the DSIR target slice (dsir)")
+    cu.add_argument("--buckets", type=int, default=1024,
+                    help="hashed n-gram buckets (dsir)")
     cu.set_defaults(fn=cmd_curate)
+
+    bm = sub.add_parser("search", help="BM25 lexical top-k retrieval over a doc table")
+    bm.add_argument("--input", required=True)
+    bm.add_argument("--output", required=True)
+    bm.add_argument("--terms", required=True, help="comma-separated query terms")
+    bm.add_argument("--k", type=int, default=10)
+    bm.add_argument("--text-col", default="content")
+    bm.add_argument("--id-col", default="primary_key")
+    bm.set_defaults(fn=cmd_search)
 
     dd = sub.add_parser(
         "dedup-delta", help="incremental near-dup: new batch vs existing corpus"

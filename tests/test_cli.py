@@ -241,3 +241,31 @@ def test_cli_graph_paths(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {tuple(r.path) for r in rows} == {("a", "b", "c"), ("a", "d", "c")}
     assert all(r.length == 2 for r in rows)
+
+
+def test_cli_search_ppl_filter_and_dsir(spark, corpus, tmp_path):
+    out = str(tmp_path / "r12ops")
+    # BM25 search: agricultural docs outrank the taxation ones for these terms
+    cli.main(["search", "--input", corpus, "--output", out + "/bm25",
+              "--terms", "agricultural,water", "--k", "2"])
+    hits = spark.read.parquet(out + "/bm25").collect()
+    assert len(hits) == 2
+    assert all(r.primary_key.startswith(("ST30", "ST44")) for r in hits)
+    # perplexity filter: self-trained gate keeps everything at a loose cut
+    cli.main(["curate", "--input", corpus, "--output", out + "/ppl",
+              "--op", "ppl-filter", "--max-ppl", "100000"])
+    kept = spark.read.parquet(out + "/ppl")
+    assert kept.count() == 4 and "ppl" in kept.columns
+    # DSIR: target the agricultural register, top-2 selection must be it
+    cli.main(["curate", "--input", corpus, "--output", out + "/dsir",
+              "--op", "dsir", "--target-where", "state >= 30", "--k", "2",
+              "--buckets", "64"])
+    sel = spark.read.parquet(out + "/dsir").collect()
+    assert len(sel) == 2
+    assert all(r.primary_key.startswith(("ST30", "ST44")) for r in sel)
+    # missing --target-where fails loudly
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["curate", "--input", corpus, "--output", out + "/x",
+                  "--op", "dsir"])
