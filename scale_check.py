@@ -209,6 +209,59 @@ def graph_times(spark, sf_dir: str) -> tuple[dict, dict]:
     return bfs_res, w_res, cc_res
 
 
+def text_scoring_times(spark, docs: dict) -> tuple[dict, dict, dict]:
+    """BM25 / DSIR / bigram-ppl on the 1x/2x/4x doc copies (r12 ops).
+    Query terms are per-copy-prefixed (the corpus vocab is letter-tagged
+    per copy), so BM25's matched-postings work scales WITH the corpus —
+    an unprefixed query would match nothing past copy 1 and the check
+    would measure a no-op. DSIR targets doc_id parity (half of every
+    copy), ppl self-trains; all three should track gram volume
+    near-linearly — super-linear growth flags an un-broadcast model
+    table or an un-pruned explode."""
+    from scabillmatch_spark.operators.dsir import dsir_resample
+    from scabillmatch_spark.operators.lm import score_perplexity, train_bigram_lm
+    from scabillmatch_spark.operators.retrieval import bm25_topk
+
+    def bm25_run(c):
+        terms = [
+            "q" + chr(97 + i) + t
+            for i in range(c)
+            for t in ("hash", "join", "shuffle", "window")
+        ]
+        bm25_topk(docs[c], terms, k=10).count()
+
+    def dsir_run(c):
+        dsir_resample(
+            docs[c], (F.col("doc_id") % 2 == 0), n=25, n_buckets=1024
+        ).count()
+
+    def ppl_run(c):
+        uni, bi, v = train_bigram_lm(docs[c])
+        score_perplexity(docs[c], uni, bi, v).count()
+
+    runs = {"bm25": bm25_run, "dsir": dsir_run, "ppl": ppl_run}
+    res: dict[str, dict] = {k: {} for k in runs}
+    for c in (1, 2, 4):  # one untimed warm pass per point (codegen/AQE)
+        for fn in runs.values():
+            fn(c)
+    for _round in range(2):  # interleaved min-of-2
+        for c in (1, 2, 4):
+            for name, fn in runs.items():
+                t0 = time.perf_counter()
+                fn(c)
+                dt = time.perf_counter() - t0
+                res[name][c] = min(res[name].get(c, dt), dt)
+    for c in (1, 2, 4):
+        print(
+            "# text_scoring copies=%d bm25=%.2fs dsir=%.2fs ppl=%.2fs"
+            % (c, res["bm25"][c], res["dsir"][c], res["ppl"][c]),
+            file=sys.stderr,
+        )
+        for name in runs:
+            res[name][c] = round(res[name][c], 2)
+    return res["bm25"], res["dsir"], res["ppl"]
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale_check")
@@ -256,6 +309,7 @@ def main() -> None:
             f" {flag_trials[c]} dedup={dedup_results[c]}s {dedup_trials[c]}",
             file=sys.stderr,
         )
+    bm25_res, dsir_res, ppl_res = text_scoring_times(spark, docs)
     bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
     print(
         json.dumps(
@@ -264,6 +318,9 @@ def main() -> None:
                 "unit": "sec",
                 "copies": results,
                 "dedup": dedup_results,
+                "bm25": bm25_res,
+                "dsir": dsir_res,
+                "ppl": ppl_res,
                 "graph_bfs": bfs_res,
                 "graph_weighted": w_res,
                 "graph_cc": cc_res,
