@@ -203,3 +203,58 @@ def test_perplexity_query_matches_oracle(spark):
     _gate_compare(
         spark, entrymod.q_doc_lm_perplexity, entrymod._doc_lm_perplexity_oracle()
     )
+
+
+# ------------------------------------------------- hypothesis properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_words = st.sampled_from(
+    ["scan", "hash", "join", "row", "fast", "slow", "merge", "table", "the"]
+)
+_texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+_corpora = st.lists(_texts, min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpora, st.lists(_words, min_size=1, max_size=3, unique=True))
+def test_bm25_property_matches_python(spark, corpus_texts, query):
+    """Random small corpora: Spark BM25 == the exact textbook recompute
+    for every retrieved doc, and docs with no query term never appear.
+    Empty documents stay in the corpus (they shape N and avgdl exactly
+    as the engine sees them) — only the expected-hit map drops them."""
+    rows = [(i, t) for i, t in enumerate(corpus_texts)]
+    expected = _bm25_expected({i: t.split() for i, t in rows}, query)
+    got = {
+        r.doc_id: (r.n_hits, r.score)
+        for r in bm25_scores(_tiny_docs(spark, rows), query).collect()
+    }
+    assert set(got) == set(expected)
+    for d, (hits, s) in expected.items():
+        assert got[d][0] == hits
+        assert got[d][1] == pytest.approx(s, abs=1e-10)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpora)
+def test_perplexity_property_matches_python(spark, corpus_texts):
+    """Random small corpora: per-doc n_bigrams/NLL/ppl == the exact
+    pure-Python recompute; docs with < 2 tokens are always omitted."""
+    rows = [(i, t) for i, t in enumerate(corpus_texts)]
+    corpus = {i: t.split() for i, t in rows}
+    docs = _tiny_docs(spark, rows)
+    uni, bi, v = train_bigram_lm(docs)
+    if v == 0:  # every document empty: no vocabulary, scoring must refuse
+        with pytest.raises(ValueError, match="vocab_size"):
+            score_perplexity(docs, uni, bi, v)
+        return
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll, r.ppl)
+        for r in score_perplexity(docs, uni, bi, v).collect()
+    }
+    expected = _ppl_expected(corpus)
+    assert set(got) == set(expected)
+    for d, (nb, nll, ppl) in expected.items():
+        assert got[d][0] == nb
+        assert got[d][1] == pytest.approx(nll, abs=1e-10)
+        assert got[d][2] == pytest.approx(ppl, abs=1e-8)
