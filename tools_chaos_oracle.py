@@ -28,26 +28,26 @@ TABLES = (
 )
 
 # every entry whose Spark plan, oracle SQL, or shared machinery changed
-# in round 11: the two NEW registered rows (doc_label_propagation,
-# io_xml_roundtrip), the whole graph family (unpersist hygiene landed in
-# CC/BFS/Bellman-Ford/LPA/pagerank_pregel and the pregel queries now
-# release/localCheckpoint their caches — exactly the shared-cache class
-# chaos exists to flush), and the forensic-append flock rework's two
-# historically-red consumers
+# in round 12: the two NEW registered rows (graph_bfs_paths — which also
+# exercises the bfs validate-before-cache reorder — and
+# graph_cluster_audit, composing CC x LPA), every query over a loop
+# operator the _RoundCuts rework touched (pregel/LPA/CC/k-core call
+# sites restructured even though the local path is behaviorally
+# unchanged — exactly the shared-cache/lineage class chaos exists to
+# flush), and the forensic-append rotation-skip rework's two consumers
 DEFAULT_SET = [
+    "graph_bfs_paths",
+    "graph_cluster_audit",
     "doc_label_propagation",
-    "io_xml_roundtrip",
-    "io_csv_roundtrip",
+    "doc_dup_clusters",
     "doc_dedup_rewrite",
     "graph_pregel_walks",
     "graph_weighted_pagerank",
     "graph_pagerank",
-    "graph_open_triangles",
-    "graph_triangle_count",
     "graph_kcore",
     "graph_shortest_paths",
     "graph_weighted_paths",
-    "doc_dup_clusters",
+    "io_csv_roundtrip",
 ]
 
 
