@@ -2792,6 +2792,80 @@ def _doc_dsir_select_oracle() -> str:
     LIMIT 25"""
 
 
+def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication report
+    (operators/substring.duplicate_ngram_spans — the Lee et al. 2021
+    sub-document dedup shape, distributed as a positional rolling-hash
+    window census instead of the paper's single-machine suffix array):
+    every 20-token window appearing in >= 2 distinct documents, merged
+    into maximal per-doc token spans. Entirely integer/string-exact — no
+    floats anywhere, the spans string is a full witness. Plan: gram
+    stream is (doc_id, pos, gram) longs; one combine-heavy census
+    shuffle on gram, one semi-join back, one doc-key span-merge agg.
+    NOT registered: r15 window candidate; pre-validated in
+    tests/test_substring.py::test_substring_query_matches_oracle."""
+    from scabillmatch_spark.operators.substring import duplicate_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # num_partitions: the single-parquet-file local input otherwise runs
+    # the md5+window-hash projection in ONE task (24 s -> ~2 s measured)
+    return duplicate_ngram_spans(
+        docs, n=20, min_docs=2,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _doc_substring_dup_oracle(n: int = 20) -> str:
+    """Oracle for the (unregistered until r15) substring-dup query: same
+    positional rolling hash over the shared ordered token-id mirror
+    (window slice is 1-based inclusive in DuckDB: t[i : i+n-1]), census
+    via HAVING count(distinct doc), span merge as gaps-and-islands (a
+    window starts a new island exactly when pos - lag(pos) > n — the
+    same rule as the engine's fold, which merges on p <= last.e)."""
+    from scabillmatch_spark.functions.text import HASH_PRIME, SHINGLE_B
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+    w AS (
+        SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+               list_reduce(
+                   list_transform(
+                       t[CAST(r.i AS INT) : CAST(r.i AS INT) + {n - 1}],
+                       x -> x % {HASH_PRIME}),
+                   (acc, x) -> (acc * {SHINGLE_B} + x) % {HASH_PRIME}
+               ) AS gram
+        FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    ),
+    dup AS (
+        SELECT gram FROM w GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM w WHERE gram IN (SELECT gram FROM dup)),
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > {n}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM lagged
+    ),
+    sp AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {n} AS e,
+               COUNT(*) AS nw
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+           string_agg(s || '-' || e, ';' ORDER BY s) AS spans
+    FROM sp GROUP BY doc_id"""
+
+
 def q_doc_pair_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The set-based similarity-measure family on real token sets
     (SimilarityMeasure.scala:78-165): weighted (skew-regularized), overlap

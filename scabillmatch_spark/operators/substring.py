@@ -1,0 +1,155 @@
+"""Cross-document EXACT-substring duplication (the Lee et al. 2021
+"Deduplicating Training Data Makes Language Models Better" shape,
+arXiv:2107.06499): find every n-token window whose content appears in
+more than one document, and report each document's duplicated regions as
+merged token spans.
+
+This is the third, finest-grained member of the dedup family — doc-level
+MinHash (near-dup sets), paragraph-level C4 dedup (unit hashes), and now
+sub-document exact substrings (boilerplate licenses, quoted passages,
+templated headers that survive both coarser passes). The paper builds a
+corpus-wide suffix array on one large machine; the distributed
+re-expression is a POSITIONAL n-gram census: every n-token window gets
+the same integer rolling-hash id the MinHash tier already uses
+(functions/text.ngram_ids_from_token_ids' fold — one md5 per token, pure
+integer math per window, engine-exact), windows whose id occurs in >=
+min_docs distinct documents are duplicate witnesses, and a document's
+witnesses merge into maximal spans with one fold. A window of n tokens
+equals an exact n-token substring match up to rolling-hash collisions
+(P = 2038074743; expected cross-collisions ~ (#distinct windows)^2 / 2P
+— negligible below ~10^4 distinct windows and quantified, not hidden, at
+scale; the paper's suffix array is collision-free but single-machine).
+
+Scale shape: the gram stream is (doc_id, pos, gram_id) — three longs per
+token, no text ever leaves the scan projection. One shuffle keyed on
+gram_id for the census (combine-heavy: duplicated grams collapse
+map-side), one semi-join to keep witness positions, one doc-key
+aggregation to merge spans. Census size is bounded by distinct window
+ids, witness volume by actually-duplicated tokens — never corpus^2.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scabillmatch_spark.functions.text import (
+    HASH_PRIME,
+    SHINGLE_B,
+    ordered_token_ids,
+)
+
+
+def positional_ngram_ids(tok_ids_col: Column, n: int) -> Column:
+    """ORDERED array<long> of rolling-hash window ids (one per n-token
+    window, duplicates kept — element i covers 0-based token positions
+    [i, i+n)). Same fold as ngram_ids_from_token_ids, minus the
+    sort/distinct that makes that one a set."""
+    size = F.size(tok_ids_col)
+    idx = F.sequence(F.lit(1), size - F.lit(n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(tok_ids_col, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * SHINGLE_B + x % HASH_PRIME) % HASH_PRIME,
+        ),
+    )
+    return F.when(size >= n, gram).otherwise(F.array().cast("array<long>"))
+
+
+def _merge_spans(sorted_pos: Column, n: int) -> Column:
+    """Fold 0-based window starts (SORTED) into maximal merged spans
+    array<struct<s,e>> (e exclusive): a start within or adjacent to the
+    running span (p <= last.e) extends it, else opens a new one."""
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+    return F.aggregate(
+        sorted_pos,
+        empty,
+        lambda acc, p: F.when(
+            (F.size(acc) == 0) | (p > F.element_at(acc, -1)["e"]),
+            F.concat(
+                acc,
+                F.array(F.struct(p.alias("s"), (p + F.lit(n)).alias("e"))),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + F.lit(n)
+                        ).alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-substring report -> (id_col, n_dup_windows,
+    n_spans, dup_tokens, spans). Only documents containing at least one
+    cross-document duplicate window appear. ``spans`` is the merged
+    0-based token-span list rendered ``s-e`` (e exclusive) joined by
+    ``;`` — a fixed-schema witness the gate can value-hash.
+    ``dup_tokens`` = total tokens covered by the merged spans (the
+    number a removal pass would strip).
+
+    ``num_partitions``: spread the tokenize+window-hash projection (the
+    CPU term — one md5 per token plus an O(n) fold per window) over this
+    many tasks BEFORE the explode. Needed when the input is a handful of
+    small files (local runs: one 5k-doc parquet file = one task = a
+    24 s scan, measured); at real corpus scale input splits already
+    provide the parallelism and the knob should stay None — a blanket
+    text repartition at 100 TB would be a full-corpus shuffle."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions, id_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            positional_ngram_ids(ordered_token_ids(F.col(text_col)), n)
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi")
+    spans = F.col("__spans")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+            F.array_sort(F.collect_list(F.col("pos").cast("long"))).alias("__pos"),
+        )
+        .withColumn("__spans", _merge_spans(F.col("__pos"), n))
+        .select(
+            id_col,
+            "n_dup_windows",
+            F.size(spans).cast("long").alias("n_spans"),
+            F.aggregate(
+                spans,
+                F.lit(0).cast("long"),
+                lambda acc, sp: acc + sp["e"] - sp["s"],
+            ).alias("dup_tokens"),
+            F.array_join(
+                F.transform(
+                    spans,
+                    lambda sp: F.concat_ws(
+                        "-", sp["s"].cast("string"), sp["e"].cast("string")
+                    ),
+                ),
+                ";",
+            ).alias("spans"),
+        )
+    )

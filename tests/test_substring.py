@@ -1,0 +1,133 @@
+"""Exact-substring duplication (r15 window candidate): golden behavior
+on handmade corpora, an exact pure-Python recompute property, and the
+gate-shaped pre-validation of the unregistered driver row."""
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from scabillmatch_spark.operators.substring import duplicate_ngram_spans
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [w for w in re.sub(r"[0-9,:;?!.]", "", text.lower()).split(" ") if w]
+
+
+def _py_spans(rows, n, min_docs=2):
+    """Exact reference: window CONTENT tuples (collision-free — stricter
+    than the engine's rolling hash, so agreement also certifies no
+    collision fired on the test corpora)."""
+    wins: dict[int, list[tuple]] = {}
+    for d, tx in rows:
+        t = _py_tokens(tx)
+        wins[d] = [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for d, ws in wins.items():
+        for w in ws:
+            owners[w].add(d)
+    out = {}
+    for d, ws in wins.items():
+        pos = [i for i, w in enumerate(ws) if len(owners[w]) >= min_docs]
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + n))
+            else:
+                spans.append((p, p + n))
+        out[d] = (
+            len(pos),
+            len(spans),
+            sum(e - s for s, e in spans),
+            ";".join(f"{s}-{e}" for s, e in spans),
+        )
+    return out
+
+
+def test_shared_license_block_is_found_and_merged(spark):
+    lic = "this block is licensed under the common terms " * 2  # 16 tokens
+    rows = [
+        (1, lic + "alpha beta gamma delta unique one"),
+        (2, "prefix words here " + lic + "totally different tail two"),
+        (3, "no shared content at all in this document three"),
+    ]
+    got = {
+        r.doc_id: (r.n_dup_windows, r.n_spans, r.dup_tokens, r.spans)
+        for r in duplicate_ngram_spans(_docs(spark, rows), n=8).collect()
+    }
+    assert got == _py_spans(rows, 8)
+    assert 3 not in got  # untouched doc never appears
+    assert got[1][1] == 1  # the license block merges into ONE span
+
+
+def test_within_doc_repetition_alone_does_not_count(spark):
+    rows = [
+        (1, "repeat me now " * 6),  # self-repetition only
+        (2, "completely other words in play here today"),
+    ]
+    assert duplicate_ngram_spans(_docs(spark, rows), n=6).count() == 0
+
+
+def test_three_way_duplicate_and_min_docs(spark):
+    blk = "zero one two three four five six seven "
+    rows = [(i, f"head{i} " + blk + f"tail{i}") for i in (1, 2, 3)]
+    df2 = duplicate_ngram_spans(_docs(spark, rows), n=8, min_docs=2)
+    df3 = duplicate_ngram_spans(_docs(spark, rows), n=8, min_docs=3)
+    assert df2.count() == 3 == df3.count()  # shared by all three either way
+    df4 = duplicate_ngram_spans(_docs(spark, rows), n=8, min_docs=4)
+    assert df4.count() == 0
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_texts = st.lists(_words, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texts, min_size=2, max_size=5))
+def test_substring_property_matches_python(spark, texts):
+    """Tiny alphabet => dense accidental window sharing: engine output
+    equals the collision-free content-tuple recompute exactly."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r.doc_id: (r.n_dup_windows, r.n_spans, r.dup_tokens, r.spans)
+        for r in duplicate_ngram_spans(_docs(spark, rows), n=4).collect()
+    }
+    assert got == _py_spans(rows, 4)
+
+
+def test_substring_query_matches_oracle(spark):
+    """r15 pre-validation: the unregistered q_doc_substring_dup matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_doc_substring_dup(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(df, rows, con, entrymod._doc_substring_dup_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
