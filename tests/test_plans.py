@@ -128,6 +128,33 @@ def test_registry_plan_no_cartesian(spark, name):
         )
 
 
+# Pre-validated driver rows BANKED for future windows (r13-r15) — plan-gated
+# HERE, before registration, so a scale-shape defect is caught when the row
+# is built, not when its window lands (the registry-wide gate above only
+# sees queries() entries).
+_BANKED_PREVALIDATED = [
+    "q_media_wav_audio_stats",
+    "q_doc_bm25_search",
+    "q_doc_lm_perplexity",
+    "q_doc_dsir_select",
+    "q_doc_substring_dup",
+]
+
+
+@pytest.mark.parametrize("fname", _BANKED_PREVALIDATED)
+def test_banked_row_plan_no_cartesian(spark, fname):
+    """Same no-cartesian/no-BNLJ rule as the registry gate, applied to the
+    banked unregistered rows at build time. None currently needs a BNLJ
+    allowance — add a justified allow-list entry if a future banked row
+    legitimately broadcast-attaches."""
+    df = getattr(entrymod, fname)(spark, SF)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan, f"{fname}: cartesian in final plan"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{fname}: unexpected nested-loop join"
+    )
+
+
 def test_q19_disjunction_extracts_equi_key(spark):
     """The OR-of-conjunctions predicate must ride a hash join on p_partkey
     as a residual, never degrade to a nested-loop/cartesian join."""
