@@ -3136,6 +3136,13 @@ def q_emb_arrow_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered r8+ row — thin wrapper over :func:`_emb_near_dup_pairs`
+    (pure code motion in r12 so q_emb_semantic_dedup can reuse the exact
+    pair relation; the plan is unchanged)."""
+    return _emb_near_dup_pairs(spark, sf_dir)
+
+
+def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate DETECTION (the dedup-tier sibling of
     the ANN queries) as a three-stage verify cascade: find all vector pairs
     with cosine >= 0.98 via
@@ -3288,6 +3295,62 @@ def _emb_near_dup_oracle() -> str:
         )
         SELECT id1, id2, cos_sim FROM scored WHERE cos_sim >= {_ND_COS_THRESHOLD}
     """
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup CLUSTERS (the SemDeDup-shaped closer for the
+    vector side, as doc_dup_clusters is for text): the exact
+    emb_cosine_near_dup pair relation (LSH-banded + Hamming + exact
+    cosine — shared verbatim via _emb_near_dup_pairs, so this query
+    composes two already-driver-green components) becomes a graph,
+    connected components group mutual near-duplicates transitively, and
+    each cluster reports its keeper (min vec_id = the component label),
+    member count, drop count, and integer membership fingerprints
+    (SUM/MAX of ids — exact, no float discipline needed). Published
+    SemDeDup (Abbas et al. 2023) buckets by k-means, which no SQL oracle
+    can reproduce; the LSH-bucketed variant keeps the whole pipeline
+    typed-exact end-to-end. Exchanges carry ids/longs only; CC is
+    O(log d) pointer-doubling rounds over the tiny pair set. NOT
+    registered: r15 window candidate (with doc_substring_dup);
+    pre-validated in
+    tests/test_substring.py::test_semantic_dedup_query_matches_oracle."""
+    from scabillmatch_spark.operators import graph
+
+    pairs = _emb_near_dup_pairs(spark, sf_dir)
+    comp = graph.connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+        num_shuffle_partitions=8,
+    )
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_to_drop"),
+        F.sum("id").cast("long").alias("id_sum"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+def _emb_semantic_dedup_oracle() -> str:
+    """Oracle for the (unregistered until r15) semantic-dedup query: the
+    near-dup oracle verbatim as a nested CTE (its WITH is legal inside a
+    derived table), undirected reach for components, integer rollups."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_emb_near_dup_oracle()}),
+    und(s, d) AS (
+        SELECT id1, id2 FROM pairs UNION ALL SELECT id2, id1 FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM und),
+    reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, u.d FROM reach r JOIN und u ON u.s = r.b
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_to_drop,
+           CAST(SUM(id) AS BIGINT) AS id_sum,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM comp GROUP BY component"""
 
 
 def _featured_docs(spark: SparkSession, sf_dir: str):

@@ -138,6 +138,7 @@ _BANKED_PREVALIDATED = [
     "q_doc_lm_perplexity",
     "q_doc_dsir_select",
     "q_doc_substring_dup",
+    "q_emb_semantic_dedup",
 ]
 
 

@@ -131,3 +131,29 @@ def test_substring_query_matches_oracle(spark):
     assert all(
         res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
     ), res
+
+
+def test_semantic_dedup_query_matches_oracle(spark):
+    """r15 pre-validation #2: the unregistered q_emb_semantic_dedup
+    (exact emb near-dup pairs -> CC clusters -> keeper rollups) matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_emb_semantic_dedup(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    # planted variant copies guarantee clusters at every scale factor
+    assert rows
+    res = compare_typed(df, rows, con, entrymod._emb_semantic_dedup_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
