@@ -153,3 +153,84 @@ def duplicate_ngram_spans(
             ).alias("spans"),
         )
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    checksum_mod: int = 1_000_000_007,
+) -> DataFrame:
+    """The APPLY step for :func:`duplicate_ngram_spans` (as
+    doc_dedup_rewrite applies CC clusters and dedup_paragraphs rewrites
+    units): drop every token covered by a cross-document duplicate span
+    and return the surviving corpus as exact integer facts ->
+    (id_col, n_tokens, dropped_tokens, kept_tokens, kept_checksum).
+    EVERY document appears (untouched ones with dropped_tokens = 0) —
+    a rewrite that loses rows is a bug, and the contract makes that
+    visible. ``kept_checksum`` = sum of (token_id % checksum_mod) over
+    surviving positions IN ORDER-FREE form — the house arithmetic
+    fingerprint: any wrong keep/drop decision shifts it.
+
+    Plan: the span pipeline is the detect operator's (census shuffle +
+    semi-join + doc-key merge); the apply side is ONE left join of the
+    per-doc token-id arrays onto their span arrays followed by narrow
+    array expressions (coverage test per position, O(tokens x spans)
+    per doc with spans few by construction). Exchanges carry longs and
+    bounded span structs only."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions, id_col)
+    toks = docs.select(
+        F.col(id_col), ordered_token_ids(F.col(text_col)).alias("__tids")
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(positional_ngram_ids(F.col("__tids"), n)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    spans = (
+        grams.join(dup, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.col("pos").cast("long"))).alias("__pos"))
+        .select(id_col, _merge_spans(F.col("__pos"), n).alias("__spans"))
+    )
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+    joined = toks.join(spans, id_col, "left").select(
+        id_col,
+        "__tids",
+        F.coalesce("__spans", empty).alias("__spans"),
+    )
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (p >= sp["s"]) & (p < sp["e"])
+    )
+    n_tokens = F.size("__tids").cast("long")
+    # sequence(0, -1) is a DESCENDING [0, -1] in Spark, not empty — guard
+    # the zero-token doc explicitly.
+    all_pos = F.when(
+        n_tokens > 0, F.sequence(F.lit(0).cast("long"), n_tokens - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    kept_pos = F.filter(all_pos, lambda p: ~covered(p))
+    kept = F.size(kept_pos).cast("long")
+    return joined.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        (n_tokens - kept).alias("dropped_tokens"),
+        kept.alias("kept_tokens"),
+        F.aggregate(
+            kept_pos,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.element_at(F.col("__tids"), (p + 1).cast("int"))
+            % F.lit(checksum_mod),
+        ).alias("kept_checksum"),
+    )

@@ -157,3 +157,64 @@ def test_semantic_dedup_query_matches_oracle(spark):
     assert all(
         res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
     ), res
+
+
+def _py_strip(rows, n, min_docs=2, mod=1_000_000_007):
+    """Exact reference for strip_duplicate_spans: md5-derived token ids
+    (the engine's token_id), content-tuple span logic."""
+    import hashlib
+
+    def tid(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    spans_by_doc = {d: [] for d, _ in rows}
+    for d, rep in _py_spans(rows, n, min_docs).items():
+        spans_by_doc[d] = [
+            tuple(map(int, se.split("-"))) for se in rep[3].split(";")
+        ]
+    out = {}
+    for d, tx in rows:
+        t = _py_tokens(tx)
+        cov = set()
+        for s, e in spans_by_doc[d]:
+            cov.update(range(s, e))
+        kept = [i for i in range(len(t)) if i not in cov]
+        out[d] = (
+            len(t),
+            len(t) - len(kept),
+            len(kept),
+            sum(tid(t[i]) % mod for i in kept),
+        )
+    return out
+
+
+def test_strip_duplicate_spans_matches_python(spark):
+    from scabillmatch_spark.operators.substring import strip_duplicate_spans
+
+    lic = "this block is licensed under the common terms " * 2
+    rows = [
+        (1, lic + "alpha beta gamma delta unique one"),
+        (2, "prefix words here " + lic + "totally different tail two"),
+        (3, "no shared content at all in this document three"),
+        (4, ""),  # zero-token doc must survive with zeros
+    ]
+    got = {
+        r.doc_id: (r.n_tokens, r.dropped_tokens, r.kept_tokens, r.kept_checksum)
+        for r in strip_duplicate_spans(_docs(spark, rows), n=8).collect()
+    }
+    assert got == _py_strip(rows, 8)
+    assert got[3][1] == 0 and got[3][0] == got[3][2]  # untouched, all kept
+    assert got[4] == (0, 0, 0, 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_texts, min_size=2, max_size=5))
+def test_strip_property_matches_python(spark, texts):
+    from scabillmatch_spark.operators.substring import strip_duplicate_spans
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {
+        r.doc_id: (r.n_tokens, r.dropped_tokens, r.kept_tokens, r.kept_checksum)
+        for r in strip_duplicate_spans(_docs(spark, rows), n=4).collect()
+    }
+    assert got == _py_strip(rows, 4)
