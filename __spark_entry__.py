@@ -2866,6 +2866,96 @@ def _doc_substring_dup_oracle(n: int = 20) -> str:
     FROM sp GROUP BY doc_id"""
 
 
+def q_doc_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step for q_doc_substring_dup (as doc_dedup_rewrite
+    applies the CC clusters): drop every token covered by a
+    cross-document duplicate span and report the surviving corpus as
+    exact integer facts per doc — (n_tokens, dropped_tokens,
+    kept_tokens, kept_checksum), every doc present (untouched ones with
+    dropped_tokens = 0). kept_checksum = sum(token_id % p) over
+    surviving positions: an order-free arithmetic fingerprint — any
+    wrong keep/drop decision shifts it. Plan: the detect side is the
+    census pipeline (gram-key shuffle + semi-join + doc-key merge); the
+    apply side is ONE left join of per-doc token-id arrays onto span
+    arrays + narrow array expressions. Exchanges carry longs and
+    bounded span structs only. NOT registered: r16 window candidate;
+    pre-validated in
+    tests/test_substring.py::test_substring_rewrite_matches_oracle."""
+    from scabillmatch_spark.operators.substring import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_duplicate_spans(
+        docs, n=20, min_docs=2,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _doc_substring_rewrite_oracle(n: int = 20) -> str:
+    """Oracle for the (unregistered until r16) substring-rewrite query:
+    the dup oracle's span CTEs verbatim, then per-position coverage via
+    NOT EXISTS against the merged spans and the same mod-1e9+7 token-id
+    checksum. LEFT JOIN from toks keeps zero-token and untouched docs."""
+    from scabillmatch_spark.functions.text import HASH_PRIME, SHINGLE_B
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+    w AS (
+        SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+               list_reduce(
+                   list_transform(
+                       t[CAST(r.i AS INT) : CAST(r.i AS INT) + {n - 1}],
+                       x -> x % {HASH_PRIME}),
+                   (acc, x) -> (acc * {SHINGLE_B} + x) % {HASH_PRIME}
+               ) AS gram
+        FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    ),
+    dup AS (
+        SELECT gram FROM w GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM w WHERE gram IN (SELECT gram FROM dup)),
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > {n}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM lagged
+    ),
+    sp AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {n} AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    pos AS (
+        SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS p,
+               t[CAST(r.i AS INT)] AS tid
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+    ),
+    kept AS (
+        SELECT pos.doc_id, pos.tid FROM pos
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sp
+            WHERE sp.doc_id = pos.doc_id AND pos.p >= sp.s AND pos.p < sp.e
+        )
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS kept_n,
+               SUM(tid % 1000000007) AS cksum
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(len(toks.t) - COALESCE(agg.kept_n, 0) AS BIGINT)
+               AS dropped_tokens,
+           CAST(COALESCE(agg.kept_n, 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(agg.cksum, 0) AS BIGINT) AS kept_checksum
+    FROM toks LEFT JOIN agg USING (doc_id)"""
+
+
 def q_doc_pair_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The set-based similarity-measure family on real token sets
     (SimilarityMeasure.scala:78-165): weighted (skew-regularized), overlap

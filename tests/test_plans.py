@@ -139,6 +139,7 @@ _BANKED_PREVALIDATED = [
     "q_doc_dsir_select",
     "q_doc_substring_dup",
     "q_emb_semantic_dedup",
+    "q_doc_substring_rewrite",
 ]
 
 

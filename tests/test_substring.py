@@ -133,6 +133,33 @@ def test_substring_query_matches_oracle(spark):
     ), res
 
 
+def test_substring_rewrite_matches_oracle(spark):
+    """r16 pre-validation: the unregistered q_doc_substring_rewrite
+    (apply step — strip covered tokens, arithmetic keep-checksum)
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_doc_substring_rewrite(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    # the rewrite must cover EVERY document, touched or not
+    assert len(rows) == con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    res = compare_typed(df, rows, con, entrymod._doc_substring_rewrite_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
+
+
 def test_semantic_dedup_query_matches_oracle(spark):
     """r15 pre-validation #2: the unregistered q_emb_semantic_dedup
     (exact emb near-dup pairs -> CC clusters -> keeper rollups) matches
