@@ -2598,6 +2598,43 @@ def _media_wav_audio_stats_oracle() -> str:
     """
 
 
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval: every document containing the 2-token
+    phrase "table scan", with occurrence count and earliest position
+    (operators/retrieval.phrase_search — the positional-index anchor
+    trick: posting for phrase index i at pos p -> anchor p - i; an
+    occurrence is an anchor holding all indices). Overlapping matches
+    each count. All-integer output. Plan: posexplode FILTERED to the
+    phrase terms pre-shuffle, len(phrase)-row broadcast spec, two
+    doc-key aggs; every exchange carries three longs. NOT registered:
+    r16 window candidate (with doc_substring_rewrite); pre-validated in
+    tests/test_retrieval_lm.py::test_phrase_search_matches_oracle."""
+    from scabillmatch_spark.operators.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs, ["table", "scan"])
+
+
+def _doc_phrase_search_oracle(phrase: tuple = ("table", "scan")) -> str:
+    """Oracle for the (unregistered until r16) phrase query: scan every
+    window start over the shared token-list mirror and test positional
+    equality term-by-term (DuckDB lists are 1-based)."""
+    conds = " AND ".join(
+        f"t[CAST(r.i AS INT) + {i}] = '{w}'" for i, w in enumerate(phrase)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKLIST} AS t FROM documents),
+    anchors AS (
+        SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS a
+        FROM toks, UNNEST(range(1, len(t) - {len(phrase) - 2})) AS r(i)
+        WHERE {conds}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a) AS BIGINT) AS first_pos
+    FROM anchors GROUP BY doc_id"""
+
+
 def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval: BM25 top-15 over the documents table for a
     fixed 4-term query (operators/retrieval.bm25_topk — the query shape

@@ -328,17 +328,19 @@ def cmd_curate(args) -> None:
 
 
 def cmd_search(args) -> None:
-    from scabillmatch_spark.operators.retrieval import bm25_topk
+    from scabillmatch_spark.operators.retrieval import bm25_topk, phrase_search
 
     spark = _spark(args)
     docs = _read_docs(spark, args.input)
-    out = bm25_topk(
-        docs,
-        [t for t in args.terms.split(",") if t],
-        k=args.k,
-        id_col=args.id_col,
-        text_col=args.text_col,
-    )
+    terms = [t for t in args.terms.split(",") if t]
+    if args.phrase:
+        out = phrase_search(
+            docs, terms, id_col=args.id_col, text_col=args.text_col
+        )
+    else:
+        out = bm25_topk(
+            docs, terms, k=args.k, id_col=args.id_col, text_col=args.text_col
+        )
     out.write.mode("overwrite").parquet(args.output)
 
 
@@ -533,6 +535,10 @@ def build_parser() -> argparse.ArgumentParser:
     bm.add_argument("--k", type=int, default=10)
     bm.add_argument("--text-col", default="content")
     bm.add_argument("--id-col", default="primary_key")
+    bm.add_argument(
+        "--phrase", action="store_true",
+        help="treat --terms as an exact ordered phrase (positional match)",
+    )
     bm.set_defaults(fn=cmd_search)
 
     dd = sub.add_parser(

@@ -123,3 +123,59 @@ def bm25_topk(
         id_col, "n_hits", F.round("score", round_digits).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-token phrase matching via positional postings ->
+    (id_col, n_matches, first_pos), matching docs only. Overlapping
+    occurrences each count ("batch batch batch" matches the phrase
+    "batch batch" at anchors 0 AND 1); ``first_pos`` is the 0-based
+    token position of the earliest occurrence. All-integer output — no
+    float discipline needed.
+
+    The distributed shape is the classic positional-index trick: a
+    posting for phrase index i at token position p is normalized to
+    ``anchor = p - i``; a phrase occurrence at anchor a is exactly the
+    anchors holding ALL len(phrase) distinct indices. The posexplode is
+    filtered to the phrase's terms BEFORE anything shuffles (postings
+    of the phrase terms only — work proportional to matching postings,
+    never corpus positions), the (term -> index) spec is a broadcast of
+    len(phrase) rows (duplicate terms fan a posting to each index they
+    occupy), and every exchange carries three longs.
+    """
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    m = len(phrase)
+    spec = docs.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "term string, idx long"
+    )
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(sorted(set(phrase))))
+    )
+    anchored = (
+        postings.join(F.broadcast(spec), "term")
+        .select(
+            id_col,
+            (F.col("pos").cast("long") - F.col("idx")).alias("anchor"),
+            "idx",
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    occ = (
+        anchored.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("idx").alias("__k"))
+        .filter(F.col("__k") == m)
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )

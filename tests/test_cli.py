@@ -251,6 +251,14 @@ def test_cli_search_ppl_filter_and_dsir(spark, corpus, tmp_path):
     hits = spark.read.parquet(out + "/bm25").collect()
     assert len(hits) == 2
     assert all(r.primary_key.startswith(("ST30", "ST44")) for r in hits)
+    # exact phrase: "agricultural water" occurs 20/21 times in the two
+    # agricultural docs (repeat-concatenated base), first at token 4
+    cli.main(["search", "--input", corpus, "--output", out + "/phrase",
+              "--terms", "agricultural,water", "--phrase"])
+    ph = {r.primary_key: (r.n_matches, r.first_pos)
+          for r in spark.read.parquet(out + "/phrase").collect()}
+    assert ph == {"ST30_2005_B2_Introduced": (20, 4),
+                  "ST44_2005_B3_Introduced": (21, 4)}
     # perplexity filter: self-trained gate keeps everything at a loose cut
     cli.main(["curate", "--input", corpus, "--output", out + "/ppl",
               "--op", "ppl-filter", "--max-ppl", "100000"])

@@ -140,6 +140,7 @@ _BANKED_PREVALIDATED = [
     "q_doc_substring_dup",
     "q_emb_semantic_dedup",
     "q_doc_substring_rewrite",
+    "q_doc_phrase_search",
 ]
 
 

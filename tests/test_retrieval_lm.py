@@ -258,3 +258,74 @@ def test_perplexity_property_matches_python(spark, corpus_texts):
         assert got[d][0] == nb
         assert got[d][1] == pytest.approx(nll, abs=1e-10)
         assert got[d][2] == pytest.approx(ppl, abs=1e-8)
+
+
+# ---------------------------------------------------------- phrase search
+
+
+def _phrase_expected(corpus: dict[int, list[str]], phrase: list[str]):
+    m = len(phrase)
+    out = {}
+    for d, toks in corpus.items():
+        anchors = [
+            a for a in range(len(toks) - m + 1) if toks[a : a + m] == phrase
+        ]
+        if anchors:
+            out[d] = (len(anchors), anchors[0])
+    return out
+
+
+def test_phrase_search_counts_overlapping_and_duplicate_terms(spark):
+    from scabillmatch_spark.operators.retrieval import phrase_search
+
+    rows = [
+        (1, "batch batch batch scan"),  # "batch batch" at anchors 0 AND 1
+        (2, "scan batch scan batch batch"),  # anchor 3 only
+        (3, "batch scan batch"),  # no adjacent pair
+        (4, ""),  # empty doc never appears
+    ]
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(_tiny_docs(spark, rows), ["batch", "batch"]).collect()
+    }
+    assert got == {1: (2, 0), 2: (1, 3)}
+
+
+def test_phrase_search_single_term_and_rejects_empty(spark):
+    from scabillmatch_spark.operators.retrieval import phrase_search
+
+    rows = [(1, "scan the scan"), (2, "hash join")]
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(_tiny_docs(spark, rows), ["scan"]).collect()
+    }
+    assert got == {1: (2, 0)}
+    with pytest.raises(ValueError):
+        phrase_search(_tiny_docs(spark, rows), [])
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpora, st.lists(_words, min_size=1, max_size=3))
+def test_phrase_search_property_matches_python(spark, corpus_texts, phrase):
+    """Random corpora incl. duplicate-term phrases: engine output equals
+    the exact sliding-window recompute (overlaps each count)."""
+    from scabillmatch_spark.operators.retrieval import phrase_search
+
+    rows = [(i, t) for i, t in enumerate(corpus_texts)]
+    expected = _phrase_expected({i: t.split() for i, t in rows}, phrase)
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(_tiny_docs(spark, rows), phrase).collect()
+    }
+    assert got == expected
+
+
+def test_phrase_search_query_matches_oracle(spark):
+    """r16 pre-validation: the unregistered q_doc_phrase_search matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_doc_phrase_search, entrymod._doc_phrase_search_oracle()
+    )
