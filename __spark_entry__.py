@@ -4933,6 +4933,115 @@ def q_lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly report over events.value
+    (operators/stats.mad_outliers): median + median-absolute-deviation +
+    a 3-MAD outlier census — the data-quality screen for per-source
+    numeric feeds where one wild value drags a mean±k·sigma gate but
+    not a median one. Exactness: sort-based percentile (== DuckDB
+    quantile_cont, the lineitem_exact_quantiles precedent), every
+    derived quantity rounded to 6 BEFORE the flag comparison (the
+    round-before-rank pattern). Plan: two grouped medians + a tiny
+    per-key broadcast join + one final agg; only (key, double) ever
+    shuffles. NOT registered: r17 window candidate; pre-validated in
+    tests/test_stats.py::test_mad_outliers_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+def _events_mad_outliers_oracle() -> str:
+    """Oracle for the (unregistered until r17) MAD query: quantile_cont
+    medians with the identical round-to-6-before-compare cadence; the
+    per-key constants ride the GROUP BY instead of first()."""
+    return """
+    WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+    med AS (
+        SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, med, round(abs(v - med), 6) AS dev
+        FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           med AS median,
+           mad.mad AS mad,
+           round(3.0 * mad.mad, 6) AS cutoff,
+           CAST(SUM(CASE WHEN dev > round(3.0 * mad.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           MAX(dev) AS max_dev
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type, med, mad.mad"""
+
+
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf power-law fit (operators/stats.zipf_fit): OLS of
+    ln(freq) on ln(rank) over each source's term-frequency table —
+    slope ~ -1 is natural text; flat slopes flag templated/generated
+    corpora, the curation screen published with Zipf-based quality
+    audits. Rank = row_number over (freq DESC, term ASC) — tie-stable
+    on every engine. Plan: one (source, term) count agg (vocabulary-
+    bounded), one window over the tiny vocab frame, one closed-form
+    5-sums agg; slope/intercept/r2 rounded to 6 (sum-order ulp).
+    NOT registered: r17 window candidate #2; pre-validated in
+    tests/test_stats.py::test_zipf_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", TX.tokens("text").alias("__toks")
+    )
+    freqs = (
+        docs.select("source", F.explode("__toks").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return zipf_fit(freqs, "source")
+
+
+def _doc_zipf_fit_oracle() -> str:
+    """Oracle for the (unregistered until r17) Zipf query: identical
+    rank definition, identical closed-form OLS over the token mirror."""
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest({_DUCK_TOKLIST}) AS term FROM documents
+    ),
+    f AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY source, term
+    ),
+    xy AS (
+        SELECT source, freq,
+               ln(CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY freq DESC, term ASC
+               ) AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM f
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(freq) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM xy GROUP BY source
+    )
+    SELECT source, vocab_size, total_tokens,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s"""
+
+
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline (the composite a 100 TB pretraining run
     executes as one job): Gopher quality gate -> exact dedup at the

@@ -88,3 +88,113 @@ def sequential_funnel(
     return df.select(
         user_col, *[f"t_{s}" for s in steps]
     ).dropDuplicates([user_col])
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Robust per-group anomaly report via median absolute deviation ->
+    (key_col, n, median, mad, cutoff, n_outliers, max_dev). The MAD gate
+    is the standard robust alternative to mean±k·sigma (a single wild
+    value drags a stddev gate but not a median one) — the data-quality
+    screen a pretraining pipeline runs over per-source numeric feeds.
+
+    Exactness discipline: medians use sort-based ``percentile`` (linear
+    interpolation — identical definition to DuckDB's quantile_cont, the
+    lineitem_exact_quantiles precedent), and every derived quantity is
+    ROUNDED to ``round_digits`` BEFORE the outlier comparison (the
+    round-before-rank house pattern), so the flag decision is the same
+    double comparison on every engine. Plan: two grouped medians over
+    the (key, value) projection + one equi-join of the tiny per-key
+    frame back onto values (Catalyst broadcasts it) + one final agg —
+    nothing wider than (key, value) ever shuffles. At 100 TB swap the
+    exact medians for percentile_approx and keep this as the
+    bounded-scale audit (the approx_sketch_stats pairing).
+    """
+    vals = df.select(key_col, F.col(value_col).cast("double").alias("__v"))
+    med = vals.groupBy(key_col).agg(
+        F.round(F.expr("percentile(__v, 0.5D)"), round_digits).alias("__med")
+    )
+    dev = vals.join(med, key_col).select(
+        key_col,
+        "__med",
+        F.round(F.abs(F.col("__v") - F.col("__med")), round_digits).alias("__dev"),
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.round(F.expr("percentile(__dev, 0.5D)"), round_digits).alias("__mad")
+    )
+    cut = F.round(F.lit(k) * F.col("__mad"), round_digits)
+    return (
+        dev.join(mad, key_col)
+        .select(key_col, "__med", "__mad", "__dev", cut.alias("__cut"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("__med").alias("median"),
+            F.first("__mad").alias("mad"),
+            F.first("__cut").alias("cutoff"),
+            F.sum(
+                F.when(F.col("__dev") > F.col("__cut"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.max("__dev").alias("max_dev"),
+        )
+    )
+
+
+def zipf_fit(
+    freqs: DataFrame,
+    group_col: str,
+    term_col: str = "term",
+    freq_col: str = "freq",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Zipf power-law fit over a (group, term, freq) relation:
+    OLS of ln(freq) on ln(rank) -> (group_col, vocab_size, total_tokens,
+    slope, intercept, r2). Zipf's law says slope ~ -1 for natural text;
+    a corpus whose slope collapses toward 0 (flat frequencies — symptom
+    of templated/generated text) or dives steeply (tiny effective vocab)
+    fails the screen, which is why this sits in the curation toolbox.
+
+    Rank is ``row_number`` over (freq DESC, term ASC) — fully
+    deterministic under ties. The regression is the closed-form
+    5-sums OLS; sums run over vocab-bounded rows, slope/intercept/r2
+    rounded to ``round_digits`` (sum-order ulp absorption). Plan: one
+    window over the per-group vocab frame + one group agg — nothing
+    corpus-sized past the caller's (group, term) count.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(freq_col), F.asc(term_col)
+    )
+    xy = freqs.select(
+        group_col,
+        F.col(freq_col).cast("long").alias("__f"),
+        F.log(F.row_number().over(w).cast("double")).alias("__x"),
+        F.log(F.col(freq_col).cast("double")).alias("__y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("__x"), F.sum("__y")
+    sxx, sxy, syy = (
+        F.sum(F.col("__x") * F.col("__x")),
+        F.sum(F.col("__x") * F.col("__y")),
+        F.sum(F.col("__y") * F.col("__y")),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return xy.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("__f").cast("long").alias("total_tokens"),
+        F.round(slope, round_digits).alias("slope"),
+        F.round(intercept, round_digits).alias("intercept"),
+        F.round(r2, round_digits).alias("r2"),
+    )

@@ -141,6 +141,8 @@ _BANKED_PREVALIDATED = [
     "q_emb_semantic_dedup",
     "q_doc_substring_rewrite",
     "q_doc_phrase_search",
+    "q_events_mad_outliers",
+    "q_doc_zipf_fit",
 ]
 
 

@@ -70,3 +70,169 @@ def test_sequential_funnel_strict_after_semantics(spark):
     assert out[2]["t_click"] is not None and out[2]["t_purchase"] is None
     assert out[3]["t_view"] is not None and out[3]["t_click"] is None
     assert out[4]["t_view"] is None and out[4]["t_purchase"] is None
+
+
+# --------------------------------------------------- MAD outlier census
+
+
+def _py_mad(rows, k=3.0):
+    import statistics
+
+    def r6(x):
+        return round(x, 6)
+
+    by = {}
+    for key, v in rows:
+        by.setdefault(key, []).append(float(v))
+    out = {}
+    for key, vs in by.items():
+        med = r6(statistics.median(vs))  # interpolated == percentile(0.5)
+        devs = [r6(abs(v - med)) for v in vs]
+        mad = r6(statistics.median(devs))
+        cut = r6(k * mad)
+        out[key] = (
+            len(vs), med, mad, cut,
+            sum(1 for d in devs if d > cut), max(devs),
+        )
+    return out
+
+
+def test_mad_outliers_matches_python(spark):
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 2.5), ("a", 100.0),
+        ("b", 5.0), ("b", 5.0), ("b", 5.0),  # zero MAD: all-equal group
+        ("c", 7.25),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        r.k: (r.n, r.median, r.mad, r.cutoff, r.n_outliers, r.max_dev)
+        for r in stats.mad_outliers(df, "k", "value").collect()
+    }
+    assert got == _py_mad(rows)
+    # the wild value is the a-group's single outlier; zero-MAD group
+    # flags every deviation > 0
+    assert got["a"][4] == 1 and got["b"][4] == 0 and got["c"][4] == 0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vals = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("ab"), _vals), min_size=1, max_size=30))
+def test_mad_outliers_property_matches_python(spark, rows):
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k string, value double"
+    )
+    got = {
+        r.k: (r.n, r.median, r.mad, r.cutoff, r.n_outliers, r.max_dev)
+        for r in stats.mad_outliers(df, "k", "value").collect()
+    }
+    assert got == _py_mad(rows)
+
+
+# --------------------------------------------------------- Zipf OLS fit
+
+
+def _py_zipf(freqs_by_group):
+    import math
+
+    out = {}
+    for g, tf in freqs_by_group.items():
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = [math.log(float(i + 1)) for i in range(len(ranked))]
+        ys = [math.log(float(f)) for _, f in ranked]
+        n = float(len(xs))
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        syy = sum(y * y for y in ys)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        out[g] = (
+            len(ranked), sum(tf.values()),
+            round(slope, 6),
+            round((sy - slope * sx) / n, 6),
+            round(
+                (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ),
+        )
+    return out
+
+
+def test_zipf_fit_matches_python(spark):
+    # exact power law freq = 840 / rank (840 divisible by 1..8) ->
+    # slope exactly -1, r2 = 1
+    freqs = {"s": {f"t{i:02d}": 840 // (i + 1) for i in range(8)}}
+    rows = [(g, t, f) for g, tf in freqs.items() for t, f in tf.items()]
+    df = spark.createDataFrame(rows, "source string, term string, freq long")
+    got = {
+        r.source: (r.vocab_size, r.total_tokens, r.slope, r.intercept, r.r2)
+        for r in stats.zipf_fit(df, "source").collect()
+    }
+    assert got == _py_zipf(freqs)
+    assert got["s"][2] == pytest.approx(-1.0) and got["s"][4] == pytest.approx(1.0)
+
+
+def test_zipf_fit_tie_ranks_are_term_stable(spark):
+    # equal frequencies: rank order must come from the term tiebreak,
+    # identically in the Python mirror
+    freqs = {"s": {"bb": 4, "aa": 4, "cc": 2, "dd": 2}}
+    rows = [(g, t, f) for g, tf in freqs.items() for t, f in tf.items()]
+    df = spark.createDataFrame(rows, "source string, term string, freq long")
+    got = {
+        r.source: (r.vocab_size, r.total_tokens, r.slope, r.intercept, r.r2)
+        for r in stats.zipf_fit(df, "source").collect()
+    }
+    assert got == _py_zipf(freqs)
+
+
+# ------------------------------------------- r17 oracle pre-validations
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _gate_compare(spark, qfn, oracle_sql):
+    import duckdb
+
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = qfn(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(df, rows, con, oracle_sql)
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
+
+
+def test_mad_outliers_query_matches_oracle(spark):
+    """r17 pre-validation: the unregistered q_events_mad_outliers matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_events_mad_outliers, entrymod._events_mad_outliers_oracle()
+    )
+
+
+def test_zipf_query_matches_oracle(spark):
+    """r17 pre-validation #2: the unregistered q_doc_zipf_fit matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(spark, entrymod.q_doc_zipf_fit, entrymod._doc_zipf_fit_oracle())
