@@ -4933,6 +4933,88 @@ def q_lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def q_orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention triangle over orders
+    (operators/analytics.cohort_retention): cohort = customer's first
+    order month (months since epoch), periods_since = how many months
+    later each order falls; distinct customers + order counts per cell.
+    Entirely integer arithmetic — no float discipline. Plan: one
+    (user, period) projection, per-user min agg, natural-key join back
+    (user-key shuffles carrying two longs), one bounded (cohort,
+    offset) agg — output bounded by period-span², independent of row
+    count. NOT registered: r18 window candidate; pre-validated in
+    tests/test_analytics.py::test_cohort_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import cohort_retention
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return cohort_retention(o, "o_custkey", "o_orderdate", granularity="month")
+
+
+def _orders_cohort_retention_oracle() -> str:
+    """Oracle for the (unregistered until r18) cohort query: identical
+    months-since-epoch integer periods, min-per-user cohort, same cell
+    counts."""
+    return """
+    WITH p AS (
+        SELECT o_custkey AS u,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS p
+        FROM orders
+    ),
+    f AS (SELECT u, MIN(p) AS cohort FROM p GROUP BY u)
+    SELECT f.cohort,
+           p.p - f.cohort AS periods_since,
+           CAST(COUNT(DISTINCT p.u) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM p JOIN f USING (u)
+    GROUP BY f.cohort, periods_since"""
+
+
+def q_part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift over order baskets
+    (operators/analytics.basket_lift): unordered part pairs co-ordered
+    in >= 2 orders, with marginal counts and lift = co·N/(ct_a·ct_b) —
+    the frequent-itemset screen. Counts basket-distinct. Plan: the pair
+    stream is a group-local self-join on l_orderkey (basket-size
+    bounded — single-digit items per TPC-H order — the J1/A5 blocked
+    family, never corpus²); item marginals broadcast onto the co-count
+    relation; N is one driver scalar (BM25 N/avgdl precedent). The one
+    float is the final division, rounded 6 with operand order mirrored
+    in the oracle. NOT registered: r18 window candidate #2;
+    pre-validated in
+    tests/test_analytics.py::test_basket_lift_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import basket_lift
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return basket_lift(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+def _part_basket_lift_oracle() -> str:
+    """Oracle for the (unregistered until r18) basket-lift query: same
+    distinct baskets, same p1 < p2 pair stream, same marginals, and the
+    lift division written with the identical operand order
+    (co·N then /(ct_a·ct_b))."""
+    return """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT bk) AS DOUBLE) AS nb FROM b),
+    marg AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS ct FROM b GROUP BY it),
+    co AS (
+        SELECT a.it AS item_a, c.it AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS co_count
+        FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+        GROUP BY a.it, c.it
+        HAVING COUNT(*) >= 2
+    )
+    SELECT co.item_a, co.item_b, co.co_count,
+           ma.ct AS ct_a, mb.ct AS ct_b,
+           round(CAST(co.co_count AS DOUBLE) * n.nb
+                 / (CAST(ma.ct AS DOUBLE) * CAST(mb.ct AS DOUBLE)), 6) AS lift
+    FROM co
+    JOIN marg ma ON ma.it = co.item_a
+    JOIN marg mb ON mb.it = co.item_b
+    CROSS JOIN n"""
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type anomaly report over events.value
     (operators/stats.mad_outliers): median + median-absolute-deviation +

@@ -1,0 +1,113 @@
+"""Behavioral/market analytics over transactional tables: cohort
+retention and market-basket lift.
+
+The reference's stats tier (stats/AnalysisUtils, utils/Plot.scala) stops
+at descriptive statistics over scored pairs; an analytics engine serving
+the same corpus at warehouse scale also gets asked the two classic
+transactional questions — "of the users who arrived in month X, how many
+were still active k months later?" (cohort retention) and "which items
+co-occur more often than independence predicts?" (association lift, the
+support/confidence/lift family from the frequent-itemset literature).
+Both are pure integer-relational shapes until the final lift division,
+so they slot into the typed-exact oracle gate without float ceremony.
+
+Scale shapes:
+- cohort_retention: one (user, period) projection, one per-user min agg,
+  one natural-key join back (user-key shuffles only — nothing wider than
+  two longs), one (cohort, offset) count agg. The output is bounded by
+  period-span², independent of row count.
+- basket_lift: the pair stream is a group-local self-join on the basket
+  key — bounded by basket size (TPC-H order baskets are single-digit),
+  the J1/A5 blocked-all-pairs family, NEVER corpus×corpus; item
+  marginals are a vocabulary-bounded frame broadcast onto the co-count
+  relation; the basket total is one driver scalar (the BM25 N/avgdl
+  precedent).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    granularity: str = "month",
+) -> DataFrame:
+    """Cohort retention triangle -> (cohort, periods_since, n_users,
+    n_events). ``cohort`` is the user's first active period (months
+    since epoch for granularity='month', else the year); ``periods
+    _since`` how many periods later the activity row falls. Entirely
+    integer arithmetic — no float discipline needed.
+    """
+    if granularity == "month":
+        period = (
+            F.year(ts_col) * F.lit(12) + F.month(ts_col) - F.lit(1)
+        ).cast("long")
+    elif granularity == "year":
+        period = F.year(ts_col).cast("long")
+    else:
+        raise ValueError(f"granularity must be month|year, got {granularity!r}")
+    p = events.select(F.col(user_col).alias("__u"), period.alias("__p"))
+    first = p.groupBy("__u").agg(F.min("__p").alias("cohort"))
+    return (
+        p.join(first, "__u")
+        .groupBy("cohort", (F.col("__p") - F.col("cohort")).alias("periods_since"))
+        .agg(
+            F.count_distinct("__u").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def basket_lift(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise association lift -> (item_a, item_b, co_count, ct_a,
+    ct_b, lift) for unordered item pairs co-occurring in >= min_support
+    baskets. lift = P(ab) / (P(a)·P(b)) = co·N / (ct_a·ct_b); > 1 means
+    the pair co-occurs more than independence predicts. Counts are
+    basket-distinct (an item twice in one basket counts once). The lone
+    float is the final division, rounded to ``round_digits`` with the
+    operand order mirrored exactly in the oracle.
+    """
+    b = items.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    n_baskets = b.select(F.count_distinct("__bk")).first()[0]
+    if not n_baskets:
+        raise ValueError("basket_lift: no baskets")
+    marg = b.groupBy("__it").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    pa = b.select("__bk", F.col("__it").alias("item_a"))
+    pb = b.select("__bk", F.col("__it").alias("item_b"))
+    co = (
+        pa.join(pb, "__bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+        .filter(F.col("co_count") >= min_support)
+    )
+    ma = F.broadcast(marg.select(F.col("__it").alias("item_a"), F.col("ct").alias("ct_a")))
+    mb = F.broadcast(marg.select(F.col("__it").alias("item_b"), F.col("ct").alias("ct_b")))
+    return (
+        co.join(ma, "item_a")
+        .join(mb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co_count",
+            "ct_a",
+            "ct_b",
+            F.round(
+                F.col("co_count").cast("double")
+                * F.lit(float(n_baskets))
+                / (F.col("ct_a").cast("double") * F.col("ct_b").cast("double")),
+                round_digits,
+            ).alias("lift"),
+        )
+    )

@@ -1,0 +1,213 @@
+"""Cohort retention + market-basket lift (r18 window candidates): exact
+pure-Python recompute pins on handmade tables, hypothesis properties,
+and the gate-shaped pre-validation of both unregistered driver rows
+against their DuckDB oracles.
+"""
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from scabillmatch_spark.operators.analytics import basket_lift, cohort_retention
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+# ------------------------------------------------------ cohort retention
+
+
+def _py_cohort(rows):
+    """rows: (user, period_int). Mirror of cohort_retention's cell counts."""
+    first = {}
+    for u, p in rows:
+        first[u] = min(first.get(u, p), p)
+    cells = {}
+    for u, p in rows:
+        key = (first[u], p - first[u])
+        users, n = cells.get(key, (set(), 0))
+        users.add(u)
+        cells[key] = (users, n + 1)
+    return {k: (len(us), n) for k, (us, n) in cells.items()}
+
+
+def _month_df(spark, rows):
+    # period -> a concrete date inside that month
+    import datetime
+
+    data = [
+        (u, datetime.datetime(1995 + p // 12, p % 12 + 1, 1 + (u % 27)))
+        for u, p in rows
+    ]
+    return spark.createDataFrame(data, "u long, ts timestamp")
+
+
+def test_cohort_retention_golden(spark):
+    # user 1 arrives month 0, returns months 1 and 3 (twice); user 2
+    # arrives month 1 only; user 3 shares user 1's cohort, churns
+    rows = [(1, 0), (1, 1), (1, 3), (1, 3), (2, 1), (3, 0)]
+    got = {
+        (r.cohort, r.periods_since): (r.n_users, r.n_events)
+        for r in cohort_retention(_month_df(spark, rows), "u", "ts").collect()
+    }
+    base = 1995 * 12  # months-since-epoch of 1995-01
+    expected = {
+        (base + c, s): v for (c, s), v in _py_cohort(rows).items()
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cohort_retention_property(spark, rows):
+    got = {
+        (r.cohort, r.periods_since): (r.n_users, r.n_events)
+        for r in cohort_retention(_month_df(spark, rows), "u", "ts").collect()
+    }
+    base = 1995 * 12
+    assert got == {(base + c, s): v for (c, s), v in _py_cohort(rows).items()}
+    # triangle invariants: offsets non-negative; cohort cell (c, 0)
+    # contains every user of cohort c at least once
+    assert all(s >= 0 for _, s in got)
+
+
+def test_cohort_retention_year_granularity_and_bad_arg(spark):
+    rows = [(1, 0), (1, 13), (2, 13)]
+    got = {
+        (r.cohort, r.periods_since): (r.n_users, r.n_events)
+        for r in cohort_retention(
+            _month_df(spark, rows), "u", "ts", granularity="year"
+        ).collect()
+    }
+    assert got == {(1995, 0): (1, 1), (1995, 1): (1, 1), (1996, 0): (1, 1)}
+    with pytest.raises(ValueError):
+        cohort_retention(_month_df(spark, rows), "u", "ts", granularity="day")
+
+
+# ------------------------------------------------------------ basket lift
+
+
+def _py_lift(baskets, min_support=2):
+    """baskets: {basket_id: iterable(items)} with possible dups."""
+    b = {k: set(v) for k, v in baskets.items()}
+    n = float(len(b))
+    ct = {}
+    for items in b.values():
+        for it in items:
+            ct[it] = ct.get(it, 0) + 1
+    co = {}
+    for items in b.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                co[(s[i], s[j])] = co.get((s[i], s[j]), 0) + 1
+    return {
+        (a, c): (cnt, ct[a], ct[c], round(float(cnt) * n / (float(ct[a]) * float(ct[c])), 6))
+        for (a, c), cnt in co.items()
+        if cnt >= min_support
+    }
+
+
+def _basket_df(spark, baskets):
+    rows = [(bk, it) for bk, items in baskets.items() for it in items]
+    return spark.createDataFrame(rows, "bk long, it long")
+
+
+def test_basket_lift_golden(spark):
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 30, 30],  # duplicate item counts once
+        4: [40],
+    }
+    got = {
+        (r.item_a, r.item_b): (r.co_count, r.ct_a, r.ct_b, r.lift)
+        for r in basket_lift(_basket_df(spark, baskets), "bk", "it").collect()
+    }
+    assert got == _py_lift(baskets)
+    # (10,20): co=2 of 4 baskets, ct 3 and 2 -> lift = 2*4/(3*2) = 1.333333
+    assert got[(10, 20)] == (2, 3, 2, round(8 / 6, 6))
+
+
+def test_basket_lift_min_support_and_empty(spark):
+    baskets = {1: [1, 2], 2: [3, 4]}
+    assert (
+        basket_lift(_basket_df(spark, baskets), "bk", "it", min_support=2).count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        basket_lift(
+            _basket_df(spark, {}).filter("bk IS NOT NULL"), "bk", "it"
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 8),
+        st.lists(st.integers(1, 6), min_size=1, max_size=4),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_basket_lift_property(spark, baskets):
+    got = {
+        (r.item_a, r.item_b): (r.co_count, r.ct_a, r.ct_b, r.lift)
+        for r in basket_lift(_basket_df(spark, baskets), "bk", "it").collect()
+    }
+    assert got == _py_lift(baskets)
+
+
+# ------------------------------------------- r18 oracle pre-validations
+
+
+def _gate_compare(spark, qfn, oracle_sql):
+    import duckdb
+
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = qfn(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(df, rows, con, oracle_sql)
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
+
+
+def test_cohort_query_matches_oracle(spark):
+    """r18 pre-validation: the unregistered q_orders_cohort_retention
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_orders_cohort_retention,
+        entrymod._orders_cohort_retention_oracle(),
+    )
+
+
+def test_basket_lift_query_matches_oracle(spark):
+    """r18 pre-validation #2: the unregistered q_part_basket_lift
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_part_basket_lift, entrymod._part_basket_lift_oracle()
+    )

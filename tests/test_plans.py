@@ -143,6 +143,8 @@ _BANKED_PREVALIDATED = [
     "q_doc_phrase_search",
     "q_events_mad_outliers",
     "q_doc_zipf_fit",
+    "q_orders_cohort_retention",
+    "q_part_basket_lift",
 ]
 
 
