@@ -5015,6 +5015,112 @@ def _part_basket_lift_oracle() -> str:
     CROSS JOIN n"""
 
 
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile (operators/analytics.user_entropy):
+    Shannon entropy (nats) of each user's event-type distribution +
+    modal type/share — the label-concentration screen (0 = bot-like
+    single-type stream, ln(k) = uniform). Modal ties break by type
+    ascending via row_number (tie-stable cross-engine); entropy/share
+    rounded 6; the `+ 0.0` folds IEEE -0.0 (single-type users) to the
+    same printed zero on both engines. Plan: one (user, type) count agg
+    + one window over that bounded frame + one user agg; exchanges
+    carry (long, string, long). NOT registered: r19 window candidate;
+    pre-validated in
+    tests/test_analytics.py::test_user_entropy_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import user_entropy
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return user_entropy(ev, "user_id", "event_type")
+
+
+def _events_user_entropy_oracle() -> str:
+    """Oracle for the (unregistered until r19) entropy query: identical
+    window rank, identical p·ln p sum with the same -0.0 fold; window
+    SUM(ct) is HUGEINT in DuckDB — cast before use (the r10 lesson)."""
+    return """
+    WITH ct AS (
+        SELECT user_id AS u, event_type AS t,
+               CAST(COUNT(*) AS BIGINT) AS ct
+        FROM events GROUP BY user_id, event_type
+    ),
+    e AS (
+        SELECT u, t, ct,
+               SUM(ct) OVER (PARTITION BY u) AS n,
+               row_number() OVER (
+                   PARTITION BY u ORDER BY ct DESC, t ASC
+               ) AS rn
+        FROM ct
+    )
+    SELECT u AS user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(-SUM((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                      * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+                 + 0.0, 6) AS entropy,
+           MAX(CASE WHEN rn = 1 THEN t END) AS top_type,
+           round(MAX(CASE WHEN rn = 1
+                          THEN CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) END),
+                 6) AS top_share
+    FROM e GROUP BY u"""
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders (operators/analytics.rfm_scores):
+    recency days from the corpus max order date, order count, total
+    spend, and ntile-quartile scores (1 = best) packed as r·100+f·10+m.
+    Monetary is rounded 6 BEFORE becoming an ntile order key (sum-order
+    ulp must not flip bucket boundaries), ties by custkey — identical
+    total order on both engines. The three exact ntile windows are
+    unpartitioned over the per-user frame (the dsir bounded-frame
+    precedent); at 100 TB swap for approx-quantile cuts and keep this
+    as the bounded-scale audit. NOT registered: r19 window candidate
+    #2; pre-validated in
+    tests/test_analytics.py::test_rfm_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import rfm_scores
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def _customer_rfm_oracle() -> str:
+    """Oracle for the (unregistered until r19) RFM query: identical
+    per-user rollup, date_diff('day') == Spark datediff on the
+    midnight-instant order dates, identical ntile order keys."""
+    return """
+    WITH per AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               round(SUM(o_totalprice), 6) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(o_orderdate) AS r FROM orders),
+    per2 AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last, ref.r) AS BIGINT) AS recency_days,
+               frequency, monetary
+        FROM per CROSS JOIN ref
+    ),
+    sc AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               CAST(ntile(4) OVER (
+                   ORDER BY recency_days ASC, o_custkey ASC
+               ) AS BIGINT) AS r_score,
+               CAST(ntile(4) OVER (
+                   ORDER BY frequency DESC, o_custkey ASC
+               ) AS BIGINT) AS f_score,
+               CAST(ntile(4) OVER (
+                   ORDER BY monetary DESC, o_custkey ASC
+               ) AS BIGINT) AS m_score
+        FROM per2
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM sc"""
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type anomaly report over events.value
     (operators/stats.mad_outliers): median + median-absolute-deviation +

@@ -111,3 +111,116 @@ def basket_lift(
             ).alias("lift"),
         )
     )
+
+
+def user_entropy(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-user behavioral profile -> (user_col, n_events, n_types,
+    entropy, top_type, top_share). ``entropy`` is the Shannon entropy
+    (nats) of the user's event-type distribution — the
+    label-concentration diagnostic (0 = single-type bot-like stream,
+    ln(k) = uniform over k types); ``top_type`` the modal type with
+    ties broken by type ascending (row_number, tie-stable on every
+    engine); ``top_share`` its fraction.
+
+    Exactness: counts are integers; each p = ct/n is one double
+    division and the entropy sum is rounded to ``round_digits``
+    (sum-order ulp absorption, type-count-bounded terms). Plan: one
+    (user, type) count agg, one window over that bounded frame, one
+    user-key agg — nothing wider than (user, type, long) shuffles.
+    """
+    from pyspark.sql import Window
+
+    ct = events.groupBy(
+        F.col(user_col).alias("__u"), F.col(type_col).alias("__t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__ct"))
+    wu = Window.partitionBy("__u")
+    wr = Window.partitionBy("__u").orderBy(F.desc("__ct"), F.asc("__t"))
+    enriched = ct.select(
+        "__u",
+        "__t",
+        "__ct",
+        F.sum("__ct").over(wu).alias("__n"),
+        F.row_number().over(wr).alias("__rn"),
+    )
+    p = F.col("__ct").cast("double") / F.col("__n").cast("double")
+    # the + 0.0 folds IEEE -0.0 (single-type users: -sum(1·ln 1)) to +0.0
+    # so both engines print the same normalized zero
+    return enriched.groupBy("__u").agg(
+        F.max("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(-F.sum(p * F.log(p)) + F.lit(0.0), round_digits).alias("entropy"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__t"))).alias("top_type"),
+        F.round(
+            F.max(F.when(F.col("__rn") == 1, p)), round_digits
+        ).alias("top_share"),
+    ).withColumnRenamed("__u", user_col)
+
+
+def rfm_scores(
+    orders: DataFrame,
+    user_col: str,
+    ts_col: str,
+    amount_col: str,
+    buckets: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classic RFM segmentation -> (user_col, recency_days, frequency,
+    monetary, r_score, f_score, m_score, rfm). Scores are ntile
+    buckets, 1 = best (most recent / most frequent / highest spend),
+    with the user id as the deterministic tiebreak; ``rfm`` packs them
+    as r·100 + f·10 + m.
+
+    Exactness: recency/frequency are integers; monetary is rounded to
+    ``round_digits`` BEFORE it becomes an ntile order key (sum-order
+    ulp must not flip bucket boundaries), ties then broken by id —
+    identical total order on every engine. Scale note: the three ntile
+    windows are unpartitioned — exact global bucketing over the
+    per-user frame (|users| rows, the dsir unpartitioned-window
+    precedent). At 100 TB swap ntile for approx-quantile cut points
+    and keep this as the bounded-scale audit.
+    """
+    from pyspark.sql import Window
+
+    per = orders.groupBy(F.col(user_col).alias("__u")).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(amount_col), round_digits).alias("monetary"),
+    )
+    ref = orders.agg(F.max(ts_col)).first()[0]
+    if ref is None:
+        raise ValueError("rfm_scores: no orders")
+    per = per.select(
+        "__u",
+        F.datediff(F.lit(ref), F.col("__last")).cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("__u"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("__u"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("__u"))
+    scored = per.select(
+        "__u",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(buckets).over(r_w).cast("long").alias("r_score"),
+        F.ntile(buckets).over(f_w).cast("long").alias("f_score"),
+        F.ntile(buckets).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        F.col("__u").alias(user_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long").alias("rfm"),
+    )

@@ -211,3 +211,184 @@ def test_basket_lift_query_matches_oracle(spark):
     _gate_compare(
         spark, entrymod.q_part_basket_lift, entrymod._part_basket_lift_oracle()
     )
+
+
+# ----------------------------------------------------- user entropy (r19)
+
+
+def _py_entropy(rows, round_digits=6):
+    import math
+
+    by = {}
+    for u, t in rows:
+        by.setdefault(u, {})
+        by[u][t] = by[u].get(t, 0) + 1
+    out = {}
+    for u, cts in by.items():
+        n = sum(cts.values())
+        h = -sum((c / n) * math.log(c / n) for c in cts.values()) + 0.0
+        top = sorted(cts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out[u] = (
+            n, len(cts), round(h, round_digits),
+            top[0], round(top[1] / n, round_digits),
+        )
+    return out
+
+
+def test_user_entropy_golden(spark):
+    from scabillmatch_spark.operators.analytics import user_entropy
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"), (1, "b"),  # uniform pair: tie -> 'a'
+        (2, "x"), (2, "x"), (2, "x"),  # single type: entropy exactly 0
+        (3, "a"), (3, "b"), (3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t string")
+    got = {
+        r.u: (r.n_events, r.n_types, r.entropy, r.top_type, r.top_share)
+        for r in user_entropy(df, "u", "t").collect()
+    }
+    assert got == _py_entropy(rows)
+    import math
+
+    assert got[1][2] == round(math.log(2), 6) and got[1][3] == "a"
+    assert got[2] == (3, 1, 0.0, "x", 1.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_user_entropy_property(spark, rows):
+    from scabillmatch_spark.operators.analytics import user_entropy
+
+    df = spark.createDataFrame(rows, "u long, t string")
+    got = {
+        r.u: (r.n_events, r.n_types, r.entropy, r.top_type, r.top_share)
+        for r in user_entropy(df, "u", "t").collect()
+    }
+    assert got == _py_entropy(rows)
+
+
+# ------------------------------------------------------------- RFM (r19)
+
+
+def _py_rfm(rows, buckets=4):
+    """rows: (user, day_int, amount). Mirror of rfm_scores."""
+    per = {}
+    for u, d, a in rows:
+        last, n, m = per.get(u, (-(10**9), 0, 0.0))
+        per[u] = (max(last, d), n + 1, m + a)
+    ref = max(d for _, d, _ in rows)
+    flat = [
+        (u, ref - last, n, round(m, 6)) for u, (last, n, m) in per.items()
+    ]
+
+    def nt(keyed):
+        n = len(keyed)
+        order = sorted(range(n), key=lambda i: keyed[i])
+        size, extra = divmod(n, buckets)
+        out = [0] * n
+        pos = 0
+        for b in range(1, buckets + 1):
+            width = size + (1 if b <= extra else 0)
+            for _ in range(width):
+                if pos < n:
+                    out[order[pos]] = b
+                    pos += 1
+        return out
+
+    r = nt([(rec, u) for u, rec, _, _ in flat])
+    f = nt([(-n, u) for u, _, n, _ in flat])
+    m = nt([(-mny, u) for u, _, _, mny in flat])
+    return {
+        u: (rec, n, mny, r[i], f[i], m[i], r[i] * 100 + f[i] * 10 + m[i])
+        for i, (u, rec, n, mny) in enumerate(flat)
+    }
+
+
+def _orders_df(spark, rows):
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            (u, datetime.datetime(2000, 1, 1) + datetime.timedelta(days=d), a)
+            for u, d, a in rows
+        ],
+        "u long, ts timestamp, amt double",
+    )
+
+
+def test_rfm_golden(spark):
+    from scabillmatch_spark.operators.analytics import rfm_scores
+
+    rows = [
+        (1, 10, 100.0), (1, 20, 50.0),   # recency 10, freq 2, monetary 150
+        (2, 30, 10.0),                   # most recent
+        (3, 0, 300.0), (3, 5, 1.0), (3, 6, 1.0),
+        (4, 25, 400.0),
+        (5, 2, 5.0),
+    ]
+    df = _orders_df(spark, rows)
+    got = {
+        r.u: (
+            r.recency_days, r.frequency, r.monetary,
+            r.r_score, r.f_score, r.m_score, r.rfm,
+        )
+        for r in rfm_scores(df, "u", "ts", "amt").collect()
+    }
+    assert got == _py_rfm(rows)
+    assert got[2][3] == 1  # most recent user gets the best r bucket
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),
+            st.integers(0, 50),
+            st.floats(min_value=0.5, max_value=1e4, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_rfm_property(spark, rows):
+    from scabillmatch_spark.operators.analytics import rfm_scores
+
+    got = {
+        r.u: (
+            r.recency_days, r.frequency, r.monetary,
+            r.r_score, r.f_score, r.m_score, r.rfm,
+        )
+        for r in rfm_scores(_orders_df(spark, rows), "u", "ts", "amt").collect()
+    }
+    assert got == _py_rfm(rows)
+
+
+def test_user_entropy_query_matches_oracle(spark):
+    """r19 pre-validation: the unregistered q_events_user_entropy
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_user_entropy,
+        entrymod._events_user_entropy_oracle(),
+    )
+
+
+def test_rfm_query_matches_oracle(spark):
+    """r19 pre-validation #2: the unregistered q_customer_rfm matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_customer_rfm, entrymod._customer_rfm_oracle()
+    )

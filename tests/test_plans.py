@@ -145,6 +145,8 @@ _BANKED_PREVALIDATED = [
     "q_doc_zipf_fit",
     "q_orders_cohort_retention",
     "q_part_basket_lift",
+    "q_events_user_entropy",
+    "q_customer_rfm",
 ]
 
 
