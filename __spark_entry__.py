@@ -5015,6 +5015,134 @@ def _part_basket_lift_oracle() -> str:
     CROSS JOIN n"""
 
 
+def q_doc_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit of the MinHash tier
+    (operators/dedup.minhash_estimate_audit): for every pair colliding
+    under the registered near-dup banding (32 hashes, 4 bands, token-id
+    sets from the shared corpus cache), the signature-agreement Jaccard
+    estimate NEXT TO the exact Jaccard and their gap — estimator drift
+    (bad hash family, banding bug) becomes a diffable relation instead
+    of silent recall loss. Integers + three rounded ratios. Audits the
+    REGISTERED dedup banding (3-gram shingle-id sets from the shared
+    corpus cache, 32 hashes, 8 bands — the discriminative sets; unigram
+    token sets over this corpus's small vocab band-collide
+    quadratically, measured 3.2M pairs at sf0.1, and were rejected).
+    Plan: band-key candidate shuffle + two feature joins (id, set,
+    signature) + narrow array expressions. NOT registered: r20 window
+    candidate; pre-validated in
+    tests/test_analytics.py::test_minhash_audit_query_matches_oracle."""
+    from scabillmatch_spark.operators import corpus
+    from scabillmatch_spark.operators.dedup import minhash_estimate_audit
+
+    sets = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        TX.ngram_ids_from_token_ids(F.col("tok_ids"), 3).alias("shingles"),
+    )
+    return minhash_estimate_audit(
+        sets, "doc_id", "shingles",
+        num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
+    )
+
+
+def _doc_minhash_audit_oracle() -> str:
+    """Oracle for the (unregistered until r20) MinHash audit: the
+    registered banding's signature/band SQL mirrors verbatim, pairwise
+    position agreement via list_transform over range, and the identical
+    round-then-diff cadence."""
+    nh = SHINGLE_LSH_HASHES
+    sig = _minhash_sig_sql("toks", nh)
+    bands = _band_sql("sig", nh, SHINGLE_LSH_BANDS)
+    return f"""
+    WITH raw AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+    toks AS (
+        SELECT doc_id, {_duck_gram_ids('t', 3)} AS toks FROM raw
+        WHERE len({_duck_gram_ids('t', 3)}) > 0
+    ),
+    sigs AS (SELECT doc_id, toks, {sig} AS sig FROM toks),
+    bands AS (SELECT doc_id, unnest({bands}) AS band FROM sigs),
+    cand AS (
+        SELECT a.doc_id AS pk1, b.doc_id AS pk2
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+        SELECT c.pk1, c.pk2,
+               CAST(len(list_filter(
+                   list_transform(range(1, {nh + 1}),
+                                  i -> s1.sig[i] = s2.sig[i]),
+                   x -> x)) AS BIGINT) AS n_agree,
+               CAST(len(list_intersect(s1.toks, s2.toks)) AS DOUBLE) AS inter,
+               CAST(len(s1.toks) + len(s2.toks)
+                    - len(list_intersect(s1.toks, s2.toks)) AS DOUBLE) AS uni
+        FROM cand c
+        JOIN sigs s1 ON s1.doc_id = c.pk1
+        JOIN sigs s2 ON s2.doc_id = c.pk2
+    ),
+    r AS (
+        SELECT pk1, pk2, n_agree,
+               round(CAST(n_agree AS DOUBLE) / {float(nh)}, 6) AS est_jaccard,
+               round(inter / uni, 6) AS exact_jaccard
+        FROM j
+    )
+    SELECT pk1, pk2, n_agree, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM r"""
+
+
+def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini concentration of customer revenue
+    (operators/stats.gini): the inequality screen — 0 = revenue spread
+    evenly across a nation's customers, ->1 = one whale holds it all.
+    Per-customer revenue is rounded 6 BEFORE it becomes the rank key
+    (ties then by custkey — identical total order cross-engine); the
+    closed-form G = 2·Σ(i·x)/(n·Σx) - (n+1)/n is one partitioned window
+    + one agg, rounded 6. Plan: per-customer agg -> broadcast-join
+    customer/nation dims -> nation-partitioned window -> nation agg.
+    NOT registered: r20 window candidate #2; pre-validated in
+    tests/test_analytics.py::test_gini_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import gini
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "o_custkey", "revenue")
+    )
+    return gini(joined, "n_name", "revenue", "o_custkey")
+
+
+def _nation_revenue_gini_oracle() -> str:
+    """Oracle for the (unregistered until r20) Gini query: identical
+    rank tiebreak and the identical closed-form expression."""
+    return """
+    WITH rev AS (
+        SELECT o_custkey, round(SUM(o_totalprice), 6) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n.n_name,
+               CAST(row_number() OVER (
+                   PARTITION BY n.n_name ORDER BY rev.x ASC, rev.o_custkey ASC
+               ) AS DOUBLE) AS i,
+               rev.x
+        FROM rev
+        JOIN customer c ON c.c_custkey = rev.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(2.0 * SUM(i * x) / (CAST(COUNT(*) AS DOUBLE) * SUM(x))
+                 - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+    FROM ranked GROUP BY n_name"""
+
+
 def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral profile (operators/analytics.user_entropy):
     Shannon entropy (nats) of each user's event-type distribution +

@@ -218,3 +218,72 @@ def minhash_dedup_delta(
         .filter(F.col("similarity") >= jaccard_threshold)
         .select("pk1", "pk2", "similarity")
     )
+
+
+def minhash_estimate_audit(
+    sets: DataFrame,
+    id_col: str,
+    set_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash tier -> per banded
+    candidate pair (pk1, pk2, n_agree, est_jaccard, exact_jaccard,
+    abs_err). The MinHash estimate (agreeing signature positions /
+    num_hashes) is an unbiased Jaccard estimator; this row puts the
+    estimate and the exact value side by side over the SAME banding the
+    dedup pipeline uses, so estimator drift (bad hash family, banding
+    bug) surfaces as a diffable relation instead of silent recall loss.
+
+    Exactness: n_agree and the set sizes are integers; the two ratios
+    and their gap are single double divisions rounded to
+    ``round_digits``. Empty sets are excluded (their exact Jaccard is
+    0/0). Plan: the banded candidate join (band-key shuffle only) +
+    two feature joins carrying (id, set, signature) + narrow array
+    expressions — the minhash_dedup_pairs shape with signatures riding
+    the verify join.
+    """
+    s = sets.select(
+        F.col(id_col).alias("__id"), F.col(set_col).alias("__set")
+    ).filter(F.size("__set") > 0).persist()
+    cands = blocking.lsh_candidate_pairs(
+        s, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands
+    )
+    feat = s.select(
+        "__id",
+        "__set",
+        TX.minhash_signature(F.col("__set"), num_hashes).alias("__sig"),
+    )
+    f1 = feat.select(
+        F.col("__id").alias("pk1"),
+        F.col("__set").alias("__s1"),
+        F.col("__sig").alias("__g1"),
+    )
+    f2 = feat.select(
+        F.col("__id").alias("pk2"),
+        F.col("__set").alias("__s2"),
+        F.col("__sig").alias("__g2"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__g1"), F.col("__g2"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("__s1"), F.col("__s2"))).cast("double")
+    uni = F.size(F.array_union(F.col("__s1"), F.col("__s2"))).cast("double")
+    est = F.round(agree.cast("double") / F.lit(float(num_hashes)), round_digits)
+    exact = F.round(inter / uni, round_digits)
+    return (
+        cands.join(f1, "pk1")
+        .join(f2, "pk2")
+        .select(
+            "pk1",
+            "pk2",
+            agree.alias("n_agree"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), round_digits).alias("abs_err"),
+        )
+    )

@@ -198,3 +198,43 @@ def zipf_fit(
         F.round(intercept, round_digits).alias("intercept"),
         F.round(r2, round_digits).alias("r2"),
     )
+
+
+def gini(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Gini concentration index -> (group_col, n, gini) via the
+    sorted-rank closed form G = 2·Σ(i·x_i)/(n·Σx) - (n+1)/n with x
+    ascending and i = 1..n — the inequality/concentration screen
+    (revenue concentration per market, token-budget concentration per
+    source). 0 = perfectly even, ->1 = one member holds everything.
+
+    Exactness: rank = row_number over (value ASC, id ASC) — tie-stable;
+    the three sums are doubles over group-bounded rows and the final
+    ratio is rounded to ``round_digits`` (sum-order ulp absorption).
+    Plan: one partitioned window + one group agg; exchanges carry
+    (group, id, double).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(value_col), F.asc(id_col)
+    )
+    ranked = df.select(
+        group_col,
+        F.col(value_col).cast("double").alias("__x"),
+        F.row_number().over(w).cast("double").alias("__i"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("__x")
+    six = F.sum(F.col("__i") * F.col("__x"))
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n, round_digits
+        ).alias("gini"),
+    )

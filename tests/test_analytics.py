@@ -392,3 +392,163 @@ def test_rfm_query_matches_oracle(spark):
     _gate_compare(
         spark, entrymod.q_customer_rfm, entrymod._customer_rfm_oracle()
     )
+
+
+# ------------------------------------------------- MinHash audit (r20)
+
+
+def _py_minhash_audit(sets, num_hashes=32, num_bands=4):
+    """Pure-Python mirror of the LCG hash family + banding + audit."""
+    from scabillmatch_spark.functions.text import HASH_PRIME, MINHASH_AB
+
+    P = HASH_PRIME
+
+    def sig(s):
+        out = []
+        for a, b in MINHASH_AB[:num_hashes]:
+            out.append(min(((1 + x % P) * a + b) % P for x in s) if s else P)
+        return out
+
+    sigs = {d: sig(s) for d, s in sets.items() if s}
+    rows = num_hashes // num_bands
+    bands = {
+        d: [tuple(g[b * rows : (b + 1) * rows]) + (b,) for b in range(num_bands)]
+        for d, g in sigs.items()
+    }
+    out = {}
+    ids = sorted(sigs)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            if not set(bands[d1]) & set(bands[d2]):
+                continue
+            agree = sum(1 for a, b in zip(sigs[d1], sigs[d2]) if a == b)
+            inter = len(sets[d1] & sets[d2])
+            uni = len(sets[d1] | sets[d2])
+            est = round(agree / num_hashes, 6)
+            exact = round(inter / uni, 6)
+            out[(d1, d2)] = (agree, est, exact, round(abs(est - exact), 6))
+    return out
+
+
+def test_minhash_audit_matches_python_mirror(spark):
+    from scabillmatch_spark.operators.dedup import minhash_estimate_audit
+
+    sets = {
+        1: {10, 20, 30, 40},
+        2: {10, 20, 30, 40},        # identical twin: est == exact == 1
+        3: {10, 20, 30, 41},        # near dup
+        4: {999, 888, 777},         # disjoint — may or may not collide
+        5: set(),                   # empty: excluded entirely
+    }
+    df = spark.createDataFrame(
+        [(d, sorted(s)) for d, s in sets.items()], "doc_id long, toks array<long>"
+    )
+    got = {
+        (r.pk1, r.pk2): (r.n_agree, r.est_jaccard, r.exact_jaccard, r.abs_err)
+        for r in minhash_estimate_audit(df, "doc_id", "toks").collect()
+    }
+    assert got == _py_minhash_audit(sets)
+    assert got[(1, 2)] == (32, 1.0, 1.0, 0.0)  # twins agree everywhere
+    assert all(d != 5 for pair in got for d in pair)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 5),
+        st.sets(st.integers(1, 40), min_size=0, max_size=10),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_minhash_audit_property(spark, sets):
+    from scabillmatch_spark.operators.dedup import minhash_estimate_audit
+
+    df = spark.createDataFrame(
+        [(d, sorted(s)) for d, s in sets.items()], "doc_id long, toks array<long>"
+    )
+    got = {
+        (r.pk1, r.pk2): (r.n_agree, r.est_jaccard, r.exact_jaccard, r.abs_err)
+        for r in minhash_estimate_audit(df, "doc_id", "toks").collect()
+    }
+    assert got == _py_minhash_audit(sets)
+
+
+# ----------------------------------------------------------- Gini (r20)
+
+
+def _py_gini(groups, round_digits=6):
+    """groups: {g: [(id, x), ...]} — mirror of stats.gini."""
+    out = {}
+    for g, rows in groups.items():
+        ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+        n = float(len(ordered))
+        sx = sum(x for _, x in ordered)
+        six = sum((i + 1) * x for i, (_, x) in enumerate(ordered))
+        out[g] = (
+            len(ordered),
+            round(2.0 * six / (n * sx) - (n + 1.0) / n, round_digits),
+        )
+    return out
+
+
+def test_gini_golden(spark):
+    from scabillmatch_spark.operators.stats import gini
+
+    groups = {
+        "even": [(1, 5.0), (2, 5.0), (3, 5.0), (4, 5.0)],     # G = 0
+        "whale": [(1, 0.0), (2, 0.0), (3, 0.0), (4, 100.0)],  # G = (n-1)/n
+        "mix": [(1, 1.0), (2, 2.0), (3, 3.0), (4, 10.0)],
+    }
+    rows = [(g, i, x) for g, rs in groups.items() for i, x in rs]
+    df = spark.createDataFrame(rows, "g string, id long, x double")
+    got = {r.g: (r.n, r.gini) for r in gini(df, "g", "x", "id").collect()}
+    assert got == _py_gini(groups)
+    assert got["even"][1] == 0.0 and got["whale"][1] == 0.75
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from("ab"),
+        st.lists(
+            st.floats(min_value=0.0, max_value=1e5, allow_nan=False),
+            min_size=1,
+            max_size=20,
+        ).filter(lambda xs: sum(xs) > 0),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_gini_property(spark, raw):
+    from scabillmatch_spark.operators.stats import gini
+
+    groups = {g: [(i, x) for i, x in enumerate(xs)] for g, xs in raw.items()}
+    rows = [(g, i, x) for g, rs in groups.items() for i, x in rs]
+    df = spark.createDataFrame(rows, "g string, id long, x double")
+    got = {r.g: (r.n, r.gini) for r in gini(df, "g", "x", "id").collect()}
+    assert got == _py_gini(groups)
+
+
+def test_minhash_audit_query_matches_oracle(spark):
+    """r20 pre-validation: the unregistered q_doc_minhash_audit matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_doc_minhash_audit, entrymod._doc_minhash_audit_oracle()
+    )
+
+
+def test_gini_query_matches_oracle(spark):
+    """r20 pre-validation #2: the unregistered q_nation_revenue_gini
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_nation_revenue_gini,
+        entrymod._nation_revenue_gini_oracle(),
+    )

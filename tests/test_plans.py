@@ -147,6 +147,8 @@ _BANKED_PREVALIDATED = [
     "q_part_basket_lift",
     "q_events_user_entropy",
     "q_customer_rfm",
+    "q_doc_minhash_audit",
+    "q_nation_revenue_gini",
 ]
 
 
