@@ -1,5 +1,6 @@
 """Behavioral/market analytics over transactional tables: cohort
-retention and market-basket lift.
+retention, market-basket lift, per-user behavioral entropy, and RFM
+segmentation.
 
 The reference's stats tier (stats/AnalysisUtils, utils/Plot.scala) stops
 at descriptive statistics over scored pairs; an analytics engine serving

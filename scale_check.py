@@ -262,6 +262,62 @@ def text_scoring_times(spark, docs: dict) -> tuple[dict, dict, dict]:
     return res["bm25"], res["dsir"], res["ppl"]
 
 
+def curation2_times(spark, docs: dict) -> tuple[dict, dict, dict]:
+    """Substring-rewrite / phrase-search / MinHash-audit on the 1x/2x/4x
+    copies (r12 banked ops). Phrase terms are per-copy-prefixed and one
+    search runs per copy (a single-copy phrase would stop matching past
+    copy 1 and measure a no-op); total phrase work across the loop is
+    then ∝ corpus. Duplicate spans and banded audit collisions are
+    per-copy-internal (disjoint vocab), so both should track the corpus
+    near-linearly — super-linear audit growth flags the unigram-set
+    collision bug class (the 3.2M-pair measurement that rejected it)."""
+    from scabillmatch_spark.operators.dedup import minhash_estimate_audit
+    from scabillmatch_spark.operators.retrieval import phrase_search
+    from scabillmatch_spark.operators.substring import strip_duplicate_spans
+
+    par = spark.sparkContext.defaultParallelism
+
+    def strip_run(c):
+        strip_duplicate_spans(docs[c], n=20, num_partitions=par).agg(
+            F.sum("kept_checksum")
+        ).collect()
+
+    def phrase_run(c):
+        for i in range(c):
+            tag = "q" + chr(97 + i)
+            phrase_search(docs[c], [tag + "table", tag + "scan"]).count()
+
+    def audit_run(c):
+        sets = docs[c].select(
+            "doc_id", TX.ngram_id_set("text", 3).alias("shingles")
+        )
+        minhash_estimate_audit(sets, "doc_id", "shingles").agg(
+            F.sum("n_agree")
+        ).collect()
+
+    runs = {"substring": strip_run, "phrase": phrase_run, "audit": audit_run}
+    res: dict[str, dict] = {k: {} for k in runs}
+    for c in (1, 2, 4):  # one untimed warm pass per point
+        for fn in runs.values():
+            fn(c)
+    for _round in range(2):  # interleaved min-of-2
+        for c in (1, 2, 4):
+            for name, fn in runs.items():
+                t0 = time.perf_counter()
+                fn(c)
+                dt = time.perf_counter() - t0
+                res[name][c] = min(res[name].get(c, dt), dt)
+    for c in (1, 2, 4):
+        print(
+            "# curation2 copies=%d substring=%.2fs phrase=%.2fs audit=%.2fs"
+            % (c, res["substring"][c], res["phrase"][c], res["audit"][c]),
+            file=sys.stderr,
+        )
+        for name in runs:
+            res[name][c] = round(res[name][c], 2)
+    return res["substring"], res["phrase"], res["audit"]
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale_check")
@@ -310,6 +366,7 @@ def main() -> None:
             file=sys.stderr,
         )
     bm25_res, dsir_res, ppl_res = text_scoring_times(spark, docs)
+    sub_res, phr_res, aud_res = curation2_times(spark, docs)
     bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
     print(
         json.dumps(
@@ -321,6 +378,9 @@ def main() -> None:
                 "bm25": bm25_res,
                 "dsir": dsir_res,
                 "ppl": ppl_res,
+                "substring": sub_res,
+                "phrase": phr_res,
+                "audit": aud_res,
                 "graph_bfs": bfs_res,
                 "graph_weighted": w_res,
                 "graph_cc": cc_res,

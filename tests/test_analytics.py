@@ -1,7 +1,9 @@
-"""Cohort retention + market-basket lift (r18 window candidates): exact
-pure-Python recompute pins on handmade tables, hypothesis properties,
-and the gate-shaped pre-validation of both unregistered driver rows
-against their DuckDB oracles.
+"""The r18-r20 window-candidate families — cohort retention +
+market-basket lift (r18), user behavioral entropy + RFM segmentation
+(r19), MinHash estimator audit + revenue Gini (r20): exact pure-Python
+recompute pins on handmade tables, hypothesis properties, and the
+gate-shaped pre-validation of all six unregistered driver rows against
+their DuckDB oracles.
 """
 from __future__ import annotations
 
