@@ -344,6 +344,42 @@ def cmd_search(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_analyze(args) -> None:
+    from scabillmatch_spark.operators import analytics, stats
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.op == "cohort":
+        out = analytics.cohort_retention(
+            df, args.id_col, args.ts_col, granularity=args.granularity
+        )
+    elif args.op == "rfm":
+        out = analytics.rfm_scores(df, args.id_col, args.ts_col, args.value_col)
+    elif args.op == "entropy":
+        if not args.group_col:
+            sys.exit("analyze --op entropy requires --group-col (the type column)")
+        out = analytics.user_entropy(df, args.id_col, args.group_col)
+    elif args.op == "lift":
+        if not args.group_col:
+            sys.exit("analyze --op lift requires --group-col (the item column)")
+        out = analytics.basket_lift(
+            df, args.id_col, args.group_col, min_support=args.min_support
+        )
+    elif args.op == "gini":
+        if not args.group_col:
+            sys.exit("analyze --op gini requires --group-col")
+        out = stats.gini(df, args.group_col, args.value_col, args.id_col)
+    elif args.op == "mad":
+        if not args.group_col:
+            sys.exit("analyze --op mad requires --group-col")
+        out = stats.mad_outliers(df, args.group_col, args.value_col, k=args.k)
+    else:  # zipf: df must be a (group, term, freq) relation
+        if not args.group_col:
+            sys.exit("analyze --op zipf requires --group-col")
+        out = stats.zipf_fit(df, args.group_col)
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def cmd_merge(args) -> None:
     from scabillmatch_spark.operators.merge import merge_into
 
@@ -600,6 +636,29 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--quantile-buckets", action="store_true",
                     help="equal-frequency Z-order bins (for skewed cols)")
     co.set_defaults(fn=cmd_compact)
+
+    an = sub.add_parser(
+        "analyze",
+        help="behavioral/statistical analytics over a parquet table "
+        "(cohort | rfm | entropy | lift | gini | mad | zipf)",
+    )
+    an.add_argument("--input", required=True)
+    an.add_argument("--output", required=True)
+    an.add_argument(
+        "--op", required=True,
+        choices=["cohort", "rfm", "entropy", "lift", "gini", "mad", "zipf"],
+    )
+    an.add_argument("--id-col", default="primary_key",
+                    help="user/customer/basket id column (op-dependent)")
+    an.add_argument("--ts-col", default="ts")
+    an.add_argument("--value-col", default="value",
+                    help="amount/metric column (rfm, gini, mad)")
+    an.add_argument("--group-col", default=None,
+                    help="grouping column (entropy type, lift item, gini/mad/zipf group)")
+    an.add_argument("--granularity", default="month", choices=["month", "year"])
+    an.add_argument("--min-support", type=int, default=2)
+    an.add_argument("--k", type=float, default=3.0, help="MAD multiplier")
+    an.set_defaults(fn=cmd_analyze)
     return p
 
 

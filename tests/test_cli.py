@@ -277,3 +277,53 @@ def test_cli_search_ppl_filter_and_dsir(spark, corpus, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["curate", "--input", corpus, "--output", out + "/x",
                   "--op", "dsir"])
+
+
+def test_cli_analyze_ops(spark, tmp_path):
+    import datetime
+
+    out = str(tmp_path / "an")
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [
+            (1, datetime.datetime(2001, 1, 5), "a", 10.0),
+            (1, datetime.datetime(2001, 2, 5), "a", 12.0),
+            (1, datetime.datetime(2001, 2, 6), "b", 11.0),
+            (2, datetime.datetime(2001, 2, 1), "b", 500.0),
+        ],
+        "uid long, ts timestamp, etype string, value double",
+    ).write.parquet(ev)
+    cli.main(["analyze", "--input", ev, "--output", out + "/cohort",
+              "--op", "cohort", "--id-col", "uid"])
+    cohort = {
+        (r.cohort, r.periods_since): (r.n_users, r.n_events)
+        for r in spark.read.parquet(out + "/cohort").collect()
+    }
+    jan, feb = 2001 * 12, 2001 * 12 + 1
+    assert cohort == {(jan, 0): (1, 1), (jan, 1): (1, 2), (feb, 0): (1, 1)}
+    cli.main(["analyze", "--input", ev, "--output", out + "/ent",
+              "--op", "entropy", "--id-col", "uid", "--group-col", "etype"])
+    ent = {r.uid: (r.n_events, r.top_type)
+           for r in spark.read.parquet(out + "/ent").collect()}
+    assert ent == {1: (3, "a"), 2: (1, "b")}
+    cli.main(["analyze", "--input", ev, "--output", out + "/rfm",
+              "--op", "rfm", "--id-col", "uid", "--ts-col", "ts",
+              "--value-col", "value"])
+    rfm = {r.uid: r.frequency for r in spark.read.parquet(out + "/rfm").collect()}
+    assert rfm == {1: 3, 2: 1}
+    cli.main(["analyze", "--input", ev, "--output", out + "/gini",
+              "--op", "gini", "--id-col", "uid", "--group-col", "etype",
+              "--value-col", "value"])
+    assert spark.read.parquet(out + "/gini").count() == 2
+    # basket lift over (basket=uid, item=etype): pair (a,b) co-occurs
+    # only in user 1's basket -> min_support=1 keeps it
+    cli.main(["analyze", "--input", ev, "--output", out + "/lift",
+              "--op", "lift", "--id-col", "uid", "--group-col", "etype",
+              "--min-support", "1"])
+    lift = spark.read.parquet(out + "/lift").collect()
+    assert len(lift) == 1 and (lift[0].item_a, lift[0].item_b) == ("a", "b")
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["analyze", "--input", ev, "--output", out + "/x",
+                  "--op", "entropy", "--id-col", "uid"])
