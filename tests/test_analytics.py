@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from helpers import half_up_round
 from scabillmatch_spark.operators.analytics import basket_lift, cohort_retention
 
 TABLES = (
@@ -112,7 +113,7 @@ def _py_lift(baskets, min_support=2):
             for j in range(i + 1, len(s)):
                 co[(s[i], s[j])] = co.get((s[i], s[j]), 0) + 1
     return {
-        (a, c): (cnt, ct[a], ct[c], round(float(cnt) * n / (float(ct[a]) * float(ct[c])), 6))
+        (a, c): (cnt, ct[a], ct[c], half_up_round(float(cnt) * n / (float(ct[a]) * float(ct[c])), 6))
         for (a, c), cnt in co.items()
         if cnt >= min_support
     }
@@ -231,8 +232,8 @@ def _py_entropy(rows, round_digits=6):
         h = -sum((c / n) * math.log(c / n) for c in cts.values()) + 0.0
         top = sorted(cts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         out[u] = (
-            n, len(cts), round(h, round_digits),
-            top[0], round(top[1] / n, round_digits),
+            n, len(cts), half_up_round(h, round_digits),
+            top[0], half_up_round(top[1] / n, round_digits),
         )
     return out
 
@@ -287,7 +288,9 @@ def _py_rfm(rows, buckets=4):
         per[u] = (max(last, d), n + 1, m + a)
     ref = max(d for _, d, _ in rows)
     flat = [
-        (u, ref - last, n, round(m, 6)) for u, (last, n, m) in per.items()
+        # half_up_round, not round(): monetary sums of dyadic floats can
+        # land exact .5 ties at digit 6 (tests/helpers.py)
+        (u, ref - last, n, half_up_round(m, 6)) for u, (last, n, m) in per.items()
     ]
 
     def nt(keyed):
@@ -426,9 +429,9 @@ def _py_minhash_audit(sets, num_hashes=32, num_bands=4):
             agree = sum(1 for a, b in zip(sigs[d1], sigs[d2]) if a == b)
             inter = len(sets[d1] & sets[d2])
             uni = len(sets[d1] | sets[d2])
-            est = round(agree / num_hashes, 6)
-            exact = round(inter / uni, 6)
-            out[(d1, d2)] = (agree, est, exact, round(abs(est - exact), 6))
+            est = half_up_round(agree / num_hashes, 6)
+            exact = half_up_round(inter / uni, 6)
+            out[(d1, d2)] = (agree, est, exact, half_up_round(abs(est - exact), 6))
     return out
 
 
@@ -489,7 +492,7 @@ def _py_gini(groups, round_digits=6):
         six = sum((i + 1) * x for i, (_, x) in enumerate(ordered))
         out[g] = (
             len(ordered),
-            round(2.0 * six / (n * sx) - (n + 1.0) / n, round_digits),
+            half_up_round(2.0 * six / (n * sx) - (n + 1.0) / n, round_digits),
         )
     return out
 

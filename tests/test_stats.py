@@ -78,8 +78,12 @@ def test_sequential_funnel_strict_after_semantics(spark):
 def _py_mad(rows, k=3.0):
     import statistics
 
+    from helpers import half_up_round
+
     def r6(x):
-        return round(x, 6)
+        # NOT round(): engines round half-up; round() banker-rounds and
+        # diverges on .5 ties at digit 6 (see tests/helpers.py docstring)
+        return half_up_round(x, 6)
 
     by = {}
     for key, v in rows:
@@ -112,6 +116,22 @@ def test_mad_outliers_matches_python(spark):
     # the wild value is the a-group's single outlier; zero-MAD group
     # flags every deviation > 0
     assert got["a"][4] == 1 and got["b"][4] == 0 and got["c"][4] == 0
+
+
+def test_mad_outliers_half_up_tie_golden(spark):
+    """Pin the r12-session-3 hypothesis find: median = 0.9765625 exactly
+    (a dyadic rational) is a .5 tie at digit 6 — Spark F.round and DuckDB
+    ROUND go half-up to 0.976563 while Python's round() banker-rounds to
+    0.976562. The mirror must match the ENGINES. Kept as a plain golden
+    so the regression doesn't depend on hypothesis re-finding it."""
+    rows = [("a", 0.0), ("a", 0.0), ("a", 2.0), ("a", 1.953125)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = stats.mad_outliers(df, "k", "value").collect()[0]
+    assert (r.median, r.mad, r.cutoff, r.max_dev) == (
+        0.976563, 0.976563, 2.929689, 1.023437
+    )
+    got = {"a": (r.n, r.median, r.mad, r.cutoff, r.n_outliers, r.max_dev)}
+    assert got == _py_mad(rows)
 
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -151,11 +171,13 @@ def _py_zipf(freqs_by_group):
         sxy = sum(x * y for x, y in zip(xs, ys))
         syy = sum(y * y for y in ys)
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        from helpers import half_up_round
+
         out[g] = (
             len(ranked), sum(tf.values()),
-            round(slope, 6),
-            round((sy - slope * sx) / n, 6),
-            round(
+            half_up_round(slope, 6),
+            half_up_round((sy - slope * sx) / n, 6),
+            half_up_round(
                 (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
                 6,
             ),
