@@ -2392,7 +2392,10 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scabillmatch_spark.streaming import events as SE
 
     stream = SE.read_events_stream(spark, sf_dir)
-    return SE.run_available_now(SE.tumbling_counts(stream))
+    # 16 state-store partitions (the events_stream_stateful precedent):
+    # interleaved min-of-3 at sf0.1 read 1.43s at the batch default of 32
+    # vs 0.96s at 16 — pure store setup/commit overhead (PLANS.md r12 s3)
+    return SE.run_available_now(SE.tumbling_counts(stream), shuffle_partitions=16)
 
 
 def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2409,7 +2412,8 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return SE.run_available_now(deduped, "append")
+    # 16 dedup-state stores: 1.74s -> 1.18s at sf0.1 (same A/B as tumbling)
+    return SE.run_available_now(deduped, "append", shuffle_partitions=16)
 
 
 def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4493,6 +4497,10 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         work,
         num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
         jaccard_threshold=70.0,
+        # size per-micro-batch exchanges to the ~500-row delta slices
+        # (4.82s -> 4.51s min-of-3 at sf0.1; the corpus band-index build
+        # stays at the session default — see stream_delta_dedup docstring)
+        shuffle_partitions=8,
     )
     res = out.select(
         "pk1", "pk2", F.round("similarity", 6).alias("similarity")
@@ -4773,6 +4781,9 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, delta = _orders_cdc_delta(spark, sf_dir)
     out = stream_merge_apply(
         spark, orders, delta, work, ["o_orderkey"], delete_col="is_delete",
+        # per-micro-batch sizing (3.49s -> 3.25s min-of-3 at sf0.1); the
+        # broadcast-MERGE plans no exchange, this covers the rewrite side
+        shuffle_partitions=8,
     )
     return _materialize_and_clean(spark, out, work)
 

@@ -31,6 +31,7 @@ def stream_delta_dedup(
     num_hashes: int = 32,
     num_bands: int = 8,
     jaccard_threshold: float = 70.0,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run the delta-vs-corpus dedup as an AvailableNow streaming query:
     ``delta_sets`` is staged into ``n_batches`` parquet files, streamed one
@@ -48,6 +49,16 @@ def stream_delta_dedup(
     end-to-end on the sf0.1 corpus, where fixed streaming overhead
     dominates — the factor grows with corpus/batch ratio (PLANS.md
     round 10).
+
+    ``shuffle_partitions`` sizes the PER-MICRO-BATCH shuffles (delta-band
+    build, band-collision join, per-pair similarity agg): each batch is a
+    delta slice — hundreds of rows locally — yet its exchanges inherit the
+    session default, so task-scheduling overhead dominates batch wall
+    (the same effect ``run_available_now`` measured for state stores and
+    graph's ``_loop_partitions`` measured for loop rounds). Size to DELTA
+    volume; the corpus band-index build deliberately stays OUTSIDE the
+    override — it is corpus-scale work that wants the cluster default.
+    None (the default) leaves the session value untouched.
     """
     from scabillmatch_spark.operators.dedup import (
         corpus_band_index,
@@ -82,13 +93,20 @@ def stream_delta_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     # result lives in parquet now — release the corpus cache
     corpus_sets.unpersist()
     corpus_banded.unpersist()
@@ -104,6 +122,7 @@ def stream_merge_apply(
     delete_col: str | None = None,
     n_batches: int = 3,
     broadcast_source: bool = True,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming CDC apply — the lakehouse ingestion pattern: a stream of
     change rows is MERGEd into a stored table one micro-batch at a time
@@ -126,6 +145,12 @@ def stream_merge_apply(
     re-applied update/insert is a no-op, a re-applied delete deletes
     nothing) — true transactional retries need the table-format commit
     protocol, documented honestly here.
+
+    ``shuffle_partitions``: per-micro-batch shuffle sizing (set before
+    query start — the micro-batch session clone snapshots conf then). The
+    broadcast-MERGE itself plans no exchange, but the merged-table
+    rewrite and any non-broadcast arbitration inherit it; size to batch
+    volume locally, leave None at cluster scale.
     """
     import shutil
 
@@ -153,14 +178,21 @@ def stream_merge_apply(
         shutil.rmtree(tgt_dir)
         os.rename(nxt, tgt_dir)
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-        .writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(tgt_dir)
