@@ -15,6 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _half_up_round(x: float, digits: int) -> float:
+    """Python-side twin of F.round / DuckDB ROUND on doubles (HALF_UP on
+    the shortest decimal repr). The stateful pandas kernels round in
+    Python, where the builtin round() banker-rounds and would diverge
+    from the SQL oracle on an exact .5 tie at the target digit — the
+    same class hypothesis flushed out of the test mirrors in r12 s3.
+    Module-level so the UDF closures stay picklable."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _normalize_ts(df: DataFrame) -> DataFrame:
     """Normalize the generator's ts vintages (nanos->long, naive-micros->NTZ)
     to an instant-typed TIMESTAMP interpreted as UTC — same rule as
@@ -226,7 +240,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             total += float(pdf["value"].sum())
         state.update((n, total))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [_half_up_round(total, 4)]}
         )
 
     return (
@@ -279,7 +293,7 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
                 total += float(pdf["value"].sum())
             self._totals.update((n, total))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+                {"user_id": [key[0]], "n_events": [n], "total_value": [_half_up_round(total, 4)]}
             )
 
         def close(self) -> None:
