@@ -1503,7 +1503,7 @@ def q_graph_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxIter semantics, this one propagates mass proportionally to edge
     similarity — higher-similarity neighbors receive more rank, the
     natural centrality for picking a dedup cluster's canonical doc.
-    3 supersteps, reset 0.15, ROUND(,6) like the unweighted oracle.
+    3 supersteps, reset 0.15, (ROUND(,6) + 0.0) like the unweighted oracle.
     Plan per superstep: one edge-vertex equi-join + one groupBy on dst —
     ids/doubles only in every exchange."""
     from scabillmatch_spark.operators import graph
@@ -2586,7 +2586,7 @@ def _media_wav_audio_stats_oracle() -> str:
                8000 AS sample_rate,
                CAST(8 AS BIGINT) AS n_frames,
                CAST(0.001 AS DOUBLE) AS duration_s,
-               ROUND(sqrt(sv.ms), 6) AS rms
+               (ROUND(sqrt(sv.ms), 6) + 0.0) AS rms
         FROM documents d,
         LATERAL (
             SELECT avg(v * v) AS ms FROM (
@@ -3216,7 +3216,7 @@ def _emb_brp_oracle() -> str:
                        list_transform(e1.v, x -> 1.0))) AS dist
             FROM cand c JOIN e e1 ON e1.vec_id = c.pk1 JOIN e e2 ON e2.vec_id = c.pk2
         )
-        SELECT pk1, pk2, ROUND(dist, 6) AS dist
+        SELECT pk1, pk2, (ROUND(dist, 6) + 0.0) AS dist
         FROM d WHERE dist <= {_BRP_DIST_THRESHOLD}
     """
 
@@ -3417,9 +3417,9 @@ def _emb_near_dup_oracle() -> str:
         ),
         scored AS (
             SELECT p.id1, p.id2,
-                   ROUND(list_dot_product(x.v, y.v)
+                   (ROUND(list_dot_product(x.v, y.v)
                          / (sqrt(list_dot_product(x.v, x.v))
-                            * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+                            * sqrt(list_dot_product(y.v, y.v))), 6) + 0.0) AS cos_sim
             FROM pre p
             JOIN allv x ON x.vec_id = p.id1
             JOIN allv y ON y.vec_id = p.id2
@@ -5767,7 +5767,7 @@ def _pagerank_oracle(iters: int = 3) -> str:
     )"""
         prev = f"r{i}"
     sql += f"""
-    SELECT id, ROUND(rank, 6) AS pagerank FROM {prev}"""
+    SELECT id, (ROUND(rank, 6) + 0.0) AS pagerank FROM {prev}"""
     return sql
 
 
@@ -5795,7 +5795,7 @@ def _weighted_pagerank_oracle(iters: int = 3) -> str:
     """Similarity-weighted PageRank mirror: same banded/scored CTE as the
     unweighted oracle, edges carry w = 100.0*inter/uni, mass splits
     proportionally to w/wout. Float SUM order differs between engines by
-    design; ROUND(,6) absorbs it exactly as in _pagerank_oracle (green
+    design; (ROUND(,6) + 0.0) absorbs it exactly as in _pagerank_oracle (green
     since r6 at two sfs)."""
     banded = _banded_pairs_cte(_DUCK_TOKIDSET)
     sql = f"""
@@ -5823,7 +5823,7 @@ def _weighted_pagerank_oracle(iters: int = 3) -> str:
     )"""
         prev = f"r{i}"
     sql += f"""
-    SELECT id, ROUND(rank, 6) AS wpagerank FROM {prev}"""
+    SELECT id, (ROUND(rank, 6) + 0.0) AS wpagerank FROM {prev}"""
     return sql
 
 
@@ -5879,9 +5879,9 @@ def _emb_lsh_ann_oracle() -> str:
         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
         cand AS (
             SELECT q.query_id, b.vec_id AS neighbor_id,
-                   ROUND(list_dot_product(q.qv, b.v)
+                   (ROUND(list_dot_product(q.qv, b.v)
                          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
-                         6) AS cos_sim
+                         6) + 0.0) AS cos_sim
             FROM b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.query_id
         )
         SELECT query_id, neighbor_id, cos_sim, rk FROM (
@@ -6007,7 +6007,7 @@ _DELTA_DEDUP_ORACLE = f"""
                 JOIN ids i1 ON i1.doc_id = c.pk1
                 JOIN ids i2 ON i2.doc_id = c.pk2
             )
-            SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
+            SELECT pk1, pk2, (ROUND(100.0 * inter / uni, 6) + 0.0) AS similarity
             FROM scored
             WHERE 100.0 * inter / uni >= 70.0
         """
@@ -6466,7 +6466,7 @@ def oracle_sql() -> dict[str, str]:
             dfq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term),
             sc AS (
                 SELECT t.doc_id, t.term,
-                       ROUND(t.tf * ln((n.n + 1.0) / (d.dfq + 1.0)), 6) AS score
+                       (ROUND(t.tf * ln((n.n + 1.0) / (d.dfq + 1.0)), 6) + 0.0) AS score
                 FROM tf t JOIN dfq d USING (term), n
             ),
             rk AS (
@@ -6493,11 +6493,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             d2 AS (
                 SELECT e.vec_id, e.label,
-                       ROUND(SUM((e.val - c.c) * (e.val - c.c)), 4) AS d2
+                       (ROUND(SUM((e.val - c.c) * (e.val - c.c)), 4) + 0.0) AS d2
                 FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
                 GROUP BY e.vec_id, e.label
             ),
-            thr AS (SELECT label, ROUND(1.05 * AVG(d2), 4) AS t FROM d2 GROUP BY label)
+            thr AS (SELECT label, (ROUND(1.05 * AVG(d2), 4) + 0.0) AS t FROM d2 GROUP BY label)
             SELECT d.vec_id, d.label, d.d2, d.d2 > t.t AS is_outlier
             FROM d2 d JOIN thr t ON d.label = t.label
         """,
@@ -6564,9 +6564,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
             )
             SELECT doc_id, n_words,
-                   ROUND(mean_word_len, 6) AS mean_word_len,
-                   ROUND(symbol_ratio, 6) AS symbol_ratio,
-                   ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+                   (ROUND(mean_word_len, 6) + 0.0) AS mean_word_len,
+                   (ROUND(symbol_ratio, 6) + 0.0) AS symbol_ratio,
+                   (ROUND(alpha_word_frac, 6) + 0.0) AS alpha_word_frac,
                    n_stop_distinct,
                    (n_words >= 30 AND n_words <= 100000
                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
@@ -6660,9 +6660,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM p
             )
             SELECT COUNT(*) AS n_pairs,
-                   ROUND(corr(sim_a, sim_b), 6) AS corr_measures,
-                   ROUND(AVG(sim_a), 6) AS avg_jaccard,
-                   ROUND(AVG(sim_b), 6) AS avg_maxasym
+                   (ROUND(corr(sim_a, sim_b), 6) + 0.0) AS corr_measures,
+                   (ROUND(AVG(sim_a), 6) + 0.0) AS avg_jaccard,
+                   (ROUND(AVG(sim_b), 6) + 0.0) AS avg_maxasym
             FROM m
         """,
         # Rebuild the identical synthetic metadata from documents and mirror
@@ -6750,7 +6750,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pk1_smaller, pk2_larger,
                    md5(cs) AS c1_md5, md5(cl) AS c2_md5,
-                   ROUND(sim, 6) AS similarity
+                   (ROUND(sim, 6) + 0.0) AS similarity
             FROM sk
             WHERE CAST(('0x' || substr(md5(pk1_smaller || '_' || pk2_larger), 1, 15))
                        AS UBIGINT)::BIGINT % 100 < 50
@@ -6814,13 +6814,13 @@ def oracle_sql() -> dict[str, str]:
                    len(grams) AS n_grams,
                    len(list_distinct(grams)) AS n_distinct_grams,
                    CASE WHEN len(grams) > 0
-                        THEN ROUND((len(grams) - len(list_distinct(grams)))::DOUBLE
-                                   / len(grams), 6)
+                        THEN (ROUND((len(grams) - len(list_distinct(grams)))::DOUBLE
+                                   / len(grams), 6) + 0.0)
                         ELSE 0.0 END AS dup_gram_ratio,
                    CASE WHEN len(toks) > 0
-                        THEN ROUND(list_max(list_transform(list_distinct(toks),
+                        THEN (ROUND(list_max(list_transform(list_distinct(toks),
                                  tk -> len(list_filter(toks, x -> x = tk))))::DOUBLE
-                             / len(toks), 6)
+                             / len(toks), 6) + 0.0)
                         ELSE 0.0 END AS top_token_share
             FROM g
         """,
@@ -6860,12 +6860,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT doc_id, lang,
-                       ROUND(0.4 * least(ntok / 100.0, 1.0)
+                       (ROUND(0.4 * least(ntok / 100.0, 1.0)
                              + 0.4 * least((CASE WHEN ntok > 0 THEN sw::DOUBLE / ntok ELSE 0.0 END) * 5.0, 1.0)
-                             + 0.2 * (1.0 - least((punct + dig) * 5.0, 1.0)), 6) AS q
+                             + 0.2 * (1.0 - least((punct + dig) * 5.0, 1.0)), 6) + 0.0) AS q
                 FROM m
             )
-            SELECT lang, COUNT(*) AS n_kept, ROUND(AVG(q), 6) AS avg_quality
+            SELECT lang, COUNT(*) AS n_kept, (ROUND(AVG(q), 6) + 0.0) AS avg_quality
             FROM scored
             WHERE q >= (SELECT quantile_cont(q, 0.5) FROM scored)
             GROUP BY lang
@@ -6916,9 +6916,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             )
             SELECT doc_id, lang,
-                   ROUND(0.4 * least(ntok / 100.0, 1.0)
+                   (ROUND(0.4 * least(ntok / 100.0, 1.0)
                          + 0.4 * least((CASE WHEN ntok > 0 THEN sw::DOUBLE / ntok ELSE 0.0 END) * 5.0, 1.0)
-                         + 0.2 * (1.0 - least((punct + dig) * 5.0, 1.0)), 6) AS quality,
+                         + 0.2 * (1.0 - least((punct + dig) * 5.0, 1.0)), 6) + 0.0) AS quality,
                    CASE WHEN greatest(hde, hen, hes, hfr) = 0 THEN 'und'
                         WHEN hde = greatest(hde, hen, hes, hfr) THEN 'de'
                         WHEN hen = greatest(hde, hen, hes, hfr) THEN 'en'
@@ -6986,7 +6986,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ids i1 ON i1.doc_id = c.pk1
                 JOIN ids i2 ON i2.doc_id = c.pk2
             )
-            SELECT pk1, pk2, ROUND(100.0 * inter / uni, 6) AS similarity
+            SELECT pk1, pk2, (ROUND(100.0 * inter / uni, 6) + 0.0) AS similarity
             FROM scored
             WHERE 100.0 * inter / uni >= 70.0
         """,
@@ -7065,13 +7065,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-                   ROUND(AVG(value), 4) AS avg_value
+                   (ROUND(AVG(value), 4) + 0.0) AS avg_value
             FROM w GROUP BY ws, event_type
         """,
         "events_stream_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, COUNT(*) AS n,
-                   ROUND(SUM(value), 4) AS sum_value
+                   (ROUND(SUM(value), 4) + 0.0) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -7140,7 +7140,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
                   AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
             )
-            SELECT ROUND(100.0 * pr / tr, 6) AS promo_pct FROM agg
+            SELECT (ROUND(100.0 * pr / tr, 6) + 0.0) AS promo_pct FROM agg
         """,
         "tpch_q19_disjunctive_join": """
             SELECT COUNT(*) AS n_items,
@@ -7216,7 +7216,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q22_dormant_customers": """
             SELECT c_mktsegment, COUNT(*) AS numcust,
-                   ROUND(SUM(c_acctbal), 4) AS totacctbal
+                   (ROUND(SUM(c_acctbal), 4) + 0.0) AS totacctbal
             FROM customer c
             WHERE c_acctbal > (
                     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
@@ -7392,7 +7392,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_stateful": """
             SELECT user_id, COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS total_value
+                   (ROUND(SUM(value), 4) + 0.0) AS total_value
             FROM events GROUP BY user_id
         """,
         "approx_sketch_stats": """
@@ -7420,7 +7420,7 @@ def oracle_sql() -> dict[str, str]:
             -- CustomizedMinHashLSH.scala:46-58 in the same operation order
             -- as functions/similarity.py so doubles agree bitwise
             SELECT pk1, pk2,
-                   ROUND(CASE WHEN least(sa, sb) = 0 THEN 0.0
+                   (ROUND(CASE WHEN least(sa, sb) = 0 THEN 0.0
                          WHEN greatest(sa, sb) / least(sa, sb) <= 5.0 THEN
                            CASE WHEN sa + sb - i > 0
                                 THEN 100.0 * i / (sa + sb - i) ELSE 0.0 END
@@ -7433,17 +7433,17 @@ def oracle_sql() -> dict[str, str]:
                                         + (1.0 / (0.2 * (greatest(sa, sb) / least(sa, sb))))
                                           * (greatest(sa, sb) - i))
                                 ELSE 0.0 END
-                         END, 6) AS weighted_jaccard,
-                   ROUND(CASE WHEN least(sa, sb) > 0
-                              THEN 100.0 * i / least(sa, sb) ELSE 0.0 END, 6)
+                         END, 6) + 0.0) AS weighted_jaccard,
+                   (ROUND(CASE WHEN least(sa, sb) > 0
+                              THEN 100.0 * i / least(sa, sb) ELSE 0.0 END, 6) + 0.0)
                        AS maxasym_jaccard,
-                   ROUND(CASE WHEN sa > 0 THEN 100.0 * i / sa ELSE 0.0 END, 6)
+                   (ROUND(CASE WHEN sa > 0 THEN 100.0 * i / sa ELSE 0.0 END, 6) + 0.0)
                        AS left_jaccard,
-                   ROUND(CASE WHEN sb > 0 THEN 100.0 * i / sb ELSE 0.0 END, 6)
+                   (ROUND(CASE WHEN sb > 0 THEN 100.0 * i / sb ELSE 0.0 END, 6) + 0.0)
                        AS right_jaccard,
-                   ROUND(1.0 - (CASE WHEN least(sa, sb) > 0
+                   (ROUND(1.0 - (CASE WHEN least(sa, sb) > 0
                                      THEN 100.0 * i / least(sa, sb)
-                                     ELSE 0.0 END) / 100.0, 6)
+                                     ELSE 0.0 END) / 100.0, 6) + 0.0)
                        AS min_one_sided_dist
             FROM p
         """,
@@ -7476,7 +7476,7 @@ def oracle_sql() -> dict[str, str]:
                   AND abs(m1.n_chars - m2.n_chars) / sqrt(m1.n_chars * m2.n_chars) < 0.26
                 GROUP BY w1.doc_id, w2.doc_id
             )
-            SELECT d1, d2, ROUND(100.0 * dot / (n1.norm * n2.norm), 6) AS cosine100
+            SELECT d1, d2, (ROUND(100.0 * dot / (n1.norm * n2.norm), 6) + 0.0) AS cosine100
             FROM dots JOIN norms n1 ON n1.doc_id = d1 JOIN norms n2 ON n2.doc_id = d2
             WHERE 100.0 * dot / (n1.norm * n2.norm) >= 60.0
         """,
@@ -7510,9 +7510,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY a.label, a.vec_id, b.vec_id
             )
             SELECT d.label, d.id1, d.id2,
-                   ROUND(CAST(d.dot AS DOUBLE)
+                   (ROUND(CAST(d.dot AS DOUBLE)
                          / (sqrt(CAST(x.nrm AS DOUBLE))
-                            * sqrt(CAST(y.nrm AS DOUBLE))), 6) AS cosine
+                            * sqrt(CAST(y.nrm AS DOUBLE))), 6) + 0.0) AS cosine
             FROM dots d
             JOIN norms x ON x.label = d.label AND x.vec_id = d.id1
             JOIN norms y ON y.label = d.label AND y.vec_id = d.id2
@@ -7561,10 +7561,10 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o.n_open, 0) AS n_open,
                    CAST(d.deg * (d.deg - 1) // 2 AS BIGINT)
                        - COALESCE(o.n_open, 0) AS n_closed,
-                   CASE WHEN d.deg > 1 THEN ROUND(
+                   CASE WHEN d.deg > 1 THEN (ROUND(
                        (CAST(d.deg * (d.deg - 1) // 2 AS DOUBLE)
                         - COALESCE(o.n_open, 0))
-                       / (d.deg * (d.deg - 1) // 2), 6)
+                       / (d.deg * (d.deg - 1) // 2), 6) + 0.0)
                    ELSE 0.0 END AS clustering_coeff
             FROM deg d LEFT JOIN opn o ON o.b = d.id
         """,
@@ -7639,7 +7639,7 @@ def oracle_sql() -> dict[str, str]:
                        generate_subscripts(embedding, 1) - 1 AS pos
                 FROM embeddings
             )
-            SELECT label, pos, ROUND(SUM(val), 6) AS elem_sum
+            SELECT label, pos, (ROUND(SUM(val), 6) + 0.0) AS elem_sum
             FROM ex GROUP BY label, pos
         """,
         "tpch_q1_pricing_summary": """
@@ -7799,15 +7799,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "descriptive_stats": """
             SELECT event_type, COUNT(*) AS n,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_value,
-                   ROUND(stddev_samp(value), 6) AS sd_value,
+                   (ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0.0) AS mean_value,
+                   (ROUND(stddev_samp(value), 6) + 0.0) AS sd_value,
                    MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY event_type
         """,
         "pearson_corr": """
-            SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-                   ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax
+            SELECT (ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0) AS corr_qty_price,
+                   (ROUND(corr(l_discount, l_tax), 6) + 0.0) AS corr_disc_tax
             FROM lineitem
         """,
         "scalar_functions": """
@@ -7818,7 +7818,7 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('-', p_brand, p_type) AS brand_type,
                    replace(p_brand, 'Brand#', 'B') AS brand_short,
                    p_size % 7 AS size_mod,
-                   ROUND(p_retailprice * 1.1, 2) AS markup,
+                   (ROUND(p_retailprice * 1.1, 2) + 0.0) AS markup,
                    CASE WHEN p_size > 25 THEN 'large'
                         WHEN p_size > 10 THEN 'medium'
                         ELSE 'small' END AS size_class
@@ -7861,7 +7861,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_near_dup_jaccard": f"""
             WITH {_banded_pairs_cte(_DUCK_TOKIDSET)}
             SELECT d1 AS doc1, d2 AS doc2,
-                   ROUND(100.0 * inter / uni, 6) AS similarity
+                   (ROUND(100.0 * inter / uni, 6) + 0.0) AS similarity
             FROM scored
             WHERE 100.0 * inter / uni >= 90.0
             ORDER BY 100.0 * inter / uni DESC, d1 ASC, d2 ASC
@@ -7892,8 +7892,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS blocked_pairs,
                    CAST((SELECT n_total * (n_total - 1) / 2 FROM t) AS BIGINT)
                        AS unblocked_pairs,
-                   ROUND((SELECT n_total * (n_total - 1) / 2 FROM t)
-                         / SUM(n * (n - 1) / 2), 6) AS reduction_ratio
+                   (ROUND((SELECT n_total * (n_total - 1) / 2 FROM t)
+                         / SUM(n * (n - 1) / 2), 6) + 0.0) AS reduction_ratio
             FROM per
         """,
         "emb_cosine_topk": """
@@ -7901,9 +7901,9 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
             scored AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
-                       ROUND(list_dot_product(q.qv, e.v) /
+                       (ROUND(list_dot_product(q.qv, e.v) /
                              (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
-                             6) AS cos_sim
+                             6) + 0.0) AS cos_sim
                 FROM e JOIN q ON e.vec_id <> q.query_id
             )
             SELECT query_id, neighbor_id, cos_sim, rk FROM (
@@ -7923,12 +7923,12 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.vec_id < 32 AND b.vec_id <= 32
             )
             SELECT id1, id2,
-                ROUND(100.0 / (1.0 + list_sum(list_transform(generate_series(1, len(v1)),
-                      i -> abs(v1[i] - v2[i])))), 6) AS manhattan,
-                ROUND(100.0 / (1.0 + list_sum(list_transform(generate_series(1, len(v1)),
-                      i -> CASE WHEN v1[i] <> v2[i] THEN 1.0 ELSE 0.0 END))), 6) AS hamming,
-                ROUND(100.0 * (len(v1) - list_sum(list_transform(generate_series(1, len(v1)),
-                      i -> CASE WHEN v1[i] <> v2[i] THEN 1.0 ELSE 0.0 END))) / len(v1), 6)
+                (ROUND(100.0 / (1.0 + list_sum(list_transform(generate_series(1, len(v1)),
+                      i -> abs(v1[i] - v2[i])))), 6) + 0.0) AS manhattan,
+                (ROUND(100.0 / (1.0 + list_sum(list_transform(generate_series(1, len(v1)),
+                      i -> CASE WHEN v1[i] <> v2[i] THEN 1.0 ELSE 0.0 END))), 6) + 0.0) AS hamming,
+                (ROUND(100.0 * (len(v1) - list_sum(list_transform(generate_series(1, len(v1)),
+                      i -> CASE WHEN v1[i] <> v2[i] THEN 1.0 ELSE 0.0 END))) / len(v1), 6) + 0.0)
                       AS densejaccard
             FROM pairs
         """,
