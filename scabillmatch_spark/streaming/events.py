@@ -26,7 +26,9 @@ def _half_up_round(x: float, digits: int) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal(1).scaleb(-digits)
-    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    # + 0.0 folds the signed zero: quantize(-1e-7) is Decimal('-0.0000')
+    # -> float -0.0, but F.round's BigDecimal path has no signed zero
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:

@@ -22,4 +22,7 @@ def half_up_round(x: float, digits: int = 6) -> float:
     shortest decimal repr of the double (repr() is the same shortest
     form Double.toString produces)."""
     q = Decimal(1).scaleb(-digits)
-    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+    # + 0.0 folds the signed zero: quantize(-1e-7) is Decimal('-0.0000')
+    # -> float -0.0, but F.round (BigDecimal, no signed zero) and the
+    # repo's (ROUND(x, n) + 0.0)-folded oracles both give +0.0 there
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
