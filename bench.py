@@ -67,6 +67,9 @@ def main() -> None:
     # doc_dedup_rewrite applies it — without pre-warm, whichever ran first
     # would be charged the iterative CC build
     entrymod._doc_dup_components(spark, sf_dir).count()
+    # and the shared shingle band index (r12 s3): the lsh/delta/ingest
+    # dedup family slices it — same order-independence rationale
+    entrymod._shingle_bands(spark, sf_dir).count()
     print(
         f"# warmup_scored_edge_cc_caches: {time.perf_counter()-t0:.1f}s",
         file=sys.stderr,
