@@ -175,3 +175,56 @@ def test_two_sided_precomputed_band_index_equals_fresh(spark):
             left, right, "doc_id", "shingles", **kw,
             right_banded=idx.drop("__sz_r"),
         )
+
+
+def test_superset_band_slice_equals_subset_banding(spark):
+    """The shared shingle-band cache's load-bearing identity (r12 s3):
+    banding is a pure per-doc function of the set, so the FULL corpus's
+    band projection filtered by an id predicate must be row-identical to
+    banding the subset directly — and a self-join fed the sliced
+    projection must produce exactly the pairs the fresh build produces.
+    If lsh_banded_projection ever grows cross-row state (e.g. a
+    corpus-derived hash seed), this fails at registration, not in the
+    driver gate."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.operators import blocking
+
+    rows = [(i, list(range(i % 7, i % 7 + 10 + i % 3))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<long>")
+    sub = df.filter(F.col("doc_id") % 10 != 7)
+    kw = dict(num_hashes=16, num_bands=8, with_size=True, tag="r")
+    full_sliced = blocking.lsh_banded_projection(
+        df, "doc_id", "shingles", **kw
+    ).filter(F.col("__id_r") % 10 != 7)
+    direct = blocking.lsh_banded_projection(sub, "doc_id", "shingles", **kw)
+    a = {tuple(r) for r in full_sliced.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b and a
+
+    renamed = full_sliced.select(
+        F.col("__id_r").alias("__id"),
+        F.col("__sz_r").alias("__sz"),
+        F.col("__band_r").alias("__band"),
+    )
+    via_cache = blocking.lsh_candidate_pairs(
+        sub.selectExpr("doc_id AS __id", "shingles AS __set"),
+        "__id", "__set", num_hashes=16, num_bands=8, min_jaccard=50.0,
+        banded=renamed,
+    )
+    fresh = blocking.lsh_candidate_pairs(
+        sub.selectExpr("doc_id AS __id", "shingles AS __set"),
+        "__id", "__set", num_hashes=16, num_bands=8, min_jaccard=50.0,
+    )
+    pa = {(r.pk1, r.pk2) for r in via_cache.collect()}
+    pb = {(r.pk1, r.pk2) for r in fresh.collect()}
+    assert pa == pb and pa
+
+    import pytest
+
+    with pytest.raises(ValueError, match="__sz"):
+        blocking.lsh_candidate_pairs(
+            sub.selectExpr("doc_id AS __id", "shingles AS __set"),
+            "__id", "__set", num_hashes=16, num_bands=8, min_jaccard=50.0,
+            banded=renamed.drop("__sz"),
+        )
