@@ -48,6 +48,18 @@ DEFAULT_SET = [
     "graph_shortest_paths",
     "graph_weighted_paths",
     "io_csv_roundtrip",
+    # r12 session 3 touched surface: per-micro-batch shuffle sizing (4
+    # streaming rows), the _half_up_round stateful kernels, and the
+    # shared shingle band-index cache (3 dedup rows slice one persisted
+    # projection — exactly the cross-query shared-cache class this tool
+    # exists to flush)
+    "events_stream_tumbling",
+    "events_stream_dedup",
+    "events_stream_stateful",
+    "stream_merge_upsert",
+    "stream_ingest_dedup",
+    "minhash_lsh_dedup",
+    "minhash_delta_dedup",
 ]
 
 
