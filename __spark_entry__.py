@@ -1182,7 +1182,11 @@ def q_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        # nanvl: stddev_samp of a singleton group is NaN on Spark but NULL
+        # on DuckDB — value-identity today (no singleton event_type), NULL
+        # alignment if a testdata regeneration ever produces one
+        F.round(F.nanvl(F.stddev_samp("value"), F.lit(None).cast("double")), 6)
+        .alias("sd_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )

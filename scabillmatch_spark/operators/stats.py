@@ -16,7 +16,10 @@ def describe(df: DataFrame, col: str, by: str | None = None) -> DataFrame:
     aggs = [
         F.count(F.lit(1)).alias("count"),
         F.avg(col).alias("mean"),
-        F.stddev_samp(col).alias("stddev"),
+        # NaN -> NULL: SQL engines report NULL for a singleton sample
+        # stddev; Spark reports NaN. Align to the SQL convention so the
+        # degenerate group compares equal cross-engine.
+        F.nanvl(F.stddev_samp(col), F.lit(None).cast("double")).alias("stddev"),
         F.min(col).alias("min"),
         F.max(col).alias("max"),
     ]
