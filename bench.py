@@ -52,6 +52,21 @@ def main() -> None:
     spark.range(256, numPartitions=32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # pre-warm the Structured-Streaming machinery (micro-batch planner,
+    # memory sink, checkpoint codepath JIT): the FIRST streaming row in
+    # registry order was otherwise charged ~0.5s of one-time spin-up
+    # (r12 s3: events_stream_tumbling read 1.4s in-bench vs 0.96s
+    # standalone steady — positional, not its plan). Same excluded-from-
+    # timing rationale as the worker-pool pre-spawn above.
+    try:
+        from scabillmatch_spark.streaming import events as _SE
+
+        _SE.run_available_now(
+            _SE.tumbling_counts(_SE.read_events_stream(spark, small)),
+            shuffle_partitions=4,
+        ).count()
+    except Exception as e:  # warmup must never fail the bench
+        print(f"# stream warmup skipped: {e}", file=sys.stderr)
     print(f"# warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     # Pre-warm the shared scored-pair and edge caches (round-5 verdict item
     # #3): doc_near_dup_jaccard and the graph_* queries read
