@@ -248,6 +248,76 @@ def test_stream_merge_apply_equals_one_shot(spark, tmp_path):
     )
 
 
+def test_stream_merge_apply_sized_partitions_restores_conf(spark, tmp_path):
+    """The r12-s3 shuffle_partitions knob's two contracts: (1) results are
+    identical to the unsized path (partitioning must never change values),
+    (2) the session conf is RESTORED after the query — a leaked override
+    would silently resize every later query's exchanges (the cross-query
+    state class the chaos tool hunts)."""
+    from scabillmatch_spark.streaming.ingest import stream_merge_apply
+
+    tgt = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(1, 21)],
+        "k long, s string, v double",
+    )
+    delta = spark.createDataFrame(
+        [(k, f"S{k}", k * 10.0, False) for k in (2, 4, 6, 8)]
+        + [(5, "x", 0.0, True)]
+        + [(k, f"n{k}", 1.0, False) for k in (100, 101)],
+        "k long, s string, v double, del boolean",
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sized = stream_merge_apply(
+        spark, tgt, delta, str(tmp_path / "cdc_sized"), ["k"],
+        delete_col="del", n_batches=2, shuffle_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    plain = stream_merge_apply(
+        spark, tgt, delta, str(tmp_path / "cdc_plain"), ["k"],
+        delete_col="del", n_batches=2,
+    )
+    assert sorted(map(tuple, sized.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_stream_delta_dedup_sized_partitions_restores_conf(spark, tmp_path):
+    """Same two contracts for the ingest-dedup twin, plus the r12-s3
+    caller-owned corpus_banded path: a provided band index must yield the
+    same pairs as the internal build and must NOT be unpersisted by the
+    callee."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.operators.dedup import corpus_band_index
+    from scabillmatch_spark.streaming.ingest import stream_delta_dedup
+
+    rows = [(i, list(range(i % 5, i % 5 + 12))) for i in range(24)]
+    sets = spark.createDataFrame(rows, "doc_id long, shingles array<long>")
+    corp = sets.filter(F.col("doc_id") % 4 != 1)
+    delt = sets.filter(F.col("doc_id") % 4 == 1)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    own = stream_delta_dedup(
+        spark, corp, delt, str(tmp_path / "ing_own"),
+        num_hashes=16, num_bands=8, jaccard_threshold=50.0,
+        n_batches=2, shuffle_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    idx = corpus_band_index(corp, num_hashes=16, num_bands=8).persist()
+    idx.count()
+    via_cache = stream_delta_dedup(
+        spark, corp, delt, str(tmp_path / "ing_idx"),
+        num_hashes=16, num_bands=8, jaccard_threshold=50.0,
+        n_batches=2, corpus_banded=idx,
+    )
+    key = lambda df: sorted(
+        (r.pk1, r.pk2, round(r.similarity, 6)) for r in df.collect()
+    )
+    assert key(own) == key(via_cache) and key(own)
+    # callee must not have released the caller's index
+    assert idx.storageLevel.useMemory or idx.storageLevel.useDisk
+    idx.unpersist()
+
+
 def test_snapshot_diff_ops(spark):
     from scabillmatch_spark.operators.merge import snapshot_diff
 
