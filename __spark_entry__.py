@@ -5208,6 +5208,157 @@ def _nation_revenue_gini_oracle() -> str:
     FROM ranked GROUP BY n_name"""
 
 
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD
+    2003, the MOSS algorithm; operators/winnow.py): per document, the
+    robust-winnowing selection over 4-gram rolling hashes with window
+    w=6 — min hash per window, ties to the RIGHTMOST position, distinct
+    (hash, position) pairs recorded. Output per doc: n_grams,
+    n_fingerprints (expected density ~2/(w+1)), n_shared_fp (selected
+    hashes some OTHER doc also selected — the cheap cross-corpus screen
+    the exact positional census of doc_substring_dup confirms), and
+    fp_checksum = sum(hash % 1e9+7) — an order-free arithmetic witness
+    of the exact selected set. All-integer output, no float discipline.
+    Plan: grams hashed ONCE per row in the scan projection (an
+    array-expression selection would re-evaluate the md5 pipeline per
+    window element — O(L^2) md5s per doc, measured as a hang; see
+    operators/winnow.py), then one doc-key exchange + frames window min
+    over struct(gram, -pos), one combine-heavy census shuffle on the
+    60-bit hash, one doc-key agg — every exchange longs only, no
+    Python. num_partitions spreads the md5+fold CPU over local
+    single-file inputs (the substring-census lesson; None at real scale
+    where splits provide parallelism). NOT registered: banked window
+    candidate; pre-validated in
+    tests/test_substring.py::test_winnow_query_matches_oracle."""
+    from scabillmatch_spark.operators.winnow import winnow_fingerprint_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprint_report(
+        docs, n=4, w=6, num_partitions=spark.sparkContext.defaultParallelism
+    )
+
+
+def _doc_winnow_fingerprints_oracle(n: int = 4, w: int = 6) -> str:
+    """Oracle for the (unregistered) winnowing query: same positional
+    rolling hash over the shared ordered token-id mirror (the
+    substring_dup census CTE verbatim), selection via a window min over
+    the struct {'g': gram, 'np': -pos} (field-order lexicographic — min
+    hash, then rightmost position, exactly the engine's
+    array_min(struct(g, -p))), DISTINCT (hash, position) per doc,
+    shared census via HAVING count >= 2 over per-doc-distinct hashes.
+    Integer-exact output; the checksum SUM is HUGEINT -> CAST AS BIGINT
+    per the house convention."""
+    from scabillmatch_spark.functions.text import HASH_PRIME, SHINGLE_B
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+    w AS (
+        SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+               list_reduce(
+                   list_transform(
+                       t[CAST(r.i AS INT) : CAST(r.i AS INT) + {n - 1}],
+                       x -> x % {HASH_PRIME}),
+                   (acc, x) -> (acc * {SHINGLE_B} + x) % {HASH_PRIME}
+               ) AS gram
+        FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    ),
+    g AS (SELECT doc_id, COUNT(*) AS ng FROM w GROUP BY doc_id),
+    sel AS (
+        SELECT w.doc_id,
+               min({{'g': gram, 'np': -pos}}) OVER (
+                   PARTITION BY w.doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+               pos, g.ng
+        FROM w JOIN g USING (doc_id)
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, ng, m.g AS fg, -m.np AS fp
+        FROM sel WHERE pos <= ng - {w}
+    ),
+    census AS (
+        SELECT fg FROM (SELECT DISTINCT doc_id, fg FROM fps)
+        GROUP BY fg HAVING COUNT(*) >= 2
+    )
+    SELECT f.doc_id,
+           CAST(f.ng AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(*) FILTER (f.fg IN (SELECT fg FROM census))
+                AS BIGINT) AS n_shared_fp,
+           CAST(SUM(f.fg % 1000000007) AS BIGINT) AS fp_checksum
+    FROM fps f GROUP BY f.doc_id, f.ng"""
+
+
+def q_events_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-occurrence PMI over event types
+    (operators/cooccur.session_pmi — the count/PPMI pipeline that
+    precedes distributional embeddings, Levy & Goldberg 2014): sessions
+    per the registered 30-min-gap rule (events_sessionization's exact
+    assignment), n_ab = sessions containing BOTH types, PMI =
+    round(ln(n_ab·N / (n_a·n_b)), 6). One row per co-occurring pair,
+    type_a < type_b. Plan: one user-key sessionization shuffle, a
+    map-side-collapsing DISTINCT, a BOUNDED session-key self-join (the
+    J1 bounded-group shape — the inactivity gap caps session size),
+    two tiny aggs; N is a driver scalar (weighted-pagerank
+    verts.count() precedent). NOT registered: banked window candidate;
+    pre-validated in tests/test_analytics.py::
+    test_session_pmi_query_matches_oracle."""
+    from scabillmatch_spark.operators.cooccur import session_pmi
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return session_pmi(ev)
+
+
+def _events_session_pmi_oracle() -> str:
+    """Oracle for the (unregistered) session-PMI query: the registered
+    sessionization CTE verbatim, then set-distinct types per session,
+    a < b self-join, marginal attach, and the identical
+    multiply-then-divide ln argument. ROUND +0.0-folded (PMI of a
+    near-independent pair can round to -0.0)."""
+    return """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN us - LAG(us) OVER w IS NULL
+                      OR us - LAG(us) OVER w > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+          FROM (SELECT DISTINCT user_id, session_id FROM st)),
+    marg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+             FROM st GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab, ma.c AS n_a, mb.c AS n_b,
+           (SELECT n_sessions FROM n) AS n_sessions,
+           (ROUND(ln(CAST(p.n_ab AS DOUBLE) * (SELECT n_sessions FROM n)
+                     / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))), 6)
+            + 0.0) AS pmi
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b"""
+
+
 def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral profile (operators/analytics.user_entropy):
     Shannon entropy (nats) of each user's event-type distribution +

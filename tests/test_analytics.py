@@ -557,3 +557,145 @@ def test_gini_query_matches_oracle(spark):
         entrymod.q_nation_revenue_gini,
         entrymod._nation_revenue_gini_oracle(),
     )
+
+
+# --------------------------------------------- session co-occurrence PMI
+
+
+def _ev_df(spark, rows):
+    """rows: (event_id, user, type, seconds-offset)."""
+    import datetime
+
+    data = [
+        (
+            eid,
+            u,
+            t,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+        )
+        for eid, u, t, s in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def _py_pmi(rows, gap_s=1800, round_digits=6):
+    import math
+
+    by_user = {}
+    for eid, u, t, s in rows:
+        by_user.setdefault(u, []).append((s, eid, t))
+    sessions = []
+    for u, evs in by_user.items():
+        evs.sort()
+        cur, last = None, None
+        for s, eid, t in evs:
+            if last is None or s - last > gap_s:
+                cur = set()
+                sessions.append(cur)
+            cur.add(t)
+            last = s
+    n = len(sessions)
+    marg = {}
+    pair = {}
+    for ss in sessions:
+        for t in ss:
+            marg[t] = marg.get(t, 0) + 1
+        ts = sorted(ss)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pair[(ts[i], ts[j])] = pair.get((ts[i], ts[j]), 0) + 1
+    return {
+        (a, b): (
+            c,
+            marg[a],
+            marg[b],
+            n,
+            half_up_round(math.log(c * n / (marg[a] * marg[b])), round_digits)
+            + 0.0,
+        )
+        for (a, b), c in pair.items()
+    }
+
+
+def test_session_pmi_golden(spark):
+    from scabillmatch_spark.operators.cooccur import session_pmi
+
+    # user 1: two sessions — the second starts 1801s after the first's
+    # last event (gap is STRICTLY greater than 1800); user 2: one
+    # session; an exactly-1800s gap does NOT split.
+    rows = [
+        (0, 1, "a", 0),
+        (1, 1, "b", 100),
+        (2, 1, "a", 1900),  # 1800s after eid 1 -> SAME session
+        (3, 1, "c", 3701),  # 1801s later -> NEW session
+        (4, 1, "a", 3702),
+        (5, 2, "b", 0),
+        (6, 2, "c", 10),
+    ]
+    got = {
+        (r.type_a, r.type_b): (r.n_ab, r.n_a, r.n_b, r.n_sessions, r.pmi)
+        for r in session_pmi(_ev_df(spark, rows)).collect()
+    }
+    assert got == _py_pmi(rows)
+    # hand-check the session structure the expectation relies on:
+    # sessions = {a,b}, {a,c}, {b,c} -> every pair co-occurs once, N=3
+    assert got[("a", "b")][:4] == (1, 2, 2, 3)
+    assert got[("a", "c")][:4] == (1, 2, 2, 3)
+    assert got[("b", "c")][:4] == (1, 2, 2, 3)
+
+
+def test_session_pmi_tie_order_and_repeats(spark):
+    from scabillmatch_spark.operators.cooccur import session_pmi
+
+    # repeated types within one session count ONCE (set semantics);
+    # a never co-occurring pair yields no row
+    rows = [
+        (0, 1, "x", 0),
+        (1, 1, "x", 1),
+        (2, 1, "y", 2),
+        (3, 2, "z", 0),
+    ]
+    got = {
+        (r.type_a, r.type_b): (r.n_ab, r.n_a, r.n_b, r.n_sessions)
+        for r in session_pmi(_ev_df(spark, rows)).collect()
+    }
+    assert got == {("x", "y"): (1, 1, 1, 2)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.sampled_from(["a", "b", "c"]),  # type
+            st.integers(0, 7200),  # seconds
+        ),
+        min_size=2,
+        max_size=24,
+        unique_by=lambda r: (r[0], r[2]),  # one event per (user, instant)
+    )
+)
+def test_session_pmi_property_matches_python(spark, evs):
+    from scabillmatch_spark.operators.cooccur import session_pmi
+
+    rows = [(i, u, t, s) for i, (u, t, s) in enumerate(evs)]
+    got = {
+        (r.type_a, r.type_b): (r.n_ab, r.n_a, r.n_b, r.n_sessions, r.pmi)
+        for r in session_pmi(_ev_df(spark, rows)).collect()
+    }
+    assert got == _py_pmi(rows)
+
+
+def test_session_pmi_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered q_events_session_pmi
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_session_pmi,
+        entrymod._events_session_pmi_oracle(),
+    )

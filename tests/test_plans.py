@@ -149,6 +149,8 @@ _BANKED_PREVALIDATED = [
     "q_customer_rfm",
     "q_doc_minhash_audit",
     "q_nation_revenue_gini",
+    "q_doc_winnow_fingerprints",
+    "q_events_session_pmi",
 ]
 
 

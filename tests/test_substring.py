@@ -245,3 +245,132 @@ def test_strip_property_matches_python(spark, texts):
         for r in strip_duplicate_spans(_docs(spark, rows), n=4).collect()
     }
     assert got == _py_strip(rows, 4)
+
+
+# ------------------------------------------- winnowing fingerprints
+
+
+def _py_winnow_report(rows, n=4, w=6, mod=1_000_000_007):
+    """Exact reference for winnow_fingerprint_report: md5-derived token
+    ids + the engine's rolling-hash fold, robust-winnowing selection
+    (min hash per window, rightmost tie, distinct (hash, pos))."""
+    import functools
+    import hashlib
+
+    from scabillmatch_spark.functions.text import HASH_PRIME, SHINGLE_B
+
+    def tid(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:15], 16)
+
+    def grams(ids):
+        if len(ids) < n:
+            return []
+        return [
+            functools.reduce(
+                lambda a, x: (a * SHINGLE_B + x % HASH_PRIME) % HASH_PRIME,
+                ids[i : i + n],
+                0,
+            )
+            for i in range(len(ids) - n + 1)
+        ]
+
+    fps = {}
+    for d, tx in rows:
+        gs = grams([tid(t) for t in _py_tokens(tx)])
+        sel = []
+        seen = set()
+        for s in range(len(gs) - w + 1):
+            win = gs[s : s + w]
+            m = min(win)
+            p = s + max(i for i, v in enumerate(win) if v == m)
+            if (m, p) not in seen:
+                seen.add((m, p))
+                sel.append((m, p))
+        if sel:
+            fps[d] = (len(gs), sel)
+    owners = {}
+    for d, (_, sel) in fps.items():
+        for g, _ in sel:
+            owners.setdefault(g, set()).add(d)
+    shared = {g for g, ds in owners.items() if len(ds) >= 2}
+    return {
+        d: (
+            ng,
+            len(sel),
+            sum(1 for g, _ in sel if g in shared),
+            sum(g % mod for g, _ in sel),
+        )
+        for d, (ng, sel) in fps.items()
+    }
+
+
+def _winnow_rows(spark, rows, n=4, w=6):
+    from scabillmatch_spark.operators.winnow import winnow_fingerprint_report
+
+    return {
+        r.doc_id: (r.n_grams, r.n_fingerprints, r.n_shared_fp, r.fp_checksum)
+        for r in winnow_fingerprint_report(_docs(spark, rows), n=n, w=w).collect()
+    }
+
+
+def test_winnow_shared_passage_is_screened(spark):
+    lic = "this block is licensed under the common terms " * 2  # 16 tokens
+    rows = [
+        (1, lic + "alpha beta gamma delta unique one epsilon zeta"),
+        (2, "prefix words here " + lic + "totally different tail two"),
+        (3, "no shared content at all in this document three friend"),
+    ]
+    got = _winnow_rows(spark, rows)
+    assert got == _py_winnow_report(rows)
+    # the 16-token shared block exceeds the w + n - 1 = 9 guarantee
+    # threshold: both owners MUST share at least one fingerprint hash
+    assert got[1][2] >= 1 and got[2][2] >= 1
+    assert got[3][2] == 0  # the unrelated doc shares nothing
+
+
+def test_winnow_short_docs_select_nothing(spark):
+    # < n + w - 1 = 9 tokens -> no full window -> no row; the n..n+w-2
+    # token range exercises the 1 <= n_grams < w edge (a naive
+    # sequence(0, n_grams - w) would be a DESCENDING Spark range)
+    rows = [(k, " ".join(f"t{i}" for i in range(k))) for k in range(0, 9)]
+    assert _winnow_rows(spark, rows) == {}
+    rows9 = [(1, " ".join(f"t{i}" for i in range(9)))]
+    got = _winnow_rows(spark, rows9)
+    assert set(got) == {1} and got[1][0] == 6 and got[1][1] == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_texts, min_size=2, max_size=5))
+def test_winnow_property_matches_python(spark, texts):
+    """Tiny alphabet => dense hash repeats inside windows: the rightmost
+    tie-break and the distinct-(hash,pos) rule are both load-bearing."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    assert _winnow_rows(spark, rows, n=2, w=3) == _py_winnow_report(
+        rows, n=2, w=3
+    )
+
+
+def test_winnow_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered
+    q_doc_winnow_fingerprints matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_doc_winnow_fingerprints(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(
+        df, rows, con, entrymod._doc_winnow_fingerprints_oracle()
+    )
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
