@@ -318,6 +318,81 @@ def curation2_times(spark, docs: dict) -> tuple[dict, dict, dict]:
     return res["substring"], res["phrase"], res["audit"]
 
 
+def session4_times(spark, docs: dict, sf_dir: str) -> tuple[dict, dict]:
+    """Winnowing fingerprints / session PMI on 1x/2x/4x (r12 session-4
+    banked ops). Winnow runs over the disjoint-vocab doc copies, so the
+    shared-fingerprint census stays per-copy-internal and the whole
+    report should track the corpus near-linearly — super-linear growth
+    flags census blowup. PMI scales the EVENTS side: copies union with
+    offset user_ids (sessions stay per-copy-internal, the type vocab is
+    constant), so pair space is fixed while counts scale — the
+    sessionize + distinct + bounded self-join chain should be linear."""
+    from scabillmatch_spark.operators.cooccur import session_pmi
+    from scabillmatch_spark.operators.winnow import winnow_fingerprint_report
+
+    par = spark.sparkContext.defaultParallelism
+    # read_table, not raw parquet: the generator's naive TIMESTAMP(MICROS)
+    # reads as TIMESTAMP_NTZ under Spark 4, which unix_micros rejects
+    from scabillmatch_spark.io.sources import read_table
+
+    base_ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    events = {}
+    for c in (1, 2, 4):
+        parts = [
+            base_ev.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+                "event_type",
+                "ts",
+            )
+            for i in range(c)
+        ]
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.union(p)
+        events[c] = ev
+
+    # Both operators persist an internal frame (fpx resp. the session-type
+    # set) that a repeated identical plan would silently reuse — the timed
+    # trials would then measure cache reads, not the pipeline. Clear the
+    # cache per run so every trial pays the full per-invocation cost (the
+    # other families' persisted projections are already released by the
+    # time this family runs).
+    def winnow_run(c):
+        spark.catalog.clearCache()
+        winnow_fingerprint_report(docs[c], n=4, w=6, num_partitions=par).agg(
+            F.sum("fp_checksum")
+        ).collect()
+
+    def pmi_run(c):
+        spark.catalog.clearCache()
+        session_pmi(events[c]).count()
+
+    runs = {"winnow": winnow_run, "pmi": pmi_run}
+    res: dict[str, dict] = {k: {} for k in runs}
+    for c in (1, 2, 4):  # one untimed warm pass per point
+        for fn in runs.values():
+            fn(c)
+    for _round in range(2):  # interleaved min-of-2
+        for c in (1, 2, 4):
+            for name, fn in runs.items():
+                t0 = time.perf_counter()
+                fn(c)
+                dt = time.perf_counter() - t0
+                res[name][c] = min(res[name].get(c, dt), dt)
+    for c in (1, 2, 4):
+        print(
+            "# session4 copies=%d winnow=%.2fs pmi=%.2fs"
+            % (c, res["winnow"][c], res["pmi"][c]),
+            file=sys.stderr,
+        )
+        for name in runs:
+            res[name][c] = round(res[name][c], 2)
+    return res["winnow"], res["pmi"]
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale_check")
@@ -367,6 +442,7 @@ def main() -> None:
         )
     bm25_res, dsir_res, ppl_res = text_scoring_times(spark, docs)
     sub_res, phr_res, aud_res = curation2_times(spark, docs)
+    win_res, pmi_res = session4_times(spark, docs, sf_dir)
     bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
     print(
         json.dumps(
@@ -381,6 +457,8 @@ def main() -> None:
                 "substring": sub_res,
                 "phrase": phr_res,
                 "audit": aud_res,
+                "winnow": win_res,
+                "pmi": pmi_res,
                 "graph_bfs": bfs_res,
                 "graph_weighted": w_res,
                 "graph_cc": cc_res,
