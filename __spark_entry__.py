@@ -1408,7 +1408,12 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _doc_edges(spark, sf_dir)
     lms = edges.select("src").distinct().orderBy("src").limit(2)
-    return graph.shortest_paths(edges, lms, max_depth=6)
+    # per-round shuffles sized to frame volume like the other iterative
+    # rows (r12 s4 interleaved A/B: 2.39 -> 2.25 s; hop distances are
+    # integer mins, so partitioning cannot move a value)
+    return graph.shortest_paths(
+        edges, lms, max_depth=6, num_shuffle_partitions=8
+    )
 
 
 def q_graph_open_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1988,7 +1993,13 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight", ((F.col("src") + F.col("dst")) % 7 + 1).cast("double")
     )
     landmark = edges.agg(F.min("src").alias("id"))
-    out = graph.weighted_shortest_paths(edges, landmark, max_iter=6)
+    # per-round shuffles sized like the other iterative rows (r12 s4
+    # interleaved A/B: 2.77 -> 2.25 s; distances are mins over
+    # fixed-association-order relaxation sums, so partitioning cannot
+    # move a value)
+    out = graph.weighted_shortest_paths(
+        edges, landmark, max_iter=6, num_shuffle_partitions=8
+    )
     return out.select("id", F.col("distance").cast("long").alias("distance"))
 
 
