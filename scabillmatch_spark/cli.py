@@ -269,6 +269,16 @@ def cmd_curate(args) -> None:
         )
         out.write.mode("overwrite").parquet(args.output)
         return
+    if args.op == "winnow":
+        from scabillmatch_spark.operators.winnow import winnow_fingerprint_report
+
+        out = winnow_fingerprint_report(
+            docs.select(idc, tc), n=args.ngram, w=args.window,
+            id_col=idc, text_col=tc,
+            num_partitions=spark.sparkContext.defaultParallelism,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        return
     if args.op == "decontaminate":
         grams = docs.select(
             F.col(idc),
@@ -373,6 +383,16 @@ def cmd_analyze(args) -> None:
         if not args.group_col:
             sys.exit("analyze --op mad requires --group-col")
         out = stats.mad_outliers(df, args.group_col, args.value_col, k=args.k)
+    elif args.op == "pmi":
+        from scabillmatch_spark.operators.cooccur import session_pmi
+
+        if not args.group_col:
+            sys.exit("analyze --op pmi requires --group-col (the type column)")
+        out = session_pmi(
+            df, gap_us=args.gap_s * 1_000_000, user_col=args.id_col,
+            type_col=args.group_col, ts_col=args.ts_col,
+            tiebreak_col=args.tiebreak_col,
+        )
     else:  # zipf: df must be a (group, term, freq) relation
         if not args.group_col:
             sys.exit("analyze --op zipf requires --group-col")
@@ -539,7 +559,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "decontaminate", "stratified-sample", "weighted-sample", "pack",
             "pii-scrub", "repetition", "paragraph-dedup", "mixture-sample",
-            "chunk", "ppl-filter", "dsir",
+            "chunk", "ppl-filter", "dsir", "winnow",
         ],
         required=True,
     )
@@ -554,6 +574,8 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--mix", help="stratum=fraction,... mixture weights (mixture-sample)")
     cu.add_argument("--chunk-tokens", type=int, default=256, help="window size (chunk)")
     cu.add_argument("--stride", type=int, default=192, help="window step (chunk)")
+    cu.add_argument("--window", type=int, default=6,
+                    help="winnowing window w in n-gram positions (winnow)")
     cu.add_argument("--max-ppl", type=float, default=1000.0,
                     help="keep docs with bigram-LM perplexity <= this (ppl-filter)")
     cu.add_argument("--min-count", type=int, default=1,
@@ -646,7 +668,7 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--output", required=True)
     an.add_argument(
         "--op", required=True,
-        choices=["cohort", "rfm", "entropy", "lift", "gini", "mad", "zipf"],
+        choices=["cohort", "rfm", "entropy", "lift", "gini", "mad", "zipf", "pmi"],
     )
     an.add_argument("--id-col", default="primary_key",
                     help="user/customer/basket id column (op-dependent)")
@@ -658,6 +680,10 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--granularity", default="month", choices=["month", "year"])
     an.add_argument("--min-support", type=int, default=2)
     an.add_argument("--k", type=float, default=3.0, help="MAD multiplier")
+    an.add_argument("--tiebreak-col", default="event_id",
+                    help="within-instant order column (pmi sessionization)")
+    an.add_argument("--gap-s", type=int, default=1800,
+                    help="session inactivity gap in seconds (pmi)")
     an.set_defaults(fn=cmd_analyze)
     return p
 

@@ -327,3 +327,38 @@ def test_cli_analyze_ops(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["analyze", "--input", ev, "--output", out + "/x",
                   "--op", "entropy", "--id-col", "uid"])
+
+
+def test_cli_winnow_and_pmi(spark, corpus, tmp_path):
+    import datetime
+
+    out = str(tmp_path / "s4")
+    # winnow over the jsonl corpus: the two near-identical bills share
+    # fingerprints, the agricultural pair shares its own
+    cli.main(["curate", "--input", corpus, "--output", out + "/win",
+              "--op", "winnow", "--ngram", "4", "--window", "6"])
+    win = {
+        r.primary_key: (r.n_fingerprints, r.n_shared_fp)
+        for r in spark.read.parquet(out + "/win").collect()
+    }
+    assert len(win) == 4
+    assert all(v[0] > 0 for v in win.values())
+    assert all(v[1] > 0 for v in win.values())  # both pairs share passages
+    # pmi over a handmade event stream
+    ev = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [
+            (0, 1, datetime.datetime(2001, 1, 1, 0, 0), "a"),
+            (1, 1, datetime.datetime(2001, 1, 1, 0, 1), "b"),
+            (2, 2, datetime.datetime(2001, 1, 1, 0, 0), "a"),
+            (3, 2, datetime.datetime(2001, 1, 1, 9, 0), "b"),  # new session
+        ],
+        "eid long, uid long, ts timestamp, etype string",
+    ).write.parquet(ev)
+    cli.main(["analyze", "--input", ev, "--output", out + "/pmi",
+              "--op", "pmi", "--id-col", "uid", "--group-col", "etype",
+              "--tiebreak-col", "eid"])
+    pmi = {(r.type_a, r.type_b): (r.n_ab, r.n_sessions)
+           for r in spark.read.parquet(out + "/pmi").collect()}
+    # sessions: {a,b}, {a}, {b} -> one co-occurrence over 3 sessions
+    assert pmi == {("a", "b"): (1, 3)}
