@@ -5370,6 +5370,135 @@ def _events_session_pmi_oracle() -> str:
     JOIN marg mb ON mb.event_type = p.type_b"""
 
 
+def q_doc_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the per-language
+    unigram token distributions (operators/divergence.py — the domain
+    shift / mixture-drift diagnostic; JS chosen over KL because it
+    needs NO smoothing hyperparameter when supports differ, keeping the
+    whole computation exactly mirrorable). Output one row per language
+    pair sharing vocabulary: token totals, vocab sizes, shared-vocab
+    count, js rounded 6. Plan: one combine-heavy (lang, token) count
+    shuffle, |langs|-row totals broadcast, one token-keyed equi-join
+    (work ∝ shared vocab, never vocab²), one bounded pair agg; ln(2.0)
+    computed not pasted (the BM25 constant convention); vocab-wide
+    irrational sum rounded 6 per the zipf_fit precedent. NOT
+    registered: banked window candidate; pre-validated in
+    tests/test_analytics.py::test_lang_divergence_query_matches_oracle."""
+    from scabillmatch_spark.operators.divergence import slice_js_divergence
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    out = slice_js_divergence(docs, "lang", "text")
+    return out.withColumnRenamed("slice_a", "lang_a").withColumnRenamed(
+        "slice_b", "lang_b"
+    )
+
+
+def _doc_lang_divergence_oracle() -> str:
+    """Oracle for the (unregistered) JS-divergence query: identical
+    intersection-plus-marginals identity, term expression mirrored
+    token-for-token (pa ln(2pa/(pa+pb)) + pb ln(2pb/(pa+pb)); the
+    one-sided remainder via (ln(2.0)/2)(2 - Σpa - Σpb)). ROUND
+    +0.0-folded (js of near-identical distributions can round to
+    -0.0)."""
+    return f"""
+    WITH cnt AS (
+        SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang AS s, {_DUCK_TOKLIST} AS toks FROM documents),
+             UNNEST(toks) AS u(t)
+        GROUP BY s, t
+    ),
+    tot AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        FROM cnt GROUP BY s
+    ),
+    e AS (SELECT cnt.s, cnt.t, cnt.c, tot.n, tot.v
+          FROM cnt JOIN tot USING (s)),
+    j AS (
+        SELECT a.s AS lang_a, b.s AS lang_b,
+               CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS pa,
+               CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS pb,
+               a.n AS na, b.n AS nb, a.v AS va, b.v AS vb
+        FROM e a JOIN e b ON a.t = b.t AND a.s < b.s
+    )
+    SELECT lang_a, lang_b,
+           MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b,
+           MAX(va) AS vocab_a, MAX(vb) AS vocab_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_vocab,
+           (ROUND(0.5 * SUM(pa * ln(2.0 * pa / (pa + pb))
+                            + pb * ln(2.0 * pb / (pa + pb)))
+                  + 0.5 * ln(2.0) * (2.0 - SUM(pa) - SUM(pb)), 6)
+            + 0.0) AS js
+    FROM j GROUP BY lang_a, lang_b"""
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event transition matrix within sessions
+    (operators/cooccur.session_transitions — the sequence-modeling
+    complement to the set-semantics PMI row): consecutive event-type
+    pairs under the registered 30-min-gap sessionization, transitions
+    never crossing a session boundary; p = round(n / n_from, 6) so each
+    from-row sums to ~1. One double division per cell — no sum-order
+    sensitivity anywhere. Plan: ONE user-key exchange + sort serves the
+    session flag, the cumulative sum, and the lead (same partitioning,
+    same ordering); then one bounded (from, to) agg + |vocab|-row
+    marginal attach. NOT registered: banked window candidate;
+    pre-validated in tests/test_analytics.py::
+    test_markov_transitions_query_matches_oracle."""
+    from scabillmatch_spark.operators.cooccur import session_transitions
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return session_transitions(ev)
+
+
+def _events_markov_transitions_oracle() -> str:
+    """Oracle for the (unregistered) Markov-transition query: the
+    registered sessionization CTE verbatim, lead() within (user,
+    session), bounded count agg + marginal attach. p is provably
+    nonnegative, but the ROUND is +0.0-folded anyway for uniformity."""
+    return """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN us - LAG(us) OVER w IS NULL
+                      OR us - LAG(us) OVER w > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, us,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY us ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    led AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY us ASC, event_id ASC) AS to_type
+        FROM sess
+    ),
+    pairs AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM led WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    marg AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n, m.n_from,
+           (ROUND(CAST(p.n AS DOUBLE) / CAST(m.n_from AS DOUBLE), 6)
+            + 0.0) AS p
+    FROM pairs p JOIN marg m USING (from_type)"""
+
+
 def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral profile (operators/analytics.user_entropy):
     Shannon entropy (nats) of each user's event-type distribution +

@@ -136,3 +136,61 @@ def session_pmi(
     # share one sessionization pass instead of three.
     return out
 
+
+
+def session_transitions(
+    events: DataFrame,
+    gap_us: int = 1800 * 1_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over within-session event
+    sequences -> (from_type, to_type, n, n_from, p), one row per
+    observed consecutive pair. Sessions per the house 30-min-gap rule;
+    transitions never cross a session boundary (a user going idle for
+    an hour is a new chain, not a transition). p = round(n / n_from, 6)
+    — n_from is the count of transitions LEAVING from_type, so each
+    from-row of the matrix sums to ~1 (one double division per cell, no
+    sum-order sensitivity anywhere).
+
+    Scale shape: ONE user-key exchange + sort serves both windows (the
+    session flag sum and the lead — same partitioning, same ordering),
+    then one bounded (from, to) count agg and a |vocab|-row marginal
+    attach that AQE broadcasts. Exchanges carry (user, tiebreak, type,
+    us) — never payloads."""
+    ev = events.select(
+        user_col, tiebreak_col, type_col, F.unix_micros(ts_col).alias("us")
+    )
+    w = W.partitionBy(user_col).orderBy(F.asc("us"), F.asc(tiebreak_col))
+    gap = F.col("us") - F.lag("us", 1).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ws = W.partitionBy(user_col, "session_id").orderBy(
+        F.asc("us"), F.asc(tiebreak_col)
+    )
+    pairs = (
+        sess.withColumn("to_type", F.lead(type_col, 1).over(ws))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return pairs.join(marg, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        F.round(
+            F.col("n").cast("double") / F.col("n_from").cast("double"),
+            round_digits,
+        ).alias("p"),
+    )

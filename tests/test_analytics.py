@@ -699,3 +699,216 @@ def test_session_pmi_query_matches_oracle(spark):
         entrymod.q_events_session_pmi,
         entrymod._events_session_pmi_oracle(),
     )
+
+
+# -------------------------------------- JS divergence + Markov transitions
+
+
+def _py_js(rows, round_digits=6):
+    """rows: (slice, text). Mirror of slice_js_divergence (token pipeline
+    + intersection-plus-marginals identity)."""
+    import math
+    import re
+
+    def toks(text):
+        return [
+            w
+            for w in re.sub(r"[0-9,:;?!.]", "", text.lower()).split(" ")
+            if w
+        ]
+
+    cnt = {}
+    for s, tx in rows:
+        for t in toks(tx):
+            cnt.setdefault(s, {})[t] = cnt.setdefault(s, {}).get(t, 0) + 1
+    out = {}
+    slices = sorted(cnt)
+    for i, a in enumerate(slices):
+        for b in slices[i + 1 :]:
+            na, nb = sum(cnt[a].values()), sum(cnt[b].values())
+            shared = sorted(set(cnt[a]) & set(cnt[b]))
+            if not shared:
+                continue
+            s_term = s_pa = s_pb = 0.0
+            for t in shared:
+                pa, pb = cnt[a][t] / na, cnt[b][t] / nb
+                s_term += pa * math.log(2.0 * pa / (pa + pb)) + pb * math.log(
+                    2.0 * pb / (pa + pb)
+                )
+                s_pa += pa
+                s_pb += pb
+            js = 0.5 * s_term + 0.5 * math.log(2.0) * (2.0 - s_pa - s_pb)
+            out[(a, b)] = (
+                na,
+                nb,
+                len(cnt[a]),
+                len(cnt[b]),
+                len(shared),
+                half_up_round(js, round_digits) + 0.0,
+            )
+    return out
+
+
+def test_js_divergence_golden_identical_and_disjoint(spark):
+    from scabillmatch_spark.operators.divergence import slice_js_divergence
+
+    rows = [
+        ("a", "red green blue red"),
+        ("b", "red green blue red"),  # identical distribution -> js = 0
+        ("c", "cyan magenta cyan"),  # disjoint from a/b -> no row
+        ("d", "red cyan"),  # overlaps both camps
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        (r.slice_a, r.slice_b): (
+            r.n_tokens_a,
+            r.n_tokens_b,
+            r.vocab_a,
+            r.vocab_b,
+            r.n_shared_vocab,
+            r.js,
+        )
+        for r in slice_js_divergence(df, "lang").collect()
+    }
+    assert got == _py_js(rows)
+    assert got[("a", "b")][5] == 0.0  # identical -> exactly zero
+    assert ("a", "c") not in got and ("b", "c") not in got  # disjoint
+    assert ("a", "d") in got and ("c", "d") in got
+    # JS is bounded by ln 2 and positive for differing distributions
+    assert 0.0 < got[("a", "d")][5] < 0.693148
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),
+                min_size=1,
+                max_size=12,
+            ).map(" ".join),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_js_divergence_property_matches_python(spark, rows):
+    from scabillmatch_spark.operators.divergence import slice_js_divergence
+
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        (r.slice_a, r.slice_b): (
+            r.n_tokens_a,
+            r.n_tokens_b,
+            r.vocab_a,
+            r.vocab_b,
+            r.n_shared_vocab,
+            r.js,
+        )
+        for r in slice_js_divergence(df, "lang").collect()
+    }
+    assert got == _py_js(rows)
+
+
+def _py_markov(rows, gap_s=1800, round_digits=6):
+    """rows: (eid, user, type, seconds). Mirror of session_transitions."""
+    by_user = {}
+    for eid, u, t, s in rows:
+        by_user.setdefault(u, []).append((s, eid, t))
+    pairs = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        chain, last = [], None
+        chains = []
+        for s, eid, t in evs:
+            if last is None or s - last > gap_s:
+                chain = []
+                chains.append(chain)
+            chain.append(t)
+            last = s
+        for ch in chains:
+            for x, y in zip(ch, ch[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + 1
+    marg = {}
+    for (x, _), n in pairs.items():
+        marg[x] = marg.get(x, 0) + n
+    return {
+        (x, y): (n, marg[x], half_up_round(n / marg[x], round_digits) + 0.0)
+        for (x, y), n in pairs.items()
+    }
+
+
+def test_markov_transitions_golden(spark):
+    from scabillmatch_spark.operators.cooccur import session_transitions
+
+    # user 1: a->b->a then (new session) c->a; user 2: b alone (no
+    # transition); the a->b / b->a / c->a / a-row normalization all pin
+    rows = [
+        (0, 1, "a", 0),
+        (1, 1, "b", 60),
+        (2, 1, "a", 120),
+        (3, 1, "c", 7200),
+        (4, 1, "a", 7260),
+        (5, 2, "b", 0),
+    ]
+    got = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p)
+        for r in session_transitions(_ev_df(spark, rows)).collect()
+    }
+    assert got == _py_markov(rows)
+    assert got[("a", "b")] == (1, 1, 1.0)
+    assert got[("c", "a")] == (1, 1, 1.0)
+    assert ("b", "b") not in got  # user 2's singleton makes no transition
+    # transitions never cross the session boundary: no a->c row
+    assert ("a", "c") not in got
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 7200),
+        ),
+        min_size=2,
+        max_size=24,
+        unique_by=lambda r: (r[0], r[2]),
+    )
+)
+def test_markov_transitions_property_matches_python(spark, evs):
+    from scabillmatch_spark.operators.cooccur import session_transitions
+
+    rows = [(i, u, t, s) for i, (u, t, s) in enumerate(evs)]
+    got = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p)
+        for r in session_transitions(_ev_df(spark, rows)).collect()
+    }
+    assert got == _py_markov(rows)
+
+
+def test_lang_divergence_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered q_doc_lang_divergence
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_doc_lang_divergence,
+        entrymod._doc_lang_divergence_oracle(),
+    )
+
+
+def test_markov_transitions_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered
+    q_events_markov_transitions matches its DuckDB oracle typed-exact
+    at sf0.001 (sf0.01 out-of-band, PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_markov_transitions,
+        entrymod._events_markov_transitions_oracle(),
+    )

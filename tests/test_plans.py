@@ -151,6 +151,8 @@ _BANKED_PREVALIDATED = [
     "q_nation_revenue_gini",
     "q_doc_winnow_fingerprints",
     "q_events_session_pmi",
+    "q_doc_lang_divergence",
+    "q_events_markov_transitions",
 ]
 
 
