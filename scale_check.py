@@ -370,7 +370,44 @@ def session4_times(spark, docs: dict, sf_dir: str) -> tuple[dict, dict]:
         spark.catalog.clearCache()
         session_pmi(events[c]).count()
 
-    runs = {"winnow": winnow_run, "pmi": pmi_run}
+    # jsdiv over the disjoint-vocab doc copies: each copy carries its own
+    # lang column, so pairs form within AND across copies but shared
+    # vocabulary exists only within a copy — join work stays ∝ corpus.
+    # markov over the offset-user event copies: chains are per-copy.
+    from scabillmatch_spark.operators.cooccur import session_transitions
+    from scabillmatch_spark.operators.divergence import slice_js_divergence
+
+    def jsdiv_run(c):
+        spark.catalog.clearCache()
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        parts = []
+        for i in range(c):
+            tag = "q" + chr(97 + i)
+            parts.append(
+                base.select(
+                    F.concat(F.lit(tag), F.col("lang")).alias("lang"),
+                    F.regexp_replace("text", r"(\w+)", f"{tag}$1").alias(
+                        "text"
+                    ),
+                )
+            )
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.union(p)
+        slice_js_divergence(
+            d.repartition(par), "lang", "text"
+        ).agg(F.sum("n_shared_vocab")).collect()
+
+    def markov_run(c):
+        spark.catalog.clearCache()
+        session_transitions(events[c]).count()
+
+    runs = {
+        "winnow": winnow_run,
+        "pmi": pmi_run,
+        "jsdiv": jsdiv_run,
+        "markov": markov_run,
+    }
     res: dict[str, dict] = {k: {} for k in runs}
     for c in (1, 2, 4):  # one untimed warm pass per point
         for fn in runs.values():
@@ -384,13 +421,20 @@ def session4_times(spark, docs: dict, sf_dir: str) -> tuple[dict, dict]:
                 res[name][c] = min(res[name].get(c, dt), dt)
     for c in (1, 2, 4):
         print(
-            "# session4 copies=%d winnow=%.2fs pmi=%.2fs"
-            % (c, res["winnow"][c], res["pmi"][c]),
+            "# session4 copies=%d winnow=%.2fs pmi=%.2fs jsdiv=%.2fs"
+            " markov=%.2fs"
+            % (
+                c,
+                res["winnow"][c],
+                res["pmi"][c],
+                res["jsdiv"][c],
+                res["markov"][c],
+            ),
             file=sys.stderr,
         )
         for name in runs:
             res[name][c] = round(res[name][c], 2)
-    return res["winnow"], res["pmi"]
+    return res["winnow"], res["pmi"], res["jsdiv"], res["markov"]
 
 
 def main() -> None:
@@ -442,7 +486,7 @@ def main() -> None:
         )
     bm25_res, dsir_res, ppl_res = text_scoring_times(spark, docs)
     sub_res, phr_res, aud_res = curation2_times(spark, docs)
-    win_res, pmi_res = session4_times(spark, docs, sf_dir)
+    win_res, pmi_res, jsd_res, mkv_res = session4_times(spark, docs, sf_dir)
     bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
     print(
         json.dumps(
@@ -459,6 +503,8 @@ def main() -> None:
                 "audit": aud_res,
                 "winnow": win_res,
                 "pmi": pmi_res,
+                "jsdiv": jsd_res,
+                "markov": mkv_res,
                 "graph_bfs": bfs_res,
                 "graph_weighted": w_res,
                 "graph_cc": cc_res,
