@@ -5499,6 +5499,62 @@ def _events_markov_transitions_oracle() -> str:
     FROM pairs p JOIN marg m USING (from_type)"""
 
 
+def q_orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view upkeep —
+    operators/merge.incremental_agg_merge): per-customer order count +
+    exact-decimal spend, maintained incrementally (a 2/3 "historic"
+    state plus a 1/3 delta batch, split on o_orderkey % 3, merged by
+    one full-outer key join with coalesce-adds) — and the oracle is the
+    DIRECT full recompute, so the row proves the maintenance law
+    "merge of any batch split == aggregate of everything" the 100 TB
+    refresh pattern rests on. Sums ride DECIMAL(38,6) (the
+    descriptive_stats convention) so the split is bit-invariant — no
+    float-order exposure anywhere; the final cast to double is one
+    deterministic conversion. Plan: two partial aggs (state ∝ history,
+    delta ∝ batch — at scale the state is a stored table, never
+    rescanned beyond the join) + one key-shuffle full-outer join. NOT
+    registered: banked window candidate; pre-validated in
+    tests/test_merge.py::test_incremental_agg_query_matches_oracle."""
+    from scabillmatch_spark.operators.merge import incremental_agg_merge
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "__spend"
+            ),
+        )
+
+    hist = agg(orders.filter(F.col("o_orderkey") % 3 != 2))
+    delta = agg(orders.filter(F.col("o_orderkey") % 3 == 2))
+    merged = incremental_agg_merge(
+        hist, delta, ["o_custkey"], ["n_orders", "__spend"]
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.col("__spend").cast("double").alias("total_spend"),
+    )
+
+
+def _orders_incremental_agg_oracle() -> str:
+    """Oracle for the (unregistered) incremental-agg query: the DIRECT
+    single-pass aggregation — incremental maintenance must be
+    indistinguishable from recompute. DECIMAL sum per the house
+    convention (HUGEINT/decimal exactness on both engines), CAST AS
+    DOUBLE at the end."""
+    return """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_spend
+    FROM orders GROUP BY o_custkey"""
+
+
 def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral profile (operators/analytics.user_entropy):
     Shannon entropy (nats) of each user's event-type distribution +

@@ -361,3 +361,45 @@ def scd2_history(
         )
         .withColumn("is_current", F.col("effective_to").isNull().cast("int"))
     )
+
+
+def incremental_agg_merge(
+    state: DataFrame,
+    delta_aggs: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view upkeep for
+    additive aggregates): merge a delta batch's PARTIAL aggregates into a
+    stored aggregate state -> the state the full recompute would produce.
+
+    ``state`` and ``delta_aggs`` share the schema (keys + add_cols); every
+    ``add_cols`` entry must be an ADDITIVE aggregate (COUNT, SUM — exact
+    DECIMAL sums stay split-invariant bit-for-bit; AVG must be carried as
+    sum+count and divided at read time, MIN/MAX work too but deletions
+    would break them). The merge is ONE full-outer join on the keys +
+    coalesce-add per column: new keys insert, existing keys accumulate.
+
+    The maintenance law — merging any batch split equals aggregating
+    everything at once — holds exactly for integer/decimal adds (no
+    float-order exposure) and is property-tested in tests/test_merge.py.
+    At 100 TB this is THE aggregation pattern: the state table is never
+    rescanned beyond the join (broadcast when the delta's key set is
+    small), work per refresh ∝ delta, not history."""
+    s = state.select(
+        *keys, *[F.col(c).alias(f"__s_{c}") for c in add_cols]
+    )
+    d = delta_aggs.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in add_cols]
+    )
+    j = s.join(d, keys, "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    for c in add_cols:
+        zero = F.lit(0)
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"__s_{c}"), zero)
+                + F.coalesce(F.col(f"__d_{c}"), zero)
+            ).alias(c)
+        )
+    return j.select(*out_cols)

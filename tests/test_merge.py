@@ -516,3 +516,90 @@ def test_snapshot_diff_feeds_scd2_history(spark):
     # spot-check the shape: key 1 has versions [0,2) then [2,open)
     k1 = sorted(t for t in hist_full if t[0] == 1)
     assert k1 == [(1, "A", 2, None, 1), (1, "a", 0, 2, 0)]
+
+
+# ------------------------------------------ incremental agg maintenance
+
+
+def test_incremental_agg_merge_golden(spark):
+    from scabillmatch_spark.operators.merge import incremental_agg_merge
+
+    state = spark.createDataFrame(
+        [(1, 2, 10), (2, 1, 5)], "k long, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [(2, 3, 7), (3, 1, 1)], "k long, n long, s long"
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in incremental_agg_merge(state, delta, ["k"], ["n", "s"]).collect()
+    }
+    # untouched key carries over, shared key accumulates, new key inserts
+    assert got == {1: (2, 10), 2: (4, 12), 3: (1, 1)}
+
+
+def test_incremental_agg_merge_empty_sides(spark):
+    from scabillmatch_spark.operators.merge import incremental_agg_merge
+
+    state = spark.createDataFrame([(1, 2)], "k long, n long")
+    empty = state.filter(F.lit(False))
+    a = {r.k: r.n for r in incremental_agg_merge(state, empty, ["k"], ["n"]).collect()}
+    b = {r.k: r.n for r in incremental_agg_merge(empty, state, ["k"], ["n"]).collect()}
+    assert a == b == {1: 2}
+
+
+@pytest.mark.parametrize("n_batches", [1, 2, 4])
+def test_incremental_agg_maintenance_law(spark, n_batches):
+    """Merging ANY batch split of the input equals aggregating it all at
+    once — the law the materialized-view refresh pattern rests on.
+    Decimal sums make it exact (no float-order exposure)."""
+    from scabillmatch_spark.operators.merge import incremental_agg_merge
+
+    rows = [(i % 7, i, float(i) / 3.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+
+    state = None
+    for b in range(n_batches):
+        part = agg(df.filter(F.col("seq") % n_batches == b))
+        state = part if state is None else incremental_agg_merge(
+            state, part, ["k"], ["n", "s"]
+        )
+    got = {r.k: (r.n, r.s) for r in state.collect()}
+    want = {r.k: (r.n, r.s) for r in agg(df).collect()}
+    assert got == want
+
+
+def test_incremental_agg_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered
+    q_orders_incremental_agg matches its DuckDB oracle (the DIRECT
+    recompute) typed-exact at sf0.001 (sf0.01 out-of-band, PLANS.md
+    round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_orders_incremental_agg(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(
+        df, rows, con, entrymod._orders_incremental_agg_oracle()
+    )
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res

@@ -153,6 +153,7 @@ _BANKED_PREVALIDATED = [
     "q_events_session_pmi",
     "q_doc_lang_divergence",
     "q_events_markov_transitions",
+    "q_orders_incremental_agg",
 ]
 
 
