@@ -5555,6 +5555,54 @@ def _orders_incremental_agg_oracle() -> str:
     FROM orders GROUP BY o_custkey"""
 
 
+def q_events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the one §2.5 window class the registry
+    did not yet exercise (every other frame is ROWS-based): per event,
+    the count and exact-decimal value sum of the SAME USER's events in
+    the trailing hour, rangeBetween(-3600s, 0) over unix_micros. RANGE
+    frames bound by the ORDER VALUE, not row position, and treat
+    equal-timestamp rows as peers — identical semantics in Spark and
+    DuckDB (RANGE ... PRECEDING AND CURRENT ROW), so the row pins the
+    peer rule too. One user-key exchange + sort; the frame is evaluated
+    with a sliding-window accumulator JVM-side, never a per-row rescan.
+    DECIMAL(38,6) sum per the house convention (a trailing-hour double
+    sum would be add-order exposed under RANGE peer grouping). NOT
+    registered: banked window candidate; pre-validated in
+    tests/test_stats.py::test_trailing_window_query_matches_oracle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("us"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+def _events_trailing_window_oracle() -> str:
+    """Oracle for the (unregistered) trailing-window query: the same
+    RANGE frame over epoch micros. DuckDB's RANGE n PRECEDING matches
+    Spark's rangeBetween(-n, 0) including the equal-order-value peer
+    rule; the DECIMAL sum keeps the cells exact on both engines."""
+    return """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS sum_1h
+    FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us ASC
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+
 def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral profile (operators/analytics.user_entropy):
     Shannon entropy (nats) of each user's event-type distribution +

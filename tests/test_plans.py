@@ -154,6 +154,7 @@ _BANKED_PREVALIDATED = [
     "q_doc_lang_divergence",
     "q_events_markov_transitions",
     "q_orders_incremental_agg",
+    "q_events_trailing_window",
 ]
 
 

@@ -258,3 +258,133 @@ def test_zipf_query_matches_oracle(spark):
     import __spark_entry__ as entrymod
 
     _gate_compare(spark, entrymod.q_doc_zipf_fit, entrymod._doc_zipf_fit_oracle())
+
+
+# ----------------------------------------------- time-RANGE window frame
+
+
+def _py_trailing(rows, window_s=3600):
+    """rows: (eid, user, value, seconds). Mirror of the trailing RANGE
+    frame incl. the peer rule: the frame is bounded by the ORDER VALUE,
+    so rows sharing a timestamp see each other regardless of order."""
+    from decimal import Decimal
+
+    by_user = {}
+    for eid, u, v, s in rows:
+        by_user.setdefault(u, []).append((s, eid, v))
+    out = {}
+    for u, evs in by_user.items():
+        for s, eid, v in evs:
+            frame = [
+                (s2, e2, v2)
+                for s2, e2, v2 in evs
+                if s - window_s <= s2 <= s
+            ]
+            total = sum(
+                (Decimal(str(v2)).quantize(Decimal("0.000001")) for _, _, v2 in frame),
+                Decimal(0),
+            )
+            out[eid] = (len(frame), float(total))
+    return out
+
+
+def _trail_df(spark, rows):
+    import datetime
+
+    data = [
+        (
+            eid,
+            u,
+            v,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+        )
+        for eid, u, v, s in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, value double, ts timestamp"
+    )
+
+
+def _run_trailing(spark, df):
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("us"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return (
+        df.select("user_id", "event_id", "value", F.unix_micros("ts").alias("us"))
+        .select(
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .over(w)
+            .cast("double")
+            .alias("s"),
+        )
+    )
+
+
+def test_trailing_range_frame_boundary_and_peers(spark):
+    rows = [
+        (0, 1, 1.0, 0),
+        (1, 1, 2.0, 3600),   # exactly -3600s from eid 0 -> INCLUDES it
+        (2, 1, 4.0, 3601),   # eid 0 now out of range
+        (3, 1, 8.0, 3601),   # PEER of eid 2: same order value, sees it
+        (4, 2, 16.0, 0),     # other user: frames never cross users
+    ]
+    got = {r.event_id: (r.n, r.s) for r in _run_trailing(spark, _trail_df(spark, rows)).collect()}
+    assert got == _py_trailing(rows)
+    assert got[0] == (1, 1.0)
+    assert got[1] == (2, 3.0)        # boundary inclusive
+    assert got[2] == (3, 14.0)       # peers: eid 3 visible despite later pos
+    assert got[3] == (3, 14.0)       # identical frame for the peer
+    assert got[4] == (1, 16.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),                       # user
+            st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2)),
+            st.integers(0, 7200),                    # seconds (dups allowed)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_trailing_range_frame_property_matches_python(spark, evs):
+    rows = [(i, u, v, s) for i, (u, v, s) in enumerate(evs)]
+    got = {r.event_id: (r.n, r.s) for r in _run_trailing(spark, _trail_df(spark, rows)).collect()}
+    assert got == _py_trailing(rows)
+
+
+def test_trailing_window_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered
+    q_events_trailing_window matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_events_trailing_window(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(
+        df, rows, con, entrymod._events_trailing_window_oracle()
+    )
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
