@@ -4853,6 +4853,55 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(spark, out, work)
 
 
+def q_stream_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate maintenance (streaming/ingest.
+    stream_agg_maintain — the ingest-side rollup twin of
+    orders_incremental_agg): the events table arrives as 3 ARBITRARY
+    (round-robin, keys deliberately spanning batches) micro-batches
+    under Trigger.AvailableNow; each batch is partially aggregated to
+    per-event_type count + DECIMAL value sum and folded into the stored
+    state via incremental_agg_merge's full-outer coalesce-add. Because
+    additive merges commute across any split, the final state must
+    equal the one-shot aggregate — the oracle IS that direct GROUP BY,
+    so batching is proven invisible. Replaces a Structured-Streaming
+    state store for additive rollups at scale: state sized by |keys|,
+    refresh ∝ batch. NOT registered: banked window candidate;
+    pre-validated in tests/test_merge.py::
+    test_stream_agg_maintain_query_matches_oracle."""
+    from scabillmatch_spark.streaming.ingest import stream_agg_maintain
+
+    work = _tmp_workdir("aggm", sf_dir)
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+
+    def agg_of(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__tv"),
+        )
+
+    out = stream_agg_maintain(
+        spark, ev, work, ["event_type"], agg_of, ["n_events", "__tv"],
+        shuffle_partitions=8,
+    )
+    out = out.select(
+        "event_type",
+        "n_events",
+        F.col("__tv").cast("double").alias("total_value"),
+    )
+    return _materialize_and_clean(spark, out, work)
+
+
+def _stream_agg_maintain_oracle() -> str:
+    """Oracle for the (unregistered) streaming-rollup query: the direct
+    one-shot aggregate — micro-batched maintenance must be
+    indistinguishable from it."""
+    return """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type"""
+
+
 def q_orders_cdc_squash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-log squash + MERGE composition (operators/merge.squash_cdc_log →
     merge_into — new r8; gives the squash operator its own driver row,

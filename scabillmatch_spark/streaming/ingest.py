@@ -207,3 +207,80 @@ def stream_merge_apply(
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(tgt_dir)
+
+
+def stream_agg_maintain(
+    spark: SparkSession,
+    delta: DataFrame,
+    work_dir: str,
+    keys: list[str],
+    agg_of,
+    add_cols: list[str],
+    n_batches: int = 3,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming aggregate maintenance — the ingest-side counter/rollup
+    pattern: raw rows stream in, each micro-batch is PARTIALLY aggregated
+    (``agg_of(batch) -> keys + add_cols``) and folded into a stored
+    aggregate table via operators/merge.incremental_agg_merge, rewriting
+    the (small) state copy-on-write. The final state equals
+    ``agg_of(delta)`` exactly.
+
+    Unlike stream_merge_apply, the staging needs NO key-disjointness:
+    additive merges commute across ARBITRARY splits (the maintenance law
+    — exact for counts and DECIMAL sums), so the delta is staged with a
+    plain round-robin repartition and keys deliberately DO span
+    micro-batches; the equality with the one-shot aggregate is itself
+    the proof. At 100 TB scale this replaces a Structured-Streaming
+    state store for additive rollups: the state is a plain table sized
+    by |keys|, each refresh costs one batch aggregation + one join
+    against it, and failure recovery re-reads the last committed state
+    instead of replaying a store.
+
+    Exactly-once caveat (same honesty as stream_merge_apply): a
+    re-executed batch under failure would DOUBLE-ADD its partials —
+    true transactional refresh needs a table-format commit carrying the
+    batch id; AvailableNow over staged files runs each batch once here.
+
+    ``shuffle_partitions``: per-micro-batch sizing, set before start
+    (the micro-batch session clone snapshots conf then); None at
+    cluster scale."""
+    import shutil
+
+    from scabillmatch_spark.operators.merge import incremental_agg_merge
+
+    tag = uuid.uuid4().hex[:12]
+    in_dir = os.path.join(work_dir, f"agg_in_{tag}")
+    st_dir = os.path.join(work_dir, f"agg_st_{tag}")
+    ckpt = os.path.join(work_dir, f"agg_ckpt_{tag}")
+
+    agg_of(delta.limit(0)).write.mode("overwrite").parquet(st_dir)
+    delta.repartition(n_batches).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(st_dir)
+        merged = incremental_agg_merge(cur, agg_of(batch_df), keys, add_cols)
+        nxt = f"{st_dir}_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(st_dir)
+        os.rename(nxt, st_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(st_dir)

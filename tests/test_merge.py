@@ -603,3 +603,57 @@ def test_incremental_agg_query_matches_oracle(spark):
     assert all(
         res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
     ), res
+
+
+def test_stream_agg_maintain_equals_one_shot(spark, tmp_path):
+    """Keys deliberately span micro-batches (round-robin staging): the
+    additive law makes batching invisible; conf restore pinned too."""
+    from scabillmatch_spark.streaming.ingest import stream_agg_maintain
+
+    rows = [(i % 3, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v double")
+
+    def agg_of(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("s"),
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    got_df = stream_agg_maintain(
+        spark, df, str(tmp_path), ["k"], agg_of, ["n", "s"],
+        n_batches=3, shuffle_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    got = {r.k: (r.n, r.s) for r in got_df.collect()}
+    want = {r.k: (r.n, r.s) for r in agg_of(df).collect()}
+    assert got == want
+
+
+def test_stream_agg_maintain_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered q_stream_agg_maintain
+    matches its DuckDB oracle (the direct one-shot aggregate)
+    typed-exact at sf0.001 (sf0.01 out-of-band, PLANS.md round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_stream_agg_maintain(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(
+        df, rows, con, entrymod._stream_agg_maintain_oracle()
+    )
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res

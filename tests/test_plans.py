@@ -155,6 +155,7 @@ _BANKED_PREVALIDATED = [
     "q_events_markov_transitions",
     "q_orders_incremental_agg",
     "q_events_trailing_window",
+    "q_stream_agg_maintain",
 ]
 
 
