@@ -5652,6 +5652,148 @@ def _events_trailing_window_oracle() -> str:
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
 
 
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (the curation "novelty curve": how
+    much of each incoming document is text the corpus has not seen in
+    any EARLIER document — ingestion-order dedup pressure and
+    memorization-risk screen; each 4-gram window id is credited to its
+    minimum doc_id). Output (doc_id, n_grams, n_novel, novelty) for
+    every doc with >= 4 tokens, novelty = round(n_novel / n_grams, 6) —
+    duplicates WITHIN a doc count toward n_grams but a gram is novel on
+    every occurrence iff this doc is its first owner (positional stream
+    kept, set semantics only for ownership). Plan: the substring-census
+    shape — positional rolling-hash gram stream (doc_id, pos, gram
+    longs), one combine-heavy min(doc_id) census shuffle on the gram,
+    one gram-keyed join back, one doc-key agg; no text in any exchange.
+    NOT registered: banked window candidate; pre-validated in
+    tests/test_substring.py::test_novelty_query_matches_oracle."""
+    from scabillmatch_spark.functions.text import ordered_token_ids
+    from scabillmatch_spark.operators.substring import positional_ngram_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            positional_ngram_ids(ordered_token_ids(F.col("text")), 4)
+        ).alias("pos", "gram"),
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("__first"))
+    return (
+        grams.join(owner, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def _doc_ngram_novelty_oracle() -> str:
+    """Oracle for the (unregistered) novelty query: same positional
+    rolling hash over the shared token-id mirror, min(doc_id) ownership,
+    per-doc ratio. novelty is provably in [0,1]; ROUND left unfolded
+    like the other provably-nonnegative sites."""
+    from scabillmatch_spark.functions.text import HASH_PRIME, SHINGLE_B
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKIDLIST} AS t FROM documents),
+    w AS (
+        SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+               list_reduce(
+                   list_transform(
+                       t[CAST(r.i AS INT) : CAST(r.i AS INT) + 3],
+                       x -> x % {HASH_PRIME}),
+                   (acc, x) -> (acc * {SHINGLE_B} + x) % {HASH_PRIME}
+               ) AS gram
+        FROM toks, UNNEST(range(1, len(t) - 2)) AS r(i)
+    ),
+    owner AS (SELECT gram, MIN(doc_id) AS first_doc FROM w GROUP BY gram)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN o.first_doc = w.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN o.first_doc = w.doc_id
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM w JOIN owner o USING (gram)
+    GROUP BY w.doc_id"""
+
+
+def q_part_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis of part revenue (the classic concentration
+    rollup: rank parts by lineitem revenue, classify by cumulative
+    share — A <= 80%, B <= 95%, C the tail — and report each class's
+    size and exact share). Revenue and the cumulative sum ride
+    DECIMAL(38,6) (exact, order-free given the pinned (revenue DESC,
+    partkey ASC) rank order); the two final divisions are single double
+    ops rounded 6. Plan: one part-key revenue agg, ONE unpartitioned
+    rank+cumsum window over the |parts|-row frame (bounded-scale audit
+    caveat, the customer_rfm precedent — approx-quantile cuts replace
+    it at 100 TB), one 3-row class agg. NOT registered: banked window
+    candidate; pre-validated in
+    tests/test_analytics.py::test_pareto_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import pareto_classes
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast("decimal(38,6)")
+            * (
+                F.lit(1).cast("decimal(38,6)")
+                - F.col("l_discount").cast("decimal(38,6)")
+            )
+        ).alias("__rev"),
+    )
+    return pareto_classes(li, "l_partkey", F.col("__rev"))
+
+
+def _part_pareto_oracle() -> str:
+    """Oracle for the (unregistered) Pareto query: identical rank order,
+    decimal cumulative sum, identical class boundaries and division
+    order. The scalar total is recomputed as the same decimal sum cast
+    to double (the engine's driver scalar does the same conversion)."""
+    return """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+                   * (CAST(1 AS DECIMAL(38,6))
+                      - CAST(l_discount AS DECIMAL(38,6)))) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS t FROM rev),
+    ranked AS (
+        SELECT r,
+               CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / (SELECT t FROM tot) AS share
+        FROM rev
+    )
+    SELECT CASE WHEN share <= 0.80 THEN 'A'
+                WHEN share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(r) AS DOUBLE) / (SELECT t FROM tot), 6)
+               AS revenue_share
+    FROM ranked GROUP BY 1"""
+
+
 def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral profile (operators/analytics.user_entropy):
     Shannon entropy (nats) of each user's event-type distribution +

@@ -241,3 +241,49 @@ def gini(
             F.lit(2.0) * six / (n * sx) - (n + F.lit(1.0)) / n, round_digits
         ).alias("gini"),
     )
+
+
+def pareto_classes(
+    df,
+    key_col: str,
+    value_col,
+    boundaries: tuple = (0.80, 0.95),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pareto / ABC concentration rollup -> (abc_class, n_parts,
+    revenue_share): rank keys by a DECIMAL value descending (ties by key
+    ascending — identical total order cross-engine), classify each by
+    its cumulative share of the total (A <= boundaries[0],
+    B <= boundaries[1], C the tail), and aggregate per class.
+
+    ``value_col`` must already be an exact DECIMAL column expression —
+    the cumulative window sum is then order-free exact; the only float
+    ops are the two final divisions, rounded. The grand total is one
+    driver scalar (the weighted-pagerank count precedent). Scale
+    caveat: the rank+cumsum window is UNPARTITIONED over the |keys|-row
+    aggregate frame — the bounded-scale audit form (the customer_rfm
+    precedent); at 100 TB the class cuts come from approx quantiles
+    over the revenue distribution instead, same downstream agg."""
+    from pyspark.sql import Window
+
+    rev = df.groupBy(key_col).agg(F.sum(value_col).alias("__rev"))
+    total = rev.agg(F.sum("__rev")).first()[0]
+    w = (
+        Window.orderBy(F.desc("__rev"), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.sum("__rev").over(w).cast("double") / F.lit(float(total))
+    a, b = boundaries
+    classed = rev.select(
+        "__rev",
+        F.when(share <= a, F.lit("A"))
+        .when(share <= b, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(
+            F.sum("__rev").cast("double") / F.lit(float(total)), round_digits
+        ).alias("revenue_share"),
+    )

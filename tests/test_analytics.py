@@ -912,3 +912,50 @@ def test_markov_transitions_query_matches_oracle(spark):
         entrymod.q_events_markov_transitions,
         entrymod._events_markov_transitions_oracle(),
     )
+
+
+# ------------------------------------------------------- Pareto / ABC
+
+
+def test_pareto_classes_boundaries_golden(spark):
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.operators.stats import pareto_classes
+
+    # revenues 80/15/5 -> cumulative shares 0.80, 0.95, 1.00: both
+    # boundaries are INCLUSIVE, so the classes split exactly A/B/C
+    rows = [(1, 80.0), (2, 15.0), (3, 5.0)]
+    df = spark.createDataFrame(rows, "k long, v double").select(
+        "k", F.col("v").cast("decimal(38,6)").alias("v")
+    )
+    got = {
+        r.abc_class: (r.n_parts, r.revenue_share)
+        for r in pareto_classes(df, "k", F.col("v")).collect()
+    }
+    assert got == {"A": (1, 0.8), "B": (1, 0.15), "C": (1, 0.05)}
+    # shares partition the total
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+    # revenue ties break by key ascending: equal values never straddle
+    # nondeterministically (rerun is bit-stable)
+    rows2 = [(1, 50.0), (2, 50.0)] + [(k, 0.0) for k in range(3, 8)]
+    df2 = spark.createDataFrame(rows2, "k long, v double").select(
+        "k", F.col("v").cast("decimal(38,6)").alias("v")
+    )
+    got2 = {
+        r.abc_class: (r.n_parts, r.revenue_share)
+        for r in pareto_classes(df2, "k", F.col("v")).collect()
+    }
+    # tie broken by key asc: key 1 ranks first (cum 0.5 -> A); key 2's
+    # cumulative share is 1.0 > 0.95 -> C, together with the zeros
+    assert got2 == {"A": (1, 0.5), "C": (6, 0.5)}
+
+
+def test_pareto_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered q_part_pareto matches
+    its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 12)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_part_pareto, entrymod._part_pareto_oracle()
+    )

@@ -156,6 +156,8 @@ _BANKED_PREVALIDATED = [
     "q_orders_incremental_agg",
     "q_events_trailing_window",
     "q_stream_agg_maintain",
+    "q_doc_ngram_novelty",
+    "q_part_pareto",
 ]
 
 

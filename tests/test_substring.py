@@ -374,3 +374,107 @@ def test_winnow_query_matches_oracle(spark):
     assert all(
         res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
     ), res
+
+
+# ------------------------------------------------ n-gram novelty curve
+
+
+def _py_novelty(rows, n=4):
+    """Content-tuple reference (collision-free, stricter than the
+    engine's rolling hash): gram owned by its min doc; per-doc share of
+    positions whose gram this doc owns."""
+    from helpers import half_up_round
+
+    wins = {
+        d: [
+            tuple(_py_tokens(tx)[i : i + n])
+            for i in range(len(_py_tokens(tx)) - n + 1)
+        ]
+        for d, tx in rows
+    }
+    owner = {}
+    for d in sorted(wins):
+        for w in wins[d]:
+            owner.setdefault(w, d)
+    return {
+        d: (
+            len(ws),
+            sum(1 for w in ws if owner[w] == d),
+            half_up_round(sum(1 for w in ws if owner[w] == d) / len(ws), 6),
+        )
+        for d, ws in wins.items()
+        if ws
+    }
+
+
+def test_novelty_first_owner_and_self_repeats(spark):
+    import __spark_entry__ as entrymod  # noqa: F401  (query form tested below)
+    from scabillmatch_spark.functions.text import ordered_token_ids
+    from scabillmatch_spark.operators.substring import positional_ngram_ids
+    from pyspark.sql import functions as F
+
+    lic = "this block is licensed under the common terms "
+    rows = [
+        (1, lic + "alpha beta gamma delta"),
+        (2, lic + "totally different tail here"),  # license seen -> not novel
+        (3, "completely fresh words in every position here today"),
+        (4, (lic * 2).strip()),  # self-repeat of an OLD gram: 0 novel
+    ]
+
+    def run(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        grams = docs.select(
+            "doc_id",
+            F.posexplode(
+                positional_ngram_ids(ordered_token_ids(F.col("text")), 4)
+            ).alias("pos", "gram"),
+        )
+        owner = grams.groupBy("gram").agg(F.min("doc_id").alias("f"))
+        out = (
+            grams.join(owner, "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("ng"),
+                F.sum(F.when(F.col("f") == F.col("doc_id"), 1).otherwise(0))
+                .cast("long")
+                .alias("nv"),
+            )
+            .select(
+                "doc_id", "ng", "nv",
+                F.round(F.col("nv").cast("double") / F.col("ng").cast("double"), 6).alias("nov"),
+            )
+        )
+        return {r.doc_id: (r.ng, r.nv, r.nov) for r in out.collect()}
+
+    got = run(rows)
+    assert got == _py_novelty(rows)
+    assert got[1][2] == 1.0          # first doc owns everything
+    assert got[3][2] == 1.0          # disjoint doc fully novel
+    # doc 4 re-quotes doc 1's license twice: every within-copy gram is
+    # old, only the n-1 = 3 grams SPANNING the concatenation seam are new
+    assert got[4][1] == 3
+    assert 0.0 < got[2][2] < 1.0     # mixed: license old, tail new
+
+
+def test_novelty_query_matches_oracle(spark):
+    """Banked-row pre-validation: the unregistered q_doc_ngram_novelty
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01
+    out-of-band, PLANS.md round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools_compare import compare_typed
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    df = entrymod.q_doc_ngram_novelty(spark, sf)
+    rows = [tuple(r) for r in df.collect()]
+    assert rows
+    res = compare_typed(df, rows, con, entrymod._doc_ngram_novelty_oracle())
+    assert all(
+        res[k] for k in ("rows_match", "schema_match", "hash_match", "type_match")
+    ), res
