@@ -6104,82 +6104,26 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-12 rotation (precomputed in PLANS.md "r12 rotation"):
-    #   1. the 27 entries whose latest driver row is r9 — two rounds
+    # the round-13 rotation (precomputed in PLANS.md "r13 rotation"):
+    #   1. the 29 entries whose latest driver row is r10 — two rounds
     #      stale, at the staleness contract's max, the oldest debt leads
-    #      (tpch_q9_product_profit .. ml_knn_probe);
-    #   2. the two queries new this round (graph_bfs_paths — the last
-    #      driver-unchecked component, pre-validated typed-exact at 2 sfs
-    #      in r11; graph_cluster_audit — the CC-vs-LPA over-merge audit,
-    #      same pre-validation);
-    #   3. the first 21 of the 50 r10-green entries fill the window
-    #      (io_csv_roundtrip .. events_stream_stateful);
-    #   4. with 129 registered queries and a 50-row window the cycle is
-    #      ~2.6 rounds: the 29 remaining r10-green entries directly past
+    #      (doc_5gram_wordcount .. events_sliding_window);
+    #   2. the two queries new this round (media_wav_audio_stats —
+    #      pure-Python RIFF/PCM WAV decode over binary columns,
+    #      pre-validated typed-exact at 2 sfs in r11; doc_bm25_search —
+    #      BM25 lexical retrieval with query-term-filtered postings,
+    #      pre-validated in r12);
+    #   3. the first 19 of the 50 r11-green entries fill the window
+    #      (window_running_sum .. ml_lsa_projection);
+    #   4. with 131 registered queries and a 50-row window the cycle is
+    #      ~2.6 rounds: the 31 remaining r11-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
-    #      r13 window, topped up from the 50 r11-green rows (freshest,
+    #      r14 window, topped up from the 50 r12-green rows (freshest,
     #      last). Every entry is still re-verified at sf0.01 on every
     #      pytest run by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- 27 entries whose latest driver row is r9 — two rounds stale,
+        # -- 29 entries whose latest driver row is r10 — two rounds stale,
         #    the staleness contract's max; the oldest debt leads
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
-        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "doc_curation_pipeline": q_doc_curation_pipeline,
-        "stream_merge_upsert": q_stream_merge_upsert,
-        "io_dpp_prune": q_io_dpp_prune,
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        "storage_merge_upsert": q_storage_merge_upsert,
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
-        "doc_pair_measures": q_doc_pair_measures,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q16_supplier_cnt": q_tpch_q16,
-        "doc_hash_sample": q_doc_hash_sample,
-        "events_tumbling_window": q_events_tumbling,
-        "events_resample_1h": q_events_resample_1h,
-        "pair_space_accounting": q_pair_space_accounting,
-        "latest_version_family": q_latest_version_family,
-        "io_json_roundtrip": q_io_json_roundtrip,
-        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
-        "pair_measure_correlation": q_pair_measure_correlation,
-        "ml_knn_probe": q_ml_knn_probe,
-        # -- new this round (the per-round new-query budget; both
-        #    pre-validated typed-exact vs their oracles at 2 sfs in r11)
-        "graph_bfs_paths": q_graph_bfs_paths,
-        "graph_cluster_audit": q_graph_cluster_audit,
-        # -- first 21 of the 50 r10-green entries fill the window
-        "io_csv_roundtrip": q_io_csv_roundtrip,
-        "doc_dedup_rewrite": q_doc_dedup_rewrite,
-        "graph_pregel_walks": q_graph_pregel_walks,
-        "graph_weighted_pagerank": q_graph_weighted_pagerank,
-        "doc_paragraph_dedup": q_doc_paragraph_dedup,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "minhash_delta_dedup": q_minhash_delta_dedup,
-        "io_bucketed_join": q_io_bucketed_join,
-        "doc_gopher_quality": q_doc_gopher_quality,
-        "events_funnel": q_events_funnel,
-        "io_zorder_roundtrip": q_io_zorder_roundtrip,
-        "stream_ingest_dedup": q_stream_ingest_dedup,
-        "emb_outlier_audit": q_emb_outlier_audit,
-        "doc_keywords": q_doc_keywords,
-        "io_schema_evolution": q_io_schema_evolution,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "io_avro_roundtrip": q_io_avro_roundtrip,
-        "events_stream_tumbling": q_events_stream_tumbling,
-        "events_stream_dedup": q_events_stream_dedup,
-        "events_stream_stateful": q_events_stream_stateful,
-        # ---- 50-row window boundary (27 r9-stale + 2 new + 21 r10-green
-        #      = 50). The 29 r10-green entries below reach the staleness
-        #      contract's two-round max next cycle and MUST LEAD the r13
-        #      window. ----
         "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "io_sorted_compact": q_io_sorted_compact,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -6209,7 +6153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": q_pivot_lineitem,
         "probe_search": q_probe_search,
         "events_sliding_window": q_events_sliding_window,
-        # -- latest driver row is r11 — freshest, rotate back last
+        # -- new this round (the per-round new-query budget; both
+        #    pre-validated typed-exact vs their oracles at 2 sfs —
+        #    media_wav_audio_stats in r11, doc_bm25_search in r12)
+        "media_wav_audio_stats": q_media_wav_audio_stats,
+        "doc_bm25_search": q_doc_bm25_search,
+        # -- first 19 of the 50 r11-green entries fill the window
         "window_running_sum": q_window_running_sum,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
@@ -6229,6 +6178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
         "ml_lda_topics": q_ml_lda_topics,
         "ml_lsa_projection": q_ml_lsa_projection,
+        # ---- 50-row window boundary (29 r10-stale + 2 new + 19 r11-green
+        #      = 50). The 31 r11-green entries below reach the staleness
+        #      contract's two-round max next cycle and MUST LEAD the r14
+        #      window (r14 new slots per PLANS.md: doc_lm_perplexity +
+        #      doc_dsir_select). ----
         "ml_minhash_reference_join": q_ml_minhash_reference_join,
         "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -6260,6 +6214,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": q_tpch_q2,
         "tpch_q7_volume_shipping": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8,
+        # -- latest driver row is r12 — freshest, rotate back last
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
+        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
+        "stream_merge_upsert": q_stream_merge_upsert,
+        "io_dpp_prune": q_io_dpp_prune,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "storage_merge_upsert": q_storage_merge_upsert,
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "doc_pair_measures": q_doc_pair_measures,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q16_supplier_cnt": q_tpch_q16,
+        "doc_hash_sample": q_doc_hash_sample,
+        "events_tumbling_window": q_events_tumbling,
+        "events_resample_1h": q_events_resample_1h,
+        "pair_space_accounting": q_pair_space_accounting,
+        "latest_version_family": q_latest_version_family,
+        "io_json_roundtrip": q_io_json_roundtrip,
+        "ml_stemmer_bisecting": q_ml_stemmer_bisecting,
+        "pair_measure_correlation": q_pair_measure_correlation,
+        "ml_knn_probe": q_ml_knn_probe,
+        "graph_bfs_paths": q_graph_bfs_paths,
+        "graph_cluster_audit": q_graph_cluster_audit,
+        "io_csv_roundtrip": q_io_csv_roundtrip,
+        "doc_dedup_rewrite": q_doc_dedup_rewrite,
+        "graph_pregel_walks": q_graph_pregel_walks,
+        "graph_weighted_pagerank": q_graph_weighted_pagerank,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "minhash_delta_dedup": q_minhash_delta_dedup,
+        "io_bucketed_join": q_io_bucketed_join,
+        "doc_gopher_quality": q_doc_gopher_quality,
+        "events_funnel": q_events_funnel,
+        "io_zorder_roundtrip": q_io_zorder_roundtrip,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
+        "emb_outlier_audit": q_emb_outlier_audit,
+        "doc_keywords": q_doc_keywords,
+        "io_schema_evolution": q_io_schema_evolution,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "io_avro_roundtrip": q_io_avro_roundtrip,
+        "events_stream_tumbling": q_events_stream_tumbling,
+        "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_stateful": q_events_stream_stateful,
     }
 
 
@@ -8169,6 +8174,8 @@ def oracle_sql() -> dict[str, str]:
         "io_xml_roundtrip": _io_xml_roundtrip_oracle(),
         "graph_bfs_paths": _graph_bfs_paths_oracle(),
         "graph_cluster_audit": _graph_cluster_audit_oracle(4),
+        "media_wav_audio_stats": _media_wav_audio_stats_oracle(),
+        "doc_bm25_search": _doc_bm25_search_oracle(),
         "graph_triangle_count": f"""
             WITH {edge_cte},
             tri AS (
