@@ -5271,20 +5271,24 @@ def _nation_revenue_gini_oracle() -> str:
 def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD
     2003, the MOSS algorithm; operators/winnow.py): per document, the
-    robust-winnowing selection over 4-gram rolling hashes with window
-    w=6 — min hash per window, ties to the RIGHTMOST position, distinct
-    (hash, position) pairs recorded. Output per doc: n_grams,
-    n_fingerprints (expected density ~2/(w+1)), n_shared_fp (selected
-    hashes some OTHER doc also selected — the cheap cross-corpus screen
-    the exact positional census of doc_substring_dup confirms), and
-    fp_checksum = sum(hash % 1e9+7) — an order-free arithmetic witness
-    of the exact selected set. All-integer output, no float discipline.
+    plain-winnowing selection over 4-gram rolling hashes with window
+    w=6 — min hash per window, ties to the RIGHTMOST position (the
+    paper's plain rule; robust winnowing would re-select the previous
+    window's pick on ties), distinct (hash, position) pairs recorded.
+    Output per doc: n_grams, n_fingerprints (expected density
+    ~2/(w+1)), n_shared_fp (selected hashes some OTHER doc also
+    selected — the cheap cross-corpus screen the exact positional
+    census of doc_substring_dup confirms; the gram hash folds mod
+    HASH_PRIME ≈ 2^31, so at large corpus scale collisions inflate
+    n_shared_fp — recall-safe, precision degrades), and fp_checksum =
+    sum(hash % 1e9+7) — an order-free arithmetic witness of the exact
+    selected set. All-integer output, no float discipline.
     Plan: grams hashed ONCE per row in the scan projection (an
     array-expression selection would re-evaluate the md5 pipeline per
     window element — O(L^2) md5s per doc, measured as a hang; see
     operators/winnow.py), then one doc-key exchange + frames window min
     over struct(gram, -pos), one combine-heavy census shuffle on the
-    60-bit hash, one doc-key agg — every exchange longs only, no
+    ~31-bit gram hash, one doc-key agg — every exchange longs only, no
     Python. num_partitions spreads the md5+fold CPU over local
     single-file inputs (the substring-census lesson; None at real scale
     where splits provide parallelism). NOT registered: banked window

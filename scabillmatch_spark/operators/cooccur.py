@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def sessionized_types(
+def assign_sessions(
     events: DataFrame,
     gap_us: int = 1800 * 1_000_000,
     user_col: str = "user_id",
@@ -36,10 +36,13 @@ def sessionized_types(
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
-    """DISTINCT (user, session_id, type) under the house sessionization
-    rule: a gap > ``gap_us`` microseconds of inactivity starts a new
-    session (lag + cumulative flag sum, micro-exact via unix_micros,
-    ordered by (ts, tiebreak) for cross-engine determinism)."""
+    """(user, tiebreak, type, us, session_id) under the house
+    sessionization rule: a gap > ``gap_us`` microseconds of inactivity
+    starts a new session (lag + cumulative flag sum, micro-exact via
+    unix_micros, ordered by (ts, tiebreak) for cross-engine
+    determinism). The single source of the gap rule — sessionized_types
+    and session_transitions both build on this frame, so the rule can
+    only ever change in one place."""
     ev = events.select(
         user_col, tiebreak_col, type_col, F.unix_micros(ts_col).alias("us")
     )
@@ -49,10 +52,23 @@ def sessionized_types(
         "new_sess",
         F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0)),
     )
-    sess = flagged.withColumn(
+    return flagged.withColumn(
         "session_id",
         F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    ).drop("new_sess")
+
+
+def sessionized_types(
+    events: DataFrame,
+    gap_us: int = 1800 * 1_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """DISTINCT (user, session_id, type) under the house sessionization
+    rule (see assign_sessions)."""
+    sess = assign_sessions(events, gap_us, user_col, type_col, ts_col, tiebreak_col)
     return sess.select(user_col, "session_id", type_col).distinct()
 
 
@@ -161,19 +177,7 @@ def session_transitions(
     then one bounded (from, to) count agg and a |vocab|-row marginal
     attach that AQE broadcasts. Exchanges carry (user, tiebreak, type,
     us) — never payloads."""
-    ev = events.select(
-        user_col, tiebreak_col, type_col, F.unix_micros(ts_col).alias("us")
-    )
-    w = W.partitionBy(user_col).orderBy(F.asc("us"), F.asc(tiebreak_col))
-    gap = F.col("us") - F.lag("us", 1).over(w)
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(gap.isNull() | (gap > gap_us), F.lit(1)).otherwise(F.lit(0)),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
+    sess = assign_sessions(events, gap_us, user_col, type_col, ts_col, tiebreak_col)
     ws = W.partitionBy(user_col, "session_id").orderBy(
         F.asc("us"), F.asc(tiebreak_col)
     )

@@ -376,9 +376,12 @@ def incremental_agg_merge(
     ``state`` and ``delta_aggs`` share the schema (keys + add_cols); every
     ``add_cols`` entry must be an ADDITIVE aggregate (COUNT, SUM — exact
     DECIMAL sums stay split-invariant bit-for-bit; AVG must be carried as
-    sum+count and divided at read time, MIN/MAX work too but deletions
-    would break them). The merge is ONE full-outer join on the keys +
-    coalesce-add per column: new keys insert, existing keys accumulate.
+    sum+count and divided at read time). MIN/MAX are NOT supported: this
+    merge combines partials by ADDITION only, so merging MIN/MAX partials
+    here would produce garbage — they would need LEAST/GREATEST
+    combination, which this function does not implement. The merge is ONE
+    full-outer join on the keys + coalesce-add per column: new keys
+    insert, existing keys accumulate.
 
     The maintenance law — merging any batch split equals aggregating
     everything at once — holds exactly for integer/decimal adds (no

@@ -263,11 +263,20 @@ def pareto_classes(
     caveat: the rank+cumsum window is UNPARTITIONED over the |keys|-row
     aggregate frame — the bounded-scale audit form (the customer_rfm
     precedent); at 100 TB the class cuts come from approx quantiles
-    over the revenue distribution instead, same downstream agg."""
+    over the revenue distribution instead, same downstream agg.
+
+    An empty input (total is NULL) or an all-zero total has no shares
+    to apportion and returns an EMPTY frame with the output schema —
+    without the guard every key would silently classify as 'C' (share
+    = NaN) on a zero total, and float(None) would raise on empty."""
     from pyspark.sql import Window
 
     rev = df.groupBy(key_col).agg(F.sum(value_col).alias("__rev"))
     total = rev.agg(F.sum("__rev")).first()[0]
+    if total is None or float(total) == 0.0:
+        return df.sparkSession.createDataFrame(
+            [], "abc_class string, n_parts long, revenue_share double"
+        )
     w = (
         Window.orderBy(F.desc("__rev"), F.asc(key_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

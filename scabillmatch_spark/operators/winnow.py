@@ -2,9 +2,10 @@
 2003 — the MOSS algorithm): select a guaranteed-coverage subset of each
 document's n-gram hashes by taking, in every window of ``w`` consecutive
 n-gram positions, the minimum hash (ties broken by RIGHTMOST position —
-the paper's "robust winnowing" rule, which makes the selection stable so
-identical passages in different documents select identical
-fingerprints). Any shared substring of at least ``w + n - 1`` tokens is
+the paper's PLAIN winnowing tie rule, a deterministic local choice, so
+identical passages in different documents select identical fingerprints;
+NOT the paper's "robust winnowing" variant, which instead re-selects the
+previous window's fingerprint on ties to thin runs of equal hashes). Any shared substring of at least ``w + n - 1`` tokens is
 then guaranteed to contribute at least one IDENTICAL (fingerprint,
 in-passage position) in both documents, at an expected density of
 2/(w+1) selected hashes per position — the property that lets a 100 TB
@@ -28,8 +29,13 @@ the selection runs over the EXPLODED stream instead of array
 expressions). Selection = one doc-key exchange + sort, then a frames
 window min over struct(gram, -pos) (min hash, rightmost tie — struct
 order is lexicographic) and a distinct; the census is one combine-heavy
-shuffle keyed on the 60-bit hash; the report one doc-key aggregation.
-No exchange ever carries text. Reference provenance: the reference's
+shuffle keyed on the gram hash; the report one doc-key aggregation.
+No exchange ever carries text. The gram hash space is ~31-bit, not
+60-bit: positional_ngram_ids folds mod HASH_PRIME = 2038074743 ≈ 2^31,
+so at large corpus scale cross-document collisions saturate and inflate
+n_shared_fp (the screen stays sound as a RECALL filter — collisions add
+false candidates for the exact census to reject, never lose true ones;
+widen the fold modulus if the screen's precision matters upstream). Reference provenance: the reference's
 MinHash tier (utils/CustomizedMinHashLSH usage) samples GLOBALLY per
 document; winnowing is the positional-sampling complement, not present
 there — an extension, same as SimHash.
@@ -57,8 +63,9 @@ def winnow_fingerprints(
     text_col: str = "text",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(id_col, n_grams, g, p): the robust-winnowing fingerprint set per
-    document — DISTINCT (hash g, 0-based n-gram position p) pairs where
+    """(id_col, n_grams, g, p): the winnowing fingerprint set per
+    document (plain rule, rightmost tie) — DISTINCT (hash g, 0-based
+    n-gram position p) pairs where
     (g, p) is, for some window start s in [0, n_grams - w], the minimum
     hash over positions [s, s+w) with ties to the rightmost position.
     A hash that stays minimal across consecutive windows is recorded

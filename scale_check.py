@@ -318,9 +318,13 @@ def curation2_times(spark, docs: dict) -> tuple[dict, dict, dict]:
     return res["substring"], res["phrase"], res["audit"]
 
 
-def session4_times(spark, docs: dict, sf_dir: str) -> tuple[dict, dict]:
-    """Winnowing fingerprints / session PMI on 1x/2x/4x (r12 session-4
-    banked ops). Winnow runs over the disjoint-vocab doc copies, so the
+def session4_times(
+    spark, docs: dict, sf_dir: str
+) -> tuple[dict, dict, dict, dict]:
+    """Winnowing fingerprints / session PMI / JS divergence / Markov
+    transitions on 1x/2x/4x (r12 session-4 banked ops) — returns the
+    four per-copies timing dicts (winnow, pmi, jsdiv, markov).
+    Winnow runs over the disjoint-vocab doc copies, so the
     shared-fingerprint census stays per-copy-internal and the whole
     report should track the corpus near-linearly — super-linear growth
     flags census blowup. PMI scales the EVENTS side: copies union with
