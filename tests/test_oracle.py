@@ -110,17 +110,45 @@ def test_registry_source_has_no_duplicate_keys():
     """The hand-maintained rotation's failure mode a runtime check can't
     see: a duplicate dict key in queries() would SILENTLY drop the earlier
     entry (later key wins) and shift every row behind it across the 50-row
-    window boundary. Lint the source text of the queries() body instead —
-    every registered name must appear exactly once, and the parsed count
-    must equal the dict's length (a mismatch means a name the regex missed
-    or an entry the dict swallowed)."""
-    import inspect
-    import re
+    window boundary. Lint the source instead — every registered name must
+    appear exactly once, and the parsed count must equal the dict's length
+    (a mismatch means an entry the dict swallowed). Parses the file with
+    ast (a self-consistent snapshot of the whole file): the previous
+    inspect.getsource form sliced the on-disk text by the IMPORTED
+    module's line offsets, so an edit landing mid-suite made it read the
+    wrong region and fail spuriously. Also lints oracle_sql()'s dict in
+    entry_oracles.py — a duplicate key there would silently override an
+    oracle the same way."""
+    import ast
 
-    src = inspect.getsource(entrymod.queries)
-    names = re.findall(r'^\s*"([a-z0-9_]+)":\s*q_', src, re.MULTILINE)
+    import entry_oracles as oraclemod
+
+    def returned_dict_keys(path: str, func_name: str) -> list[str]:
+        tree = ast.parse(open(path).read())
+        fn = next(
+            n
+            for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name == func_name
+        )
+        keys: list[str] = []
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Return) and isinstance(node.value, ast.Dict):
+                for k in node.value.keys:
+                    assert isinstance(k, ast.Constant) and isinstance(
+                        k.value, str
+                    ), f"non-literal key in {func_name}: {ast.dump(k)}"
+                    keys.append(k.value)
+        return keys
+
+    names = returned_dict_keys(entrymod.__file__, "queries")
     dupes = sorted({n for n in names if names.count(n) > 1})
     assert not dupes, f"duplicate registry keys in source: {dupes}"
     qs = entrymod.queries()
     assert len(names) == len(qs), (len(names), len(qs))
     assert names == list(qs), "source order must equal dict order"
+
+    onames = returned_dict_keys(oraclemod.__file__, "oracle_sql")
+    odupes = sorted({n for n in onames if onames.count(n) > 1})
+    assert not odupes, f"duplicate oracle keys in source: {odupes}"
+    osql = entrymod.oracle_sql()
+    assert len(onames) == len(osql), (len(onames), len(osql))
