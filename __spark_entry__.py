@@ -2774,8 +2774,18 @@ def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 3 md5-seeded ±1 projections, candidates = same (table, bucket) in
     ANY table, exact Euclidean distance verify. The ml-wrapper twin
     (ml.lsh.brp_similarity_join, random Spark projections) is
-    recall-tested in tests/test_ann.py."""
+    recall-tested in tests/test_ann.py.
+
+    r13 sizing (interleaved min-of-3 A/B, tools_brp_ab.py: 2.86 s ->
+    1.34 s at sf0.1, values identical): the bucket frame is explicitly
+    repartitioned on the join key before the persist, so BOTH aliases of
+    the self-join inherit hashpartitioning(bkt) from the cache and the
+    join re-exchanges nothing; the pair frame is likewise repartitioned
+    on (pk1, pk2) so dropDuplicates' exchange is elided. The width grows
+    with the cluster (defaultParallelism/4, floor 8) — per-pair scalar
+    values, partition-order-safe by construction."""
     planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
+    join_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -2797,9 +2807,11 @@ def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join shuffle and the pair dedup, and the projection pass runs
     # once (persisted) instead of once per join side; vectors re-attach
     # afterwards via two joins against the (broadcastable) embeddings table
-    hashed = emb.select(
-        "vec_id", F.explode(F.array(*buckets)).alias("bkt")
-    ).persist()
+    hashed = (
+        emb.select("vec_id", F.explode(F.array(*buckets)).alias("bkt"))
+        .repartition(join_parts, "bkt")
+        .persist()
+    )
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (
         a.join(
@@ -2811,6 +2823,7 @@ def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("pk1"),
             F.col("b.vec_id").alias("pk2"),
         )
+        .repartition(join_parts, "pk1", "pk2")
         .dropDuplicates(["pk1", "pk2"])
     )
     v1 = emb.select(F.col("vec_id").alias("pk1"), F.col("v").alias("v1"))

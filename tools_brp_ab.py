@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Same-session interleaved A/B for emb_brp_euclidean_join (round-13
+verdict item #6): the most expensive non-graph/non-stream bench row
+(2.9-3.0 s at sf0.1), last sized pre-r10 — does the small-frame sizing
+win from the graph/stream rows generalize to the BRP bucket join?
+
+Arms (min-of-3, alternating, spark.catalog.clearCache() before every
+timed run so the internal persist of the bucket frame never turns a
+trial into a cache read):
+  A = the pre-r13 form (conf-width exchanges, kept inline here as the
+      regression baseline);
+  B = the REGISTERED query (r13-sized: in-plan repartition(join_parts,
+      bkt) feeding the self-join so both aliases share
+      hashpartitioning(bkt) from the persisted frame and the join
+      re-exchanges nothing, plus repartition(join_parts, pk1, pk2) so
+      dropDuplicates' exchange is elided; no broadcast hints — the
+      2,000-row re-attach sides auto-broadcast under the 10m threshold
+      at bench scale and MUST NOT be hint-forced at corpus scale).
+Measured r13 (sf0.1): A 2.86 s -> B(+hints prototype) 1.34 s min-of-3.
+Values are per-pair scalars (round(6) of a deterministic per-row
+computation — no float aggregation), so plan sizing cannot flip cells;
+the harness still asserts the two arms return identical sorted rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from entry_oracles import _BRP_DIST_THRESHOLD, _BRP_TABLES, _BRP_BUCKET_LEN, _hyperplanes
+from pyspark.sql import functions as F
+from scabillmatch_spark.functions import similarity as SIM
+from scabillmatch_spark.io.sources import TESTDATA_TABLES, read_table
+from scabillmatch_spark.operators import blocking
+from scabillmatch_spark.session import get_spark
+
+
+def q_brp_old(spark, sf_dir):
+    planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = blocking.ensure_parallelism(emb)
+    buckets = []
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        buckets.append(
+            F.concat_ws(
+                "|", F.lit(str(j)), F.floor(dot / _BRP_BUCKET_LEN).cast("string")
+            )
+        )
+    hashed = emb.select(
+        "vec_id", F.explode(F.array(*buckets)).alias("bkt")
+    ).persist()
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("pk1"),
+            F.col("b.vec_id").alias("pk2"),
+        )
+        .dropDuplicates(["pk1", "pk2"])
+    )
+    v1 = emb.select(F.col("vec_id").alias("pk1"), F.col("v").alias("v1"))
+    v2 = emb.select(F.col("vec_id").alias("pk2"), F.col("v").alias("v2"))
+    dist = SIM.euclidean_distance(F.col("v1"), F.col("v2"))
+    return (
+        cand.join(v1, "pk1")
+        .join(v2, "pk2")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= _BRP_DIST_THRESHOLD)
+        .select("pk1", "pk2", F.round("dist", 6).alias("dist"))
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("brp_ab")
+    for t in TESTDATA_TABLES:
+        read_table(spark, sf_dir, t).count()
+    spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
+
+    arms = {
+        "A_old": lambda: q_brp_old(spark, sf_dir),
+        "B_registered": lambda: entrymod.queries()["emb_brp_euclidean_join"](spark, sf_dir),
+    }
+    # value-identity check first (also serves as the codegen warmup)
+    rows = {}
+    for name, build in arms.items():
+        spark.catalog.clearCache()
+        rows[name] = sorted(map(tuple, build().collect()))
+    assert rows["A_old"] == rows["B_registered"], "arms disagree on values"
+    print(f"# arms value-identical: {len(rows['A_old'])} pairs", file=sys.stderr)
+
+    results: dict[str, list[float]] = {n: [] for n in arms}
+    for trial in range(3):
+        for name, build in arms.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().count()
+            dt = round(time.perf_counter() - t0, 2)
+            results[name].append(dt)
+            print(f"# trial {trial} {name}: {dt}s", file=sys.stderr)
+    print(json.dumps({n: {"trials": v, "min": min(v)} for n, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
