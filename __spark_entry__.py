@@ -2878,11 +2878,17 @@ def q_emb_arrow_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered r8+ row — thin wrapper over :func:`_emb_near_dup_pairs`
     (pure code motion in r12 so q_emb_semantic_dedup can reuse the exact
-    pair relation; the plan is unchanged)."""
-    return _emb_near_dup_pairs(spark, sf_dir)
+    pair relation). r13: in-plan join width per the BRP sizing A/B
+    (tools_brp_ab.py --near-dup: 1.93 -> 1.59 s min-of-3 at sf0.1,
+    values identical)."""
+    return _emb_near_dup_pairs(
+        spark, sf_dir, max(8, spark.sparkContext.defaultParallelism // 4)
+    )
 
 
-def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, join_parts: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate DETECTION (the dedup-tier sibling of
     the ANN queries) as a three-stage verify cascade: find all vector pairs
     with cosine >= 0.98 via
@@ -2913,6 +2919,11 @@ def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same discipline as the BRP join — the 64-dim vectors stay
     OUT of the band self-join shuffle (ids + band keys only; signatures are
     single longs), and the exact kernel touches only Hamming survivors.
+
+    ``join_parts``: in-plan width for the band self-join and the pair
+    dedup (the r13 BRP sizing lever — see q_emb_brp_euclidean_join);
+    None keeps conf-width exchanges. Per-pair scalar values, so the
+    width cannot flip cells (asserted by tools_brp_ab.py --near-dup).
     """
     planes = _hyperplanes(_ND_PLANES, 64, salt="nd:")
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -2952,6 +2963,8 @@ def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = hashed.select("vec_id", F.explode(bands).alias("band"))
+    if join_parts:
+        banded = banded.repartition(join_parts, "band")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -2960,8 +2973,10 @@ def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
     )
+    if join_parts:
+        cand = cand.repartition(join_parts, "id1", "id2")
+    cand = cand.dropDuplicates(["id1", "id2"])
     # Stage 2: Hamming prefilter on the packed signatures (pure bit ops)
     s1 = hashed.select(F.col("vec_id").alias("id1"), F.col("sig").alias("sig1"))
     s2 = hashed.select(F.col("vec_id").alias("id2"), F.col("sig").alias("sig2"))
@@ -3006,7 +3021,9 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_substring.py::test_semantic_dedup_query_matches_oracle."""
     from scabillmatch_spark.operators import graph
 
-    pairs = _emb_near_dup_pairs(spark, sf_dir)
+    pairs = _emb_near_dup_pairs(
+        spark, sf_dir, max(8, spark.sparkContext.defaultParallelism // 4)
+    )
     comp = graph.connected_components(
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
         num_shuffle_partitions=8,

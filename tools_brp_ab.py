@@ -94,17 +94,26 @@ def main() -> None:
         read_table(spark, sf_dir, t).count()
     spark.range(256, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
 
-    arms = {
-        "A_old": lambda: q_brp_old(spark, sf_dir),
-        "B_registered": lambda: entrymod.queries()["emb_brp_euclidean_join"](spark, sf_dir),
-    }
+    if "--near-dup" in sys.argv:
+        # same lever on the sibling banded-LSH cascade (_emb_near_dup_pairs)
+        parts = max(8, spark.sparkContext.defaultParallelism // 4)
+        arms = {
+            "A_confwidth": lambda: entrymod._emb_near_dup_pairs(spark, sf_dir),
+            "B_sized": lambda: entrymod._emb_near_dup_pairs(spark, sf_dir, parts),
+        }
+    else:
+        arms = {
+            "A_old": lambda: q_brp_old(spark, sf_dir),
+            "B_registered": lambda: entrymod.queries()["emb_brp_euclidean_join"](spark, sf_dir),
+        }
     # value-identity check first (also serves as the codegen warmup)
     rows = {}
     for name, build in arms.items():
         spark.catalog.clearCache()
         rows[name] = sorted(map(tuple, build().collect()))
-    assert rows["A_old"] == rows["B_registered"], "arms disagree on values"
-    print(f"# arms value-identical: {len(rows['A_old'])} pairs", file=sys.stderr)
+    va, vb = rows.values()
+    assert va == vb, "arms disagree on values"
+    print(f"# arms value-identical: {len(va)} pairs", file=sys.stderr)
 
     results: dict[str, list[float]] = {n: [] for n in arms}
     for trial in range(3):
