@@ -2766,7 +2766,9 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
-def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_brp_euclidean_join(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """M7 BucketedRandomProjectionLSH semantics
     (BucketedRandomProjectionLSHExample.scala:106-116: Euclidean LSH
     threshold join, multiple hash tables) as a deterministic hand-rolled
@@ -2783,12 +2785,28 @@ def q_emb_brp_euclidean_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join re-exchanges nothing; the pair frame is likewise repartitioned
     on (pk1, pk2) so dropDuplicates' exchange is elided. The width grows
     with the cluster (defaultParallelism/4, floor 8) — per-pair scalar
-    values, partition-order-safe by construction."""
+    values, partition-order-safe by construction. ``emb`` overrides the
+    embeddings frame (columns vec_id, v: array<double>) — the
+    scale_check 1x/2x/4x hook.
+
+    Scale caveat (measured, scale_check ann family r13: 1.44/2.68/7.71 s
+    at 1x/2x/4x — SUPERLINEAR): with a FIXED bucket length on dense
+    i.i.d. data the projections concentrate near 0, so bucket occupancy
+    grows ∝ n and within-bucket candidate pairs ∝ n²/#buckets; the
+    exact-distance verify keeps the OUTPUT correct but the candidate
+    stage dominates. At corpus scale the LSH parameters must scale with
+    density — shrink _BRP_BUCKET_LEN and/or AND-compose tables into
+    compound bucket keys (this query ORs its 3 tables for max recall);
+    the ml-wrapper twin (ml.lsh.brp_similarity_join) exposes
+    bucketLength directly. The banded near-dup cascade has the same
+    asymptotic class but 2^8 buckets per band (measured near-linear,
+    1.36/1.62/2.52 s, at these scales)."""
     planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
     join_parts = max(8, spark.sparkContext.defaultParallelism // 4)
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     emb = blocking.ensure_parallelism(emb)
     buckets = []
     for j, plane in enumerate(planes):
@@ -2887,7 +2905,10 @@ def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, join_parts: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    join_parts: int | None = None,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate DETECTION (the dedup-tier sibling of
     the ANN queries) as a three-stage verify cascade: find all vector pairs
@@ -2924,11 +2945,14 @@ def _emb_near_dup_pairs(
     dedup (the r13 BRP sizing lever — see q_emb_brp_euclidean_join);
     None keeps conf-width exchanges. Per-pair scalar values, so the
     width cannot flip cells (asserted by tools_brp_ab.py --near-dup).
+    ``emb`` overrides the embeddings frame (columns vec_id,
+    v: array<double>) — the scale_check 1x/2x/4x hook.
     """
     planes = _hyperplanes(_ND_PLANES, 64, salt="nd:")
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     variant = emb.select(
         (F.col("vec_id") + _ND_VARIANT_OFFSET).alias("vec_id"),
         F.concat(F.array(F.lit(0.0)), F.slice("v", 2, 63)).alias("v"),

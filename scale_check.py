@@ -441,6 +441,85 @@ def session4_times(
     return res["winnow"], res["pmi"], res["jsdiv"], res["markov"]
 
 
+def emb_copies(spark, sf_dir: str, copies: int):
+    """1x/2x/4x embeddings corpus: copy i>0 flips a copy-distinct block of
+    16 coordinates, so the same base vector lands at ~cos 0.5 across copies
+    (16 of 64 flipped -> expected cosine (64-2*16)/64) and never crosses
+    the 0.98 near-dup threshold — per-copy near-dup structure constant
+    while corpus size scales, the disjoint-vocab trick's vector analog.
+    A plain union would plant C(C,2) EXACT cross-copy duplicates per base
+    vector and the check would measure its own quadratic output, not the
+    engine."""
+
+    def flipped(lo: int):
+        return F.transform(
+            "v", lambda x, j: F.when((j >= lo) & (j < lo + 16), -x).otherwise(x)
+        )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    parts = []
+    for i in range(copies):
+        v = F.col("v") if i == 0 else flipped(16 * (i - 1))
+        parts.append(
+            base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"), v.alias("v")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def ann_times(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Near-dup LSH cascade + BRP bucket join on 1x/2x/4x embedding copies
+    (the two rows resized in r13 — the in-plan join widths under test at
+    scale). Both operators persist internal frames, so clearCache()
+    before EVERY pass or later trials measure cache reads; interleaved
+    min-of-3 per the house protocol."""
+    import __spark_entry__ as entrymod
+
+    embs = {c: emb_copies(spark, sf_dir, c) for c in (1, 2, 4)}
+    n = {c: embs[c].count() for c in (1, 2, 4)}
+    parts = max(8, spark.sparkContext.defaultParallelism // 4)
+
+    def nd_run(c):
+        return entrymod._emb_near_dup_pairs(spark, sf_dir, parts, emb=embs[c]).count()
+
+    def brp_run(c):
+        return entrymod.q_emb_brp_euclidean_join(spark, sf_dir, emb=embs[c]).count()
+
+    for c in (1, 2, 4):  # untimed codegen/broadcast warmup per point
+        spark.catalog.clearCache()
+        nd_run(c)
+        spark.catalog.clearCache()
+        brp_run(c)
+    nd_trials: dict[int, list] = {c: [] for c in (1, 2, 4)}
+    brp_trials: dict[int, list] = {c: [] for c in (1, 2, 4)}
+    for _ in range(3):
+        for c in (1, 2, 4):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            nd_run(c)
+            nd_trials[c].append(round(time.perf_counter() - t0, 2))
+        for c in (1, 2, 4):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            brp_run(c)
+            brp_trials[c].append(round(time.perf_counter() - t0, 2))
+    nd_res = {c: min(nd_trials[c]) for c in (1, 2, 4)}
+    brp_res = {c: min(brp_trials[c]) for c in (1, 2, 4)}
+    for c in (1, 2, 4):
+        print(
+            f"# ann copies={c} vecs={n[c]} near_dup={nd_res[c]}s {nd_trials[c]}"
+            f" brp={brp_res[c]}s {brp_trials[c]}",
+            file=sys.stderr,
+        )
+    return nd_res, brp_res
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale_check")
@@ -492,6 +571,7 @@ def main() -> None:
     sub_res, phr_res, aud_res = curation2_times(spark, docs)
     win_res, pmi_res, jsd_res, mkv_res = session4_times(spark, docs, sf_dir)
     bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
+    nd_res, brp_res = ann_times(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -512,6 +592,8 @@ def main() -> None:
                 "graph_bfs": bfs_res,
                 "graph_weighted": w_res,
                 "graph_cc": cc_res,
+                "ann_near_dup": nd_res,
+                "ann_brp": brp_res,
             }
         )
     )
