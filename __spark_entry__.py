@@ -39,6 +39,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _ND_COS_THRESHOLD, _ND_HAM_MAX, _ND_PLANES,
     _ND_VARIANT_OFFSET, _band_sql, _banded_pairs_cte,
     _customer_rfm_oracle, _doc_bm25_search_oracle, _doc_dsir_select_oracle,
+    _doc_keyness_g2_oracle, _events_value_ks_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5111,6 +5112,44 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampled_ids_md5"
         ),
     )
+
+
+def q_doc_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (operators/divergence.g2_keyness;
+    Dunning 1993): the 50 terms most distinctive of the lang='en' slice
+    vs the rest of the corpus, by the signed 2-cell G2 over term
+    occurrence counts — the corpus-linguistics complement of the JS
+    divergence row (doc_lang_divergence measures HOW FAR two slices'
+    distributions are; this names WHICH terms carry the difference).
+    Columns (term, n_target, n_rest, g2, key_slice); g2 rounded 6 +0.0
+    folded and used as the order key only after rounding (ties by
+    term); key_slice decided by exact integer cross-multiplication.
+    Slice totals are driver scalars (weighted-pagerank precedent); the
+    oracle computes its own via a CTE. NOT registered: banked spare
+    (r13); pre-validated in
+    tests/test_analytics.py::test_keyness_query_matches_oracle."""
+    from scabillmatch_spark.operators.divergence import g2_keyness
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return g2_keyness(docs, "lang", "en")
+
+
+def q_events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate
+    (operators/stats.ks_two_sample): D = max |ECDF_click - ECDF_purchase|
+    over the pooled distinct event values — the distribution-free
+    slice-drift test (one row: n_a, n_b, ks_d, at_value; ks_d rounded 6
+    BEFORE becoming the order key, at_value = smallest argmax value).
+    Grouping doubles by equality is bit-exact cross-engine (the
+    histogram-on-value precedent); sample sizes are driver scalars.
+    Unpartitioned-window bounded-scale caveat documented in the
+    operator (bin the ECDF on approx-quantile cuts at 100 TB). NOT
+    registered: banked spare (r13); pre-validated in
+    tests/test_analytics.py::test_ks_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ks_two_sample(ev, "click", "purchase")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

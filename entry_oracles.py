@@ -3421,3 +3421,90 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
         """,
     }
+
+
+def _doc_keyness_g2_oracle() -> str:
+    """Oracle for the (unregistered) G2 keyness query: same tokenizer
+    mirror, same 2-cell signed log-likelihood with the 0-count cells
+    contributing 0, expected counts as integer-product / integer-total
+    double divisions written operand-for-operand like the engine,
+    round(6)+0.0 fold on g2 (the 2-cell form can go tiny-negative),
+    integer cross-multiplied key_slice, (g2 DESC, term ASC) LIMIT 50."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKLIST}) AS term,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_t
+            FROM documents
+        ),
+        cnt AS (
+            SELECT term,
+                   CAST(SUM(in_t) AS BIGINT) AS n_target,
+                   CAST(COUNT(*) - SUM(in_t) AS BIGINT) AS n_rest
+            FROM toks GROUP BY term
+        ),
+        tot AS (
+            SELECT CAST(SUM(in_t) AS BIGINT) AS n1,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks
+        )
+        SELECT term, n_target, n_rest,
+               (ROUND(2.0 * (
+                   CASE WHEN n_target > 0
+                        THEN CAST(n_target AS DOUBLE)
+                             * ln(CAST(n_target AS DOUBLE)
+                                  / ((n_target + n_rest) * n1 / n))
+                        ELSE 0.0 END
+                 + CASE WHEN n_rest > 0
+                        THEN CAST(n_rest AS DOUBLE)
+                             * ln(CAST(n_rest AS DOUBLE)
+                                  / ((n_target + n_rest) * (n - n1) / n))
+                        ELSE 0.0 END
+               ), 6) + 0.0) AS g2,
+               CASE WHEN n_target * (n - n1) > n_rest * n1
+                    THEN 'target' ELSE 'rest' END AS key_slice
+        FROM cnt, tot
+        WHERE n_target + n_rest >= 5
+        ORDER BY g2 DESC, term ASC
+        LIMIT 50
+    """
+
+
+def _events_value_ks_oracle() -> str:
+    """Oracle for the (unregistered) two-sample KS query: per-value
+    integer counts, cumulative window over values ascending, ECDF
+    divisions operand-for-operand like the engine (CAST ... AS DOUBLE /
+    BIGINT total), round(6) ks_d as the order key (abs >= 0, no
+    signed-zero fold needed), (ks_d DESC, at_value ASC) LIMIT 1."""
+    return """
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        tot AS (
+            SELECT CAST(SUM(ia) AS BIGINT) AS na,
+                   CAST(COUNT(*) - SUM(ia) AS BIGINT) AS nb
+            FROM s
+        ),
+        per AS (
+            SELECT v,
+                   CAST(SUM(ia) AS BIGINT) AS ca,
+                   CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+            FROM s GROUP BY v
+        ),
+        ec AS (
+            SELECT v,
+                   SUM(ca) OVER (ORDER BY v ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+                   SUM(cb) OVER (ORDER BY v ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+            FROM per
+        )
+        SELECT na AS n_a, nb AS n_b,
+               ROUND(abs(CAST(cca AS DOUBLE) / na
+                         - CAST(ccb AS DOUBLE) / nb), 6) AS ks_d,
+               v AS at_value
+        FROM ec, tot
+        ORDER BY ks_d DESC, at_value ASC
+        LIMIT 1
+    """

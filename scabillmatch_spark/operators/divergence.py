@@ -99,3 +99,89 @@ def slice_js_divergence(
             ).alias("js"),
         )
     )
+
+
+def g2_keyness(
+    docs: DataFrame,
+    slice_col: str,
+    slice_value: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993, the corpus-linguistics
+    standard for "which terms characterize this slice") -> the ``top_k``
+    most distinctive terms between the ``slice_col == slice_value`` target
+    slice and everything else: (term, n_target, n_rest, g2, key_slice).
+
+    Signed 2-cell log-likelihood over term OCCURRENCE counts: with
+    N1/N2 the slice token totals and E_i = (a+b)·N_i/N the expected
+    counts, g2 = 2·(a·ln(a/E1) + b·ln(b/E2)), a zero-count cell
+    contributing 0 (the 0·ln 0 convention shared with the JS row).
+    key_slice marks the over-represented side by EXACT integer
+    cross-multiplication (a·N2 > b·N1 — no rate division, no float
+    compare). The complement cells of the full 4-cell G2 are omitted on
+    purpose: the 2-cell form is the monotone screen and keeps the SQL
+    mirror to two ln terms.
+
+    Float discipline: counts/products integer-exact (a ≤ corpus tokens,
+    products < 2^63 by many orders); E_i is ONE double division of exact
+    integers, each ln term is the zipf/BM25 class (ln to 1 ulp,
+    round(6) absorbs); rounded g2 + 0.0 folds any tiny-negative -0.0
+    (the 2-cell form CAN go negative), and g2 is the ORDER KEY only
+    after rounding, ties by term — round-before-rank.
+
+    Scale shape: one combine-heavy (term, slice-bit) count shuffle, two
+    driver scalars (the weighted-pagerank count precedent), one bounded
+    vocab-frame projection + TakeOrderedAndProject. Exchanges carry
+    (term-string, two longs) — never documents."""
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term"),
+        (F.col(slice_col) == slice_value).cast("long").alias("in_t"),
+    )
+    cnt = toks.groupBy("term").agg(
+        F.sum("in_t").cast("long").alias("n_target"),
+        (F.count(F.lit(1)) - F.sum("in_t")).cast("long").alias("n_rest"),
+    )
+    trow = toks.agg(
+        F.sum("in_t").cast("long"), F.count(F.lit(1)).cast("long")
+    ).first()
+    n1, n = int(trow[0] or 0), int(trow[1] or 0)
+    n2 = n - n1
+    if n1 == 0 or n2 == 0:
+        # one slice empty: every term is trivially "key"; no contrast to
+        # measure (the pareto empty-guard precedent)
+        return docs.sparkSession.createDataFrame(
+            [], "term string, n_target long, n_rest long, g2 double, key_slice string"
+        )
+    ab = F.col("n_target") + F.col("n_rest")
+    e1 = ab * F.lit(n1) / F.lit(n)
+    e2 = ab * F.lit(n2) / F.lit(n)
+    t1 = F.when(
+        F.col("n_target") > 0,
+        F.col("n_target").cast("double")
+        * F.log(F.col("n_target").cast("double") / e1),
+    ).otherwise(F.lit(0.0))
+    t2 = F.when(
+        F.col("n_rest") > 0,
+        F.col("n_rest").cast("double") * F.log(F.col("n_rest").cast("double") / e2),
+    ).otherwise(F.lit(0.0))
+    g2 = F.round(F.lit(2.0) * (t1 + t2), round_digits) + F.lit(0.0)
+    return (
+        cnt.filter(ab >= min_count)
+        .select(
+            "term",
+            "n_target",
+            "n_rest",
+            g2.alias("g2"),
+            F.when(
+                F.col("n_target") * F.lit(n2) > F.col("n_rest") * F.lit(n1),
+                F.lit("target"),
+            )
+            .otherwise(F.lit("rest"))
+            .alias("key_slice"),
+        )
+        .orderBy(F.desc("g2"), F.asc("term"))
+        .limit(top_k)
+    )

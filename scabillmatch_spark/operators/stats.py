@@ -296,3 +296,77 @@ def pareto_classes(
             F.sum("__rev").cast("double") / F.lit(float(total)), round_digits
         ).alias("revenue_share"),
     )
+
+
+def ks_two_sample(
+    events,
+    type_a: str,
+    type_b: str,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the ``value_col``
+    distributions of two event types -> ONE row (n_a, n_b, ks_d,
+    at_value): D = max over pooled distinct values v of
+    |F_a(v) - F_b(v)|, with at_value the smallest value attaining the
+    ROUNDED maximum (round-before-rank: ks_d is rounded 6 first, ties
+    by value ascending — identical total order cross-engine). The
+    distribution-free drift gate between two slices — the numeric
+    complement of the MAD row's per-group outlier screen.
+
+    Exactness: per-value counts and cumulative counts are integers
+    (grouping doubles by EQUALITY is bit-exact — parquet bits on both
+    engines, the histogram-on-value precedent); each ECDF value is one
+    double division of exact integers; abs-difference of identical
+    doubles is identical, so round(6) needs no signed-zero fold
+    (abs >= 0). Returns an EMPTY typed frame when either sample is
+    empty (the pareto guard precedent — D is undefined, and a silent
+    0/0 would NaN-poison the max).
+
+    Scale caveat: the cumulative window is UNPARTITIONED over the
+    pooled distinct values — the bounded-scale audit form (rfm/pareto
+    precedent); at 100 TB bin the ECDF on approx-quantile cuts first,
+    same downstream max."""
+    from pyspark.sql import Window
+
+    s = events.filter(F.col(type_col).isin([type_a, type_b])).select(
+        F.col(value_col).alias("v"),
+        (F.col(type_col) == type_a).cast("long").alias("ia"),
+    )
+    trow = s.agg(F.sum("ia"), F.count(F.lit(1))).first()
+    na = int(trow[0] or 0)
+    nb = int(trow[1] or 0) - na
+    if na == 0 or nb == 0:
+        return events.sparkSession.createDataFrame(
+            [], "n_a long, n_b long, ks_d double, at_value double"
+        )
+    per = s.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ec = per.select(
+        "v",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    d = F.round(
+        F.abs(
+            F.col("cca").cast("double") / F.lit(na)
+            - F.col("ccb").cast("double") / F.lit(nb)
+        ),
+        round_digits,
+    )
+    return (
+        ec.select(
+            F.lit(na).cast("long").alias("n_a"),
+            F.lit(nb).cast("long").alias("n_b"),
+            d.alias("ks_d"),
+            F.col("v").alias("at_value"),
+        )
+        .orderBy(F.desc("ks_d"), F.asc("at_value"))
+        .limit(1)
+    )

@@ -959,3 +959,99 @@ def test_pareto_query_matches_oracle(spark):
     _gate_compare(
         spark, entrymod.q_part_pareto, entrymod._part_pareto_oracle()
     )
+
+
+def test_keyness_query_matches_oracle(spark):
+    """Banked-row pre-validation (r13): the unregistered q_doc_keyness_g2
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 13)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_doc_keyness_g2, entrymod._doc_keyness_g2_oracle()
+    )
+
+
+def test_ks_query_matches_oracle(spark):
+    """Banked-row pre-validation (r13): the unregistered q_events_value_ks
+    matches its DuckDB oracle typed-exact at sf0.001 (sf0.01 out-of-band,
+    PLANS.md round 13)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_events_value_ks, entrymod._events_value_ks_oracle()
+    )
+
+
+def test_g2_keyness_python_mirror(spark):
+    """g2_keyness vs an exact Python mirror on a tiny two-slice corpus,
+    including a term present in only one slice (zero-cell convention)
+    and the min_count filter."""
+    import math
+
+    from scabillmatch_spark.operators.divergence import g2_keyness
+
+    rows = [
+        ("en", "alpha alpha beta gamma"),
+        ("en", "alpha beta beta gamma"),
+        ("de", "gamma gamma delta delta"),
+        ("de", "delta delta gamma alpha"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        r.term: (r.n_target, r.n_rest, r.g2, r.key_slice)
+        for r in g2_keyness(df, "lang", "en", min_count=1, top_k=50).collect()
+    }
+    # Python mirror
+    from collections import Counter
+
+    a, b = Counter(), Counter()
+    for lang, text in rows:
+        (a if lang == "en" else b).update(text.split())
+    n1, n2 = sum(a.values()), sum(b.values())
+    n = n1 + n2
+    exp = {}
+    for t in set(a) | set(b):
+        ta, tb = a[t], b[t]
+        e1 = (ta + tb) * n1 / n
+        e2 = (ta + tb) * n2 / n
+        g = 2.0 * (
+            (ta * math.log(ta / e1) if ta else 0.0)
+            + (tb * math.log(tb / e2) if tb else 0.0)
+        )
+        exp[t] = (
+            ta,
+            tb,
+            round(g, 6) + 0.0,
+            "target" if ta * n2 > tb * n1 else "rest",
+        )
+    assert got == exp
+    # delta is de-only: its n_target cell is 0 and it must key to 'rest'
+    assert got["delta"][0] == 0 and got["delta"][3] == "rest"
+
+
+def test_ks_two_sample_mirror_and_guards(spark):
+    """ks_two_sample vs a hand-computed ECDF max gap (with a duplicate
+    pooled value), plus the empty-sample guard."""
+    from scabillmatch_spark.operators.stats import ks_two_sample
+
+    rows = [
+        ("a", 1.0),
+        ("a", 2.0),
+        ("a", 3.0),
+        ("b", 2.0),
+        ("b", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = ks_two_sample(df, "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    # ECDFs over pooled values [1,2,3,4]:
+    #   F_a = 1/3, 2/3, 3/3, 3/3 ; F_b = 0/2, 1/2, 1/2, 2/2
+    # gaps = 1/3, 1/6, 1/2, 0 -> D = 0.5 at v=3
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.ks_d == 0.5 and r.at_value == 3.0
+    # one-sided sample -> empty typed frame, not a 0/0 NaN
+    empty = ks_two_sample(df.filter("event_type = 'a'"), "a", "b")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["n_a", "n_b", "ks_d", "at_value"]
