@@ -39,7 +39,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _ND_COS_THRESHOLD, _ND_HAM_MAX, _ND_PLANES,
     _ND_VARIANT_OFFSET, _band_sql, _banded_pairs_cte,
     _customer_rfm_oracle, _doc_bm25_search_oracle, _doc_dsir_select_oracle,
-    _doc_keyness_g2_oracle, _events_value_ks_oracle,
+    _doc_keyness_g2_oracle, _events_value_ks_oracle, _events_burstiness_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5150,6 +5150,23 @@ def q_events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     return ks_two_sample(ev, "click", "purchase")
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness per event type
+    (operators/analytics.burstiness_profile): B = (sigma-mu)/(sigma+mu)
+    over same-user inter-arrival gaps — the temporal complement of the
+    user_entropy screen (-1 metronome, 0 Poisson, +1 bursty). Σg/Σg²
+    ride exact DECIMAL sums with 19-digit operands (18 is int64-backed and overflows on the square; 38x38 exceeds DuckDB's width cap),
+    then mirrored double arithmetic with a greatest(var, 0.0) clamp
+    (constant-gap cancellation would NaN the sqrt) and round(6)+0.0 on
+    the signed output. One (type,user) exchange + one per-type agg.
+    NOT registered: banked spare (r13); pre-validated in
+    tests/test_analytics.py::test_burstiness_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import burstiness_profile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "event_id", "ts")
+    return burstiness_profile(ev)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

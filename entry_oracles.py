@@ -3508,3 +3508,46 @@ def _events_value_ks_oracle() -> str:
         ORDER BY ks_d DESC, at_value ASC
         LIMIT 1
     """
+
+
+def _events_burstiness_oracle() -> str:
+    """Oracle for the (unregistered) burstiness query: same (type, user,
+    ts, event_id) lag gaps in epoch micros, DECIMAL(19,0)-operand gap sums (18 overflows int64 on the square, 38x38 exceeds the width cap)
+    (g*g cast-before-multiply like the engine), one CAST AS DOUBLE per
+    sum, the variance expression operand-for-operand with the
+    greatest(·, 0.0) clamp, round(6) outputs and a +0.0 fold on the
+    signed burstiness."""
+    return """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, user_id
+                       ORDER BY epoch_us(ts) ASC, event_id ASC
+                   ) AS gap
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(gap AS DECIMAL(19,0))
+                            * CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS s2
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n_gaps,
+                   s1 / CAST(n_gaps AS DOUBLE) AS mu,
+                   sqrt(greatest(
+                       (CAST(n_gaps AS DOUBLE) * s2 - s1 * s1)
+                       / (CAST(n_gaps AS DOUBLE)
+                          * (CAST(n_gaps AS DOUBLE) - 1.0)),
+                       0.0)) AS sigma
+            FROM agg WHERE n_gaps >= 2
+        )
+        SELECT event_type, n_gaps,
+               ROUND(mu, 6) AS mean_gap_us,
+               ROUND(sigma / mu, 6) AS cv_gap,
+               (ROUND((sigma - mu) / (sigma + mu), 6) + 0.0) AS burstiness
+        FROM m
+    """

@@ -225,3 +225,75 @@ def rfm_scores(
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("long").alias("rfm"),
     )
+
+
+def burstiness_profile(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Inter-arrival burstiness per event type (Goh & Barabási 2008's
+    B = (sigma - mu)/(sigma + mu) over the gap distribution) ->
+    (event_type, n_gaps, mean_gap_us, cv_gap, burstiness). Gaps are the
+    microsecond intervals between CONSECUTIVE EVENTS OF THE SAME USER
+    within the type (ordered by (ts, tiebreak) — cross-engine
+    deterministic); B -> -1 for metronome-regular streams, 0 for
+    Poisson, -> +1 for heavy-tailed bursty behavior — the temporal
+    complement of the user_entropy label-concentration screen (bots are
+    typically BOTH low-entropy and regular).
+
+    Exactness: gaps are exact integer micros; Σg and Σg² ride exact
+    DECIMAL sums with DECIMAL(19,0) OPERANDS — measured DuckDB binder
+    facts: an 18-digit (int64-backed) operand OVERFLOWS on the square
+    of a ~1.2e11-us gap, and 38x38 exceeds the width cap, while 19x19
+    widens to DECIMAL(38,0) exactly on both engines (a long*long
+    product would overflow int64 past ~53-minute gaps; the house
+    order-free-sum rule),
+    then ONE deterministic cast to DOUBLE per sum and pure mirrored
+    double arithmetic: var = (n·Σg² - Σg·Σg)/(n·(n-1)) clamped by
+    greatest(·, 0.0) (catastrophic cancellation on constant-gap groups
+    can land at tiny-negative, and sqrt would NaN), sigma = IEEE-exact
+    sqrt, round(6) on outputs with a +0.0 fold on B (negative range).
+    Types with n_gaps < 2 have no variance and are dropped.
+
+    Scale shape: ONE (type, user)-key exchange + sort for the lag, one
+    combine-heavy per-type agg over (type, 3 numbers) — nothing wider
+    than ids + longs shuffles; the output is |types| rows."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(type_col, user_col).orderBy(
+        F.asc("__us"), F.asc(tiebreak_col)
+    )
+    gaps = (
+        events.select(
+            type_col, user_col, tiebreak_col, F.unix_micros(ts_col).alias("__us")
+        )
+        .withColumn("__g", F.col("__us") - F.lag("__us", 1).over(w))
+        .filter(F.col("__g").isNotNull())
+    )
+    dec = F.col("__g").cast("decimal(19,0)")
+    agg = gaps.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(dec).cast("double").alias("__s1"),
+        F.sum(dec * dec).cast("double").alias("__s2"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    mean = F.col("__s1") / n_d
+    var = F.greatest(
+        (n_d * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+        / (n_d * (n_d - F.lit(1.0))),
+        F.lit(0.0),
+    )
+    sigma = F.sqrt(var)
+    return agg.filter(F.col("n_gaps") >= 2).select(
+        type_col,
+        "n_gaps",
+        F.round(mean, round_digits).alias("mean_gap_us"),
+        F.round(sigma / mean, round_digits).alias("cv_gap"),
+        (
+            F.round((sigma - mean) / (sigma + mean), round_digits) + F.lit(0.0)
+        ).alias("burstiness"),
+    )

@@ -1055,3 +1055,74 @@ def test_ks_two_sample_mirror_and_guards(spark):
     empty = ks_two_sample(df.filter("event_type = 'a'"), "a", "b")
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["n_a", "n_b", "ks_d", "at_value"]
+
+
+def test_burstiness_query_matches_oracle(spark):
+    """Banked-row pre-validation (r13): the unregistered
+    q_events_burstiness matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 13)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark, entrymod.q_events_burstiness, entrymod._events_burstiness_oracle()
+    )
+
+
+def test_burstiness_python_mirror(spark):
+    """burstiness_profile vs an exact Python mirror, covering the
+    constant-gap clamp (sigma would be sqrt of a cancellation residue),
+    session boundaries per user, and the n_gaps >= 2 filter."""
+    import datetime as dt
+    import math
+
+    from scabillmatch_spark.operators.analytics import burstiness_profile
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # type 'a', user 1: gaps 10s, 20s, 30s
+        ("a", 1, 100, ts(0)),
+        ("a", 1, 101, ts(10)),
+        ("a", 1, 102, ts(30)),
+        ("a", 1, 103, ts(60)),
+        # type 'a', user 2: one gap 5s (no gap crosses users)
+        ("a", 2, 200, ts(0)),
+        ("a", 2, 201, ts(5)),
+        # type 'b': metronome 7s gaps -> var clamps to exactly 0, B = -1
+        ("b", 1, 300, ts(0)),
+        ("b", 1, 301, ts(7)),
+        ("b", 1, 302, ts(14)),
+        ("b", 1, 303, ts(21)),
+        # type 'c': single event -> no gaps -> filtered
+        ("c", 1, 400, ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, event_id long, ts timestamp"
+    )
+    got = {
+        r.event_type: (r.n_gaps, r.mean_gap_us, r.cv_gap, r.burstiness)
+        for r in burstiness_profile(df).collect()
+    }
+
+    def mirror(gaps_us):
+        n = len(gaps_us)
+        s1, s2 = float(sum(gaps_us)), float(sum(g * g for g in gaps_us))
+        mu = s1 / n
+        var = max((n * s2 - s1 * s1) / (n * (n - 1.0)), 0.0)
+        sig = math.sqrt(var)
+        return (
+            n,
+            round(mu, 6),
+            round(sig / mu, 6),
+            round((sig - mu) / (sig + mu), 6) + 0.0,
+        )
+
+    assert got == {
+        "a": mirror([10_000_000, 20_000_000, 30_000_000, 5_000_000]),
+        "b": mirror([7_000_000, 7_000_000, 7_000_000]),
+    }
+    assert got["b"][3] == -1.0  # metronome: sigma 0 -> B = -1 exactly
+    assert "c" not in got

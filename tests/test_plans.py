@@ -158,9 +158,10 @@ _BANKED_PREVALIDATED = [
     "q_stream_agg_maintain",
     "q_doc_ngram_novelty",
     "q_part_pareto",
-    # r13 additions (spares #10/#11): G2 keyness + two-sample KS
+    # r13 additions (spares #10-#12): G2 keyness, two-sample KS, burstiness
     "q_doc_keyness_g2",
     "q_events_value_ks",
+    "q_events_burstiness",
 ]
 
 
