@@ -40,6 +40,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _ND_VARIANT_OFFSET, _band_sql, _banded_pairs_cte,
     _customer_rfm_oracle, _doc_bm25_search_oracle, _doc_dsir_select_oracle,
     _doc_keyness_g2_oracle, _events_value_ks_oracle, _events_burstiness_oracle,
+    _doc_chi2_lang_source_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5150,6 +5151,23 @@ def q_events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     return ks_two_sample(ev, "click", "purchase")
+
+
+def q_doc_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence of lang x source over documents
+    (operators/stats.chi2_independence): one row (chi2, dof, cramers_v,
+    n_rows, n_cells_occupied). Zero cells enter via the closed-form
+    remainder chi2 = Σ_occ (o-e)²/e + (n - Σ_occ e) — no grid cross
+    join (the synthetic corpus has 97 of 100 cells occupied, so the
+    remainder is genuinely exercised). Marginals broadcast; scalars are
+    driver counts; the ~100-cell double sums ride the zipf round(6)
+    precedent; cramers_v from the UNROUNDED sum on both engines. NOT
+    registered: banked spare (r13); pre-validated in
+    tests/test_analytics.py::test_chi2_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import chi2_independence
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return chi2_independence(docs, "lang", "source")
 
 
 def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3551,3 +3551,44 @@ def _events_burstiness_oracle() -> str:
                (ROUND((sigma - mu) / (sigma + mu), 6) + 0.0) AS burstiness
         FROM m
     """
+
+
+def _doc_chi2_lang_source_oracle() -> str:
+    """Oracle for the (unregistered) chi-squared query: same closed-form
+    zero-cell remainder (part + (n - Σ_occupied e)), expected counts as
+    integer-product / integer-n double divisions operand-for-operand,
+    cramers_v from the UNROUNDED raw sum, round(6) once at the end."""
+    return """
+        WITH o AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        ra AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ta FROM o GROUP BY lang),
+        rb AS (SELECT source, CAST(SUM(o) AS BIGINT) AS tb FROM o GROUP BY source),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+            FROM documents
+        ),
+        cells AS (
+            SELECT (CAST(o.o AS DOUBLE) - (ra.ta * rb.tb / tot.n))
+                   * (CAST(o.o AS DOUBLE) - (ra.ta * rb.tb / tot.n))
+                   / (ra.ta * rb.tb / tot.n) AS contrib,
+                   (ra.ta * rb.tb / tot.n) AS e
+            FROM o JOIN ra USING (lang) JOIN rb USING (source), tot
+        ),
+        s AS (
+            SELECT SUM(contrib) AS p, SUM(e) AS es,
+                   CAST(COUNT(*) AS BIGINT) AS nc
+            FROM cells
+        )
+        SELECT ROUND(s.p + (CAST(tot.n AS DOUBLE) - s.es), 6) AS chi2,
+               CAST((tot.r - 1) * (tot.c - 1) AS BIGINT) AS dof,
+               ROUND(sqrt((s.p + (CAST(tot.n AS DOUBLE) - s.es))
+                          / CAST(tot.n * least(tot.r - 1, tot.c - 1)
+                                 AS DOUBLE)), 6) AS cramers_v,
+               tot.n AS n_rows,
+               s.nc AS n_cells_occupied
+        FROM s, tot
+    """

@@ -370,3 +370,78 @@ def ks_two_sample(
         .orderBy(F.desc("ks_d"), F.asc("at_value"))
         .limit(1)
     )
+
+
+def chi2_independence(
+    df,
+    col_a: str,
+    col_b: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared independence test between two categorical
+    columns -> ONE row (chi2, dof, cramers_v, n_rows, n_cells_occupied):
+    the categorical-association screen (is language independent of
+    source? is a label leaking a slice?) completing the association
+    family — Pearson corr (numeric x numeric), PMI (set co-occurrence),
+    G2 keyness (term vs slice), and now contingency-table association.
+
+    Zero cells WITHOUT a grid join: a cell with o = 0 contributes
+    (0-e)²/e = e, and Σ_all e = n exactly, so
+
+        chi2 = Σ_occupied (o-e)²/e + (n - Σ_occupied e)
+
+    — the closed-form remainder (the JS divergence one-sided-mass
+    trick), which keeps the plan to counts + two tiny broadcast-joined
+    marginals and avoids the r x c cross join a literal grid would need
+    (and the BroadcastNestedLoopJoin the plan gate bans). dof counts
+    the FULL (r-1)(c-1) grid regardless of occupancy.
+
+    Exactness: observed counts and marginal products are exact integers
+    (ta·tb <= n² < 2^63 far below overflow); e = ta·tb/n is one double
+    division; the ~r·c-cell double sums ride the zipf round(6)
+    precedent (order ulp ≪ 5e-7 at bounded cell counts); cramers_v =
+    sqrt(chi2_raw / (n·min(r-1, c-1))) uses the UNROUNDED sum on both
+    engines, rounded once at the end. Degenerate 1-level columns
+    (dof = 0) return chi2 but NULL cramers_v (division by zero -> the
+    SQL NULL convention, mirrored)."""
+    o = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    ra = o.groupBy(col_a).agg(F.sum("__o").cast("long").alias("__ta"))
+    rb = o.groupBy(col_b).agg(F.sum("__o").cast("long").alias("__tb"))
+    dims = df.agg(
+        F.count(F.lit(1)).cast("long"),
+        F.countDistinct(col_a).cast("long"),
+        F.countDistinct(col_b).cast("long"),
+    ).first()
+    n, r, c = int(dims[0]), int(dims[1]), int(dims[2])
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "chi2 double, dof long, cramers_v double, n_rows long,"
+            " n_cells_occupied long",
+        )
+    e = (F.col("__ta") * F.col("__tb")) / F.lit(n)
+    diff = F.col("__o").cast("double") - e
+    cells = (
+        o.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(rb), col_b)
+        .select((diff * diff / e).alias("__contrib"), e.alias("__e"))
+    )
+    part = cells.agg(
+        F.sum("__contrib").alias("__p"),
+        F.sum("__e").alias("__es"),
+        F.count(F.lit(1)).cast("long").alias("__nc"),
+    )
+    chi2_raw = F.col("__p") + (F.lit(float(n)) - F.col("__es"))
+    dof = (r - 1) * (c - 1)
+    cramers = (
+        F.round(F.sqrt(chi2_raw / F.lit(float(n * min(r - 1, c - 1)))), round_digits)
+        if dof > 0
+        else F.lit(None).cast("double")
+    )
+    return part.select(
+        F.round(chi2_raw, round_digits).alias("chi2"),
+        F.lit(dof).cast("long").alias("dof"),
+        cramers.alias("cramers_v"),
+        F.lit(n).cast("long").alias("n_rows"),
+        F.col("__nc").alias("n_cells_occupied"),
+    )

@@ -1126,3 +1126,59 @@ def test_burstiness_python_mirror(spark):
     }
     assert got["b"][3] == -1.0  # metronome: sigma 0 -> B = -1 exactly
     assert "c" not in got
+
+
+def test_chi2_query_matches_oracle(spark):
+    """Banked-row pre-validation (r13): the unregistered
+    q_doc_chi2_lang_source matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 13)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_doc_chi2_lang_source,
+        entrymod._doc_chi2_lang_source_oracle(),
+    )
+
+
+def test_chi2_independence_python_mirror(spark):
+    """chi2_independence vs an exact Python mirror over a table WITH an
+    empty cell (the closed-form remainder path) and a perfectly
+    independent table (chi2 == 0.0 exactly)."""
+    from scabillmatch_spark.operators.stats import chi2_independence
+
+    # (a1,b1)=2 (a1,b2)=1 (a2,b1)=1, (a2,b2) EMPTY -> remainder path
+    rows = [("a1", "b1")] * 2 + [("a1", "b2")] + [("a2", "b1")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, "x", "y").collect()[0]
+    n = 4.0
+    cells = {("a1", "b1"): 2, ("a1", "b2"): 1, ("a2", "b1"): 1}
+    ta = {"a1": 3, "a2": 1}
+    tb = {"b1": 3, "b2": 1}
+    part = sum(
+        (o - ta[a] * tb[b] / n) ** 2 / (ta[a] * tb[b] / n)
+        for (a, b), o in cells.items()
+    )
+    es = sum(ta[a] * tb[b] / n for (a, b) in cells)
+    raw = part + (n - es)
+    import math
+
+    assert r.chi2 == round(raw, 6)
+    assert r.dof == 1
+    assert r.cramers_v == round(math.sqrt(raw / (4.0 * 1)), 6)
+    assert (r.n_rows, r.n_cells_occupied) == (4, 3)
+
+    # independent 2x2 with equal counts: chi2 exactly 0
+    rows2 = [("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2")] * 3
+    r2 = chi2_independence(
+        spark.createDataFrame(rows2, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r2.chi2 == 0.0 and r2.cramers_v == 0.0
+
+    # single-level column: dof 0 -> NULL cramers_v, chi2 still defined
+    r3 = chi2_independence(
+        spark.createDataFrame([("a", "b1"), ("a", "b2")], "x string, y string"),
+        "x",
+        "y",
+    ).collect()[0]
+    assert r3.dof == 0 and r3.cramers_v is None
