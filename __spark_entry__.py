@@ -40,7 +40,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _ND_VARIANT_OFFSET, _band_sql, _banded_pairs_cte,
     _customer_rfm_oracle, _doc_bm25_search_oracle, _doc_dsir_select_oracle,
     _doc_keyness_g2_oracle, _events_value_ks_oracle, _events_burstiness_oracle,
-    _doc_chi2_lang_source_oracle,
+    _doc_chi2_lang_source_oracle, _nation_revenue_theil_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5151,6 +5151,33 @@ def q_events_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     return ks_two_sample(ev, "click", "purchase")
+
+
+def q_nation_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Theil T index of customer revenue
+    (operators/stats.theil_index): the decomposable inequality
+    complement of the r20-candidate gini row — same per-customer
+    rounded-revenue input, same broadcast dims, but an
+    information-theoretic index (within+between decomposability is why
+    hierarchical inequality audits prefer it). One (X, n) group agg
+    broadcast back + one final agg; term mirrored operand-for-operand,
+    round(6)+0.0. NOT registered: banked spare (r13); pre-validated in
+    tests/test_analytics.py::test_theil_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import theil_index
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "revenue")
+    )
+    return theil_index(joined, "n_name", "revenue")
 
 
 def q_doc_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:

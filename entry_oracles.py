@@ -3592,3 +3592,31 @@ def _doc_chi2_lang_source_oracle() -> str:
                s.nc AS n_cells_occupied
         FROM s, tot
     """
+
+
+def _nation_revenue_theil_oracle() -> str:
+    """Oracle for the (unregistered) Theil query: the gini row's rev CTE
+    verbatim, per-nation (X, n) totals CTE, the Theil term mirrored
+    operand-for-operand with the 0-value guard, round(6)+0.0."""
+    return """
+    WITH rev AS (
+        SELECT o_custkey, round(SUM(o_totalprice), 6) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT n.n_name, rev.x
+        FROM rev
+        JOIN customer c ON c.c_custkey = rev.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    tot AS (
+        SELECT n_name, SUM(x) AS sx, CAST(COUNT(*) AS DOUBLE) AS nn
+        FROM j GROUP BY n_name
+    )
+    SELECT j.n_name AS n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (ROUND(SUM(CASE WHEN j.x > 0
+                           THEN (j.x / t.sx) * ln(j.x * t.nn / t.sx)
+                           ELSE 0.0 END), 6) + 0.0) AS theil
+    FROM j JOIN tot t USING (n_name)
+    GROUP BY j.n_name"""

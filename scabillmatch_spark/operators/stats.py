@@ -445,3 +445,44 @@ def chi2_independence(
         F.lit(n).cast("long").alias("n_rows"),
         F.col("__nc").alias("n_cells_occupied"),
     )
+
+
+def theil_index(
+    df,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Theil T inequality index -> (group_col, n, theil):
+    T = Σ_i (x_i/X)·ln(x_i·n/X) with X the group total — the
+    information-theoretic complement of the gini row (same 0 = even
+    floor, but unbounded above and DECOMPOSABLE: total T = within-group
+    + between-group, which is why inequality audits over hierarchical
+    slices prefer it). Zero-valued members contribute 0 (the 0·ln 0
+    convention shared with the JS/G2 rows).
+
+    Exactness: one double division + one ln per member, mirrored
+    operand-for-operand ((x / X) * ln(x * n / X)); group-bounded double
+    sums ride the zipf round(6) precedent; the rounded sum carries a
+    +0.0 fold (cancellation on a perfectly-even group lands at tiny
+    negative, and exact-even must print 0.0, not -0.0). Plan: one
+    group agg for (X, n), broadcast back (the MAD-outliers shape), one
+    final group agg — exchanges carry (group, double) only."""
+    vals = df.select(group_col, F.col(value_col).cast("double").alias("__x"))
+    tot = vals.groupBy(group_col).agg(
+        F.sum("__x").alias("__sx"),
+        F.count(F.lit(1)).cast("double").alias("__nn"),
+    )
+    term = F.when(
+        F.col("__x") > 0,
+        (F.col("__x") / F.col("__sx"))
+        * F.log(F.col("__x") * F.col("__nn") / F.col("__sx")),
+    ).otherwise(F.lit(0.0))
+    return (
+        vals.join(F.broadcast(tot), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.sum(term), round_digits) + F.lit(0.0)).alias("theil"),
+        )
+    )

@@ -1182,3 +1182,47 @@ def test_chi2_independence_python_mirror(spark):
         "y",
     ).collect()[0]
     assert r3.dof == 0 and r3.cramers_v is None
+
+
+def test_theil_query_matches_oracle(spark):
+    """Banked-row pre-validation (r13): the unregistered
+    q_nation_revenue_theil matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 13)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_nation_revenue_theil,
+        entrymod._nation_revenue_theil_oracle(),
+    )
+
+
+def test_theil_index_python_mirror(spark):
+    """theil_index vs an exact Python mirror: a perfectly even group
+    must print exactly 0.0 (the +0.0 fold — cancellation can land at
+    -0.0), a whale group must be strongly positive, and a zero-valued
+    member contributes nothing (0·ln 0 convention)."""
+    import math
+
+    from scabillmatch_spark.operators.stats import theil_index
+
+    rows = [
+        ("even", 10.0), ("even", 10.0), ("even", 10.0), ("even", 10.0),
+        ("whale", 97.0), ("whale", 1.0), ("whale", 1.0), ("whale", 1.0),
+        ("zeros", 5.0), ("zeros", 0.0), ("zeros", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r.g: (r.n, r.theil) for r in theil_index(df, "g", "x").collect()}
+
+    def mirror(xs):
+        sx, nn = float(sum(xs)), float(len(xs))
+        t = sum((x / sx) * math.log(x * nn / sx) for x in xs if x > 0)
+        return (len(xs), round(t, 6) + 0.0)
+
+    assert got == {
+        "even": mirror([10.0] * 4),
+        "whale": mirror([97.0, 1.0, 1.0, 1.0]),
+        "zeros": mirror([5.0, 0.0, 5.0]),
+    }
+    assert got["even"][1] == 0.0 and math.copysign(1, got["even"][1]) == 1.0
+    assert got["whale"][1] > 1.0

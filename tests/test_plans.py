@@ -158,12 +158,13 @@ _BANKED_PREVALIDATED = [
     "q_stream_agg_maintain",
     "q_doc_ngram_novelty",
     "q_part_pareto",
-    # r13 additions (spares #10-#13): G2 keyness, two-sample KS,
-    # burstiness, chi-squared independence
+    # r13 additions (spares #10-#14): G2 keyness, two-sample KS,
+    # burstiness, chi-squared independence, Theil index
     "q_doc_keyness_g2",
     "q_events_value_ks",
     "q_events_burstiness",
     "q_doc_chi2_lang_source",
+    "q_nation_revenue_theil",
 ]
 
 
