@@ -3474,12 +3474,17 @@ def _events_value_ks_oracle() -> str:
     integer counts, cumulative window over values ascending, ECDF
     divisions operand-for-operand like the engine (CAST ... AS DOUBLE /
     BIGINT total), round(6) ks_d as the order key (abs >= 0, no
-    signed-zero fold needed), (ks_d DESC, at_value ASC) LIMIT 1."""
+    signed-zero fold needed), (ks_d DESC, at_value ASC) LIMIT 1.
+    NULL values filtered like the operator (Spark window-sorts NULLS
+    FIRST, DuckDB NULLS LAST — an unfiltered NULL would step the ECDF
+    at opposite ends)."""
     return """
         WITH s AS (
             SELECT value AS v,
                    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
-            FROM events WHERE event_type IN ('click', 'purchase')
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+              AND value IS NOT NULL
         ),
         tot AS (
             SELECT CAST(SUM(ia) AS BIGINT) AS na,

@@ -136,9 +136,16 @@ def g2_keyness(
     driver scalars (the weighted-pagerank count precedent), one bounded
     vocab-frame projection + TakeOrderedAndProject. Exchanges carry
     (term-string, two longs) — never documents."""
+    # F.when(...).otherwise(0), not a bare boolean cast: a NULL slice
+    # value must count as 0 (rest) like the oracle's CASE expression —
+    # (NULL == x).cast() is NULL and would null-poison the term's
+    # n_target/n_rest sums, silently dropping it at the min_count gate.
     toks = docs.select(
         F.explode(tokens(F.col(text_col))).alias("term"),
-        (F.col(slice_col) == slice_value).cast("long").alias("in_t"),
+        F.when(F.col(slice_col) == slice_value, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("in_t"),
     )
     cnt = toks.groupBy("term").agg(
         F.sum("in_t").cast("long").alias("n_target"),

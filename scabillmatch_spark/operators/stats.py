@@ -320,9 +320,12 @@ def ks_two_sample(
     engines, the histogram-on-value precedent); each ECDF value is one
     double division of exact integers; abs-difference of identical
     doubles is identical, so round(6) needs no signed-zero fold
-    (abs >= 0). Returns an EMPTY typed frame when either sample is
-    empty (the pareto guard precedent — D is undefined, and a silent
-    0/0 would NaN-poison the max).
+    (abs >= 0). NULL values are filtered out (in the oracle too):
+    Spark window-sorts NULLs FIRST and DuckDB NULLs LAST, so an
+    unfiltered NULL would form its own ECDF step at opposite ends of
+    the cumulative order on the two engines. Returns an EMPTY typed
+    frame when either sample is empty (the pareto guard precedent — D
+    is undefined, and a silent 0/0 would NaN-poison the max).
 
     Scale caveat: the cumulative window is UNPARTITIONED over the
     pooled distinct values — the bounded-scale audit form (rfm/pareto
@@ -330,7 +333,10 @@ def ks_two_sample(
     same downstream max."""
     from pyspark.sql import Window
 
-    s = events.filter(F.col(type_col).isin([type_a, type_b])).select(
+    s = events.filter(
+        F.col(type_col).isin([type_a, type_b])
+        & F.col(value_col).isNotNull()
+    ).select(
         F.col(value_col).alias("v"),
         (F.col(type_col) == type_a).cast("long").alias("ia"),
     )
@@ -461,18 +467,22 @@ def theil_index(
     slices prefer it). Zero-valued members contribute 0 (the 0·ln 0
     convention shared with the JS/G2 rows).
 
-    Exactness: one double division + one ln per member, mirrored
-    operand-for-operand ((x / X) * ln(x * n / X)); group-bounded double
-    sums ride the zipf round(6) precedent; the rounded sum carries a
+    Exactness: the group total X sums the UNCAST input column (exact
+    for decimal inputs — the burstiness DECIMAL-operand precedent) and
+    casts to double ONCE, mirroring the oracle's exact-DECIMAL-sum-
+    then-convert operand-for-operand; then one double division + one
+    ln per member ((x / X) * ln(x * n / X)); the member-term double
+    sum rides the zipf round(6) precedent; the rounded sum carries a
     +0.0 fold (cancellation on a perfectly-even group lands at tiny
     negative, and exact-even must print 0.0, not -0.0). Plan: one
     group agg for (X, n), broadcast back (the MAD-outliers shape), one
     final group agg — exchanges carry (group, double) only."""
-    vals = df.select(group_col, F.col(value_col).cast("double").alias("__x"))
+    vals = df.select(group_col, F.col(value_col).alias("__xr"))
     tot = vals.groupBy(group_col).agg(
-        F.sum("__x").alias("__sx"),
+        F.sum("__xr").cast("double").alias("__sx"),
         F.count(F.lit(1)).cast("double").alias("__nn"),
     )
+    vals = vals.select(group_col, F.col("__xr").cast("double").alias("__x"))
     term = F.when(
         F.col("__x") > 0,
         (F.col("__x") / F.col("__sx"))
