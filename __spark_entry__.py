@@ -2569,8 +2569,9 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the small synthetic-vocab tables; same plan shuffle-joins
     at real vocab), one doc-key agg closes. No UDFs anywhere; exchanges
     carry short grams + ids/counts, never document text. ppl rounded to
-    4 (sum-order/ulp absorption). NOT registered: r14 window candidate;
-    pre-validated in
+    4 (sum-order/ulp absorption). Registered in the r14 window
+    (pre-validated typed-exact at 2 sfs in r12; chaos-re-passed after
+    the r13 oracle split); pytest pin:
     tests/test_retrieval_lm.py::test_perplexity_query_matches_oracle."""
     from scabillmatch_spark.operators.lm import score_perplexity, train_bigram_lm
 
@@ -2591,8 +2592,9 @@ def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     size; scoring is one narrow gram explode + one (id, bucket) count +
     one doc-key agg; selection adds md5-derived Gumbel noise (replayable,
     engine-exact uniforms) and ranks by the round(6) key with id
-    tie-break. NOT registered: r14 window candidate (with
-    doc_lm_perplexity); pre-validated in
+    tie-break. Registered in the r14 window (with doc_lm_perplexity;
+    pre-validated typed-exact at 2 sfs in r12, chaos-re-passed after
+    the r13 oracle split); pytest pin:
     tests/test_dsir.py::test_dsir_query_matches_oracle."""
     from scabillmatch_spark.operators.dsir import dsir_resample
 
@@ -5217,85 +5219,28 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-13 rotation (precomputed in PLANS.md "r13 rotation"):
-    #   1. the 29 entries whose latest driver row is r10 — two rounds
+    # the round-14 rotation (precomputed in PLANS.md "r14 rotation" at the
+    # r13 close and executed verbatim):
+    #   1. the 31 entries whose latest driver row is r11 — two rounds
     #      stale, at the staleness contract's max, the oldest debt leads
-    #      (doc_5gram_wordcount .. events_sliding_window);
-    #   2. the two queries new this round (media_wav_audio_stats —
-    #      pure-Python RIFF/PCM WAV decode over binary columns,
-    #      pre-validated typed-exact at 2 sfs in r11; doc_bm25_search —
-    #      BM25 lexical retrieval with query-term-filtered postings,
-    #      pre-validated in r12);
-    #   3. the first 19 of the 50 r11-green entries fill the window
-    #      (window_running_sum .. ml_lsa_projection);
-    #   4. with 131 registered queries and a 50-row window the cycle is
-    #      ~2.6 rounds: the 31 remaining r11-green entries directly past
+    #      (ml_minhash_reference_join .. tpch_q8_market_share);
+    #   2. the two queries new this round (doc_lm_perplexity — bigram-LM
+    #      perplexity filter, CCNet shape; doc_dsir_select — DSIR
+    #      importance selection; both pre-validated typed-exact at 2 sfs
+    #      in r12 and chaos-re-passed after the r13 oracle split);
+    #   3. the first 17 of the 50 r12-green entries fill the window
+    #      (tpch_q9_product_profit .. tpch_q13_order_distribution);
+    #   4. with 133 registered queries and a 50-row window the cycle is
+    #      ~2.7 rounds: the 33 remaining r12-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
-    #      r14 window, topped up from the 50 r12-green rows (freshest,
+    #      r15 window, topped up from the 50 r13-green rows (freshest,
     #      last). Every entry is still re-verified at sf0.01 on every
     #      pytest run by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- 29 entries whose latest driver row is r10 — two rounds stale,
-        #    the staleness contract's max; the oldest debt leads
-        "doc_5gram_wordcount": q_doc_5gram_wordcount,
-        "io_sorted_compact": q_io_sorted_compact,
-        "tpch_q1_pricing_summary": q_tpch_q1,
-        "tpch_q3_shipping_priority": q_tpch_q3,
-        "tpch_q4_exists": q_tpch_q4,
-        "tpch_q10_returned_revenue": q_tpch_q10,
-        "tpch_q14_promo_pct": q_tpch_q14,
-        "tpch_q19_disjunctive_join": q_tpch_q19,
-        "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
-        "io_bloom_join_prune": q_io_bloom_join_prune,
-        "tpch_q5_local_supplier": q_tpch_q5,
-        "tpch_q18_having_in": q_tpch_q18,
-        "tpch_q12_case_agg": q_tpch_q12,
-        "tpch_q17_correlated_avg": q_tpch_q17,
-        "window_topn_orders_per_customer": q_window_topn,
-        "latest_order_per_customer": q_latest_order_per_customer,
-        "set_ops_union_intersect_except": q_set_ops,
-        "approx_sketch_stats": q_approx_sketch_stats,
-        "doc_quality_lang": q_doc_quality_lang,
-        "doc_simhash": q_doc_simhash,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_sections": q_doc_sections,
-        "emb_vector_measures": q_emb_vector_measures,
-        "orders_rollup": q_orders_rollup,
-        "pivot_lineitem": q_pivot_lineitem,
-        "probe_search": q_probe_search,
-        "events_sliding_window": q_events_sliding_window,
-        # -- new this round (the per-round new-query budget; both
-        #    pre-validated typed-exact vs their oracles at 2 sfs —
-        #    media_wav_audio_stats in r11, doc_bm25_search in r12)
-        "media_wav_audio_stats": q_media_wav_audio_stats,
-        "doc_bm25_search": q_doc_bm25_search,
-        # -- first 19 of the 50 r11-green entries fill the window
-        "window_running_sum": q_window_running_sum,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "emb_pq_ann": q_emb_pq_ann,
-        "emb_cosine_near_dup": q_emb_cosine_near_dup,
-        "emb_lsh_ann": q_emb_lsh_ann,
-        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_ivf_ann": q_emb_ivf_ann,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_triangle_count": q_graph_triangles,
-        "graph_shortest_paths": q_graph_shortest_paths,
-        "graph_weighted_paths": q_graph_weighted_paths,
-        "graph_kcore": q_graph_kcore,
-        "pairs_postprocess_sample": q_pairs_postprocess_sample,
-        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
-        "ml_lda_topics": q_ml_lda_topics,
-        "ml_lsa_projection": q_ml_lsa_projection,
-        # ---- 50-row window boundary (29 r10-stale + 2 new + 19 r11-green
-        #      = 50). The 31 r11-green entries below reach the staleness
-        #      contract's two-round max next cycle and MUST LEAD the r14
-        #      window (r14 new slots per PLANS.md: doc_lm_perplexity +
-        #      doc_dsir_select). ----
+        # -- r14 window: the 31 entries whose latest driver row is r11
+        #    — two rounds stale, the staleness contract's max; the
+        #    oldest debt leads (the exact r14 rotation precomputed in
+        #    PLANS.md at r13 close)
         "ml_minhash_reference_join": q_ml_minhash_reference_join,
         "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
@@ -5327,7 +5272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": q_tpch_q2,
         "tpch_q7_volume_shipping": q_tpch_q7,
         "tpch_q8_market_share": q_tpch_q8,
-        # -- latest driver row is r12 — freshest, rotate back last
+        # -- new this round (the per-round new-query budget; both
+        #    pre-validated typed-exact vs their oracles at 2 sfs in
+        #    r12, chaos-re-passed after the r13 oracle split)
+        "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_dsir_select": q_doc_dsir_select,
+        # -- first 17 of the 50 r12-green entries fill the window
         "tpch_q9_product_profit": q_tpch_q9,
         "tpch_q11_important_stock": q_tpch_q11,
         "tpch_q15_top_supplier": q_tpch_q15,
@@ -5345,6 +5295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_measures": q_doc_pair_measures,
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q13_order_distribution": q_tpch_q13,
+        # ---- 50-row window boundary (31 r11-stale + 2 new + 17
+        #      r12-green = 50). The 33 r12-green entries below reach
+        #      the staleness contract's two-round max next cycle and
+        #      MUST LEAD the r15 window (r15 new slots per PLANS.md:
+        #      doc_substring_dup + emb_semantic_dedup). ----
         "tpch_q16_supplier_cnt": q_tpch_q16,
         "doc_hash_sample": q_doc_hash_sample,
         "events_tumbling_window": q_events_tumbling,
@@ -5378,6 +5333,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_stateful": q_events_stream_stateful,
+        # -- latest driver row is r13 — freshest, rotate back last
+        "doc_5gram_wordcount": q_doc_5gram_wordcount,
+        "io_sorted_compact": q_io_sorted_compact,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_exists": q_tpch_q4,
+        "tpch_q10_returned_revenue": q_tpch_q10,
+        "tpch_q14_promo_pct": q_tpch_q14,
+        "tpch_q19_disjunctive_join": q_tpch_q19,
+        "orders_cdc_squash_merge": q_orders_cdc_squash_merge,
+        "io_bloom_join_prune": q_io_bloom_join_prune,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q18_having_in": q_tpch_q18,
+        "tpch_q12_case_agg": q_tpch_q12,
+        "tpch_q17_correlated_avg": q_tpch_q17,
+        "window_topn_orders_per_customer": q_window_topn,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "set_ops_union_intersect_except": q_set_ops,
+        "approx_sketch_stats": q_approx_sketch_stats,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_simhash": q_doc_simhash,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_sections": q_doc_sections,
+        "emb_vector_measures": q_emb_vector_measures,
+        "orders_rollup": q_orders_rollup,
+        "pivot_lineitem": q_pivot_lineitem,
+        "probe_search": q_probe_search,
+        "events_sliding_window": q_events_sliding_window,
+        "media_wav_audio_stats": q_media_wav_audio_stats,
+        "doc_bm25_search": q_doc_bm25_search,
+        "window_running_sum": q_window_running_sum,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "emb_pq_ann": q_emb_pq_ann,
+        "emb_cosine_near_dup": q_emb_cosine_near_dup,
+        "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_brp_euclidean_join": q_emb_brp_euclidean_join,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ivf_ann": q_emb_ivf_ann,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangle_count": q_graph_triangles,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_weighted_paths": q_graph_weighted_paths,
+        "graph_kcore": q_graph_kcore,
+        "pairs_postprocess_sample": q_pairs_postprocess_sample,
+        "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
+        "ml_lda_topics": q_ml_lda_topics,
+        "ml_lsa_projection": q_ml_lsa_projection,
     }
 
 

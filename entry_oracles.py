@@ -3017,6 +3017,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_cluster_audit": _graph_cluster_audit_oracle(4),
         "media_wav_audio_stats": _media_wav_audio_stats_oracle(),
         "doc_bm25_search": _doc_bm25_search_oracle(),
+        "doc_lm_perplexity": _doc_lm_perplexity_oracle(),
+        "doc_dsir_select": _doc_dsir_select_oracle(),
         "graph_triangle_count": f"""
             WITH {edge_cte},
             tri AS (
