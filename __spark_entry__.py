@@ -31,8 +31,8 @@ from scabillmatch_spark.operators import blocking, corpus, pairs
 from scabillmatch_spark.plans.bill_match import document_match
 from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     DOC_LSH_BANDS, DOC_LSH_HASHES, SHINGLE_LSH_BANDS,
-    SHINGLE_LSH_HASHES, _BRP_BUCKET_LEN, _BRP_DIST_THRESHOLD,
-    _BRP_TABLES, _DELTA_DEDUP_ORACLE, _DUCK_EDGE_CTE,
+    SHINGLE_LSH_HASHES, _BRP_AND, _BRP_DIST_THRESHOLD,
+    _BRP_TABLES, _BRP_TAU, _DELTA_DEDUP_ORACLE, _DUCK_EDGE_CTE,
     _DUCK_TOKIDLIST, _DUCK_TOKIDSET, _DUCK_TOKLIST,
     _DUCK_TOKSET, _EN_SW, _LANG_SW_SQL,
     _LVF_VERSIONS, _MERGE_UPSERT_ORACLE, _ND_BANDS,
@@ -2776,55 +2776,77 @@ def q_emb_brp_euclidean_join(
     """M7 BucketedRandomProjectionLSH semantics
     (BucketedRandomProjectionLSHExample.scala:106-116: Euclidean LSH
     threshold join, multiple hash tables) as a deterministic hand-rolled
-    plan the oracle reproduces exactly: bucket h_j(v) = floor(v·w_j / L)
-    for 3 md5-seeded ±1 projections, candidates = same (table, bucket) in
-    ANY table, exact Euclidean distance verify. The ml-wrapper twin
-    (ml.lsh.brp_similarity_join, random Spark projections) is
-    recall-tested in tests/test_ann.py.
+    plan the oracle reproduces exactly — r14 DENSITY-SCALED AND-COMPOSED
+    form, replacing the fixed-bucket-length OR-of-3 design that r13's
+    scale_check measured SUPERLINEAR (1.44/2.68/7.71 s at 1x/2x/4x:
+    fixed L on dense i.i.d. data means occupied-bucket count is fixed,
+    occupancy grows ∝ n, candidates ∝ n²/#buckets; the reference's stock
+    bucketLength=2.0 twin has the same latent defect). The fix makes
+    #buckets grow with n: each of the 6 tables keys on the AND of 2
+    projections (the near-dup cascade's 8-sign-bit-band trick, floor
+    form), with bucket length L = 2*s90/B where s90 is the ceil(0.9n)-th
+    smallest |projection| — an ORDER STATISTIC, i.e. an element of the
+    cross-engine bit-identical dot multiset, no interpolation — and
+    B = ceil(sqrt(n/tau)), tau=80 the per-bucket occupancy target. So
+    expected candidates ~ T·tau·n = LINEAR in n. DuckDB design sweep on
+    sf0.1 flipped-copy corpora (r14, PLANS.md): candidates 363k/596k/
+    1.56M at 1x/2x/4x vs the old 396k/1.6M/6.3M, 1x recall 0.264 vs old
+    0.248 — recall parity at 1x with a linear candidate stage. On THIS
+    synthetic recall decays with n because its truth is inherently
+    quadratic (threshold 1.13 ≈ 80% of the random-pair median 1.41); on
+    real near-dup data (gap << L) per-pair recall stays high. n and s90
+    are driver scalars (the g2/weighted-pagerank precedent); the exact
+    order-statistic sort is one narrow double column — at 100 TB swap in
+    an approx-quantile cut (rfm/pareto caveat class). The ml-wrapper
+    twin (ml.lsh.brp_similarity_join) gains the same density-scaled
+    bucket length as its bucket_length=None default; recall-tested in
+    tests/test_ann.py.
 
-    r13 sizing (interleaved min-of-3 A/B, tools_brp_ab.py: 2.86 s ->
-    1.34 s at sf0.1, values identical): the bucket frame is explicitly
-    repartitioned on the join key before the persist, so BOTH aliases of
-    the self-join inherit hashpartitioning(bkt) from the cache and the
-    join re-exchanges nothing; the pair frame is likewise repartitioned
-    on (pk1, pk2) so dropDuplicates' exchange is elided. The width grows
-    with the cluster (defaultParallelism/4, floor 8) — per-pair scalar
-    values, partition-order-safe by construction. ``emb`` overrides the
-    embeddings frame (columns vec_id, v: array<double>) — the
-    scale_check 1x/2x/4x hook.
+    r13 sizing retained (interleaved min-of-3 A/B, tools_brp_ab.py:
+    2.86 s -> 1.34 s at sf0.1, values identical): the bucket frame is
+    explicitly repartitioned on the join key before the persist, so BOTH
+    aliases of the self-join inherit hashpartitioning(bkt) from the
+    cache and the join re-exchanges nothing; the pair frame is likewise
+    repartitioned on (pk1, pk2) so dropDuplicates' exchange is elided.
+    The width grows with the cluster (defaultParallelism/4, floor 8).
+    ``emb`` overrides the embeddings frame (columns vec_id, v:
+    array<double>) — the scale_check 1x/2x/4x hook; n/s90/L self-adapt
+    to the override."""
+    import math
 
-    Scale caveat (measured, scale_check ann family r13: 1.44/2.68/7.71 s
-    at 1x/2x/4x — SUPERLINEAR): with a FIXED bucket length on dense
-    i.i.d. data the projections concentrate near 0, so bucket occupancy
-    grows ∝ n and within-bucket candidate pairs ∝ n²/#buckets; the
-    exact-distance verify keeps the OUTPUT correct but the candidate
-    stage dominates. At corpus scale the LSH parameters must scale with
-    density — shrink _BRP_BUCKET_LEN and/or AND-compose tables into
-    compound bucket keys (this query ORs its 3 tables for max recall);
-    the ml-wrapper twin (ml.lsh.brp_similarity_join) exposes
-    bucketLength directly. The banded near-dup cascade has the same
-    asymptotic class but 2^8 buckets per band (measured near-linear,
-    1.36/1.62/2.52 s, at these scales)."""
-    planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
+    planes = _hyperplanes(_BRP_TABLES * _BRP_AND, 64, salt="brp:")
     join_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     if emb is None:
         emb = _t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     emb = blocking.ensure_parallelism(emb)
-    buckets = []
-    for j, plane in enumerate(planes):
+
+    def _dot(plane):
         p = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
+        return F.aggregate(
             F.zip_with(F.col("v"), p, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        buckets.append(
-            F.concat_ws(
-                "|", F.lit(str(j)), F.floor(dot / _BRP_BUCKET_LEN).cast("string")
-            )
-        )
+
+    # one narrow double column persisted for the two driver scalars (n and
+    # the order statistic) — without it each action re-scans parquet + the
+    # 64-dim projection
+    dfd = emb.select(F.abs(_dot(planes[0])).alias("d")).persist()
+    n = dfd.count()
+    k = (9 * n + 9) // 10  # ceil(0.9n), integer-exact both engines
+    s90 = dfd.orderBy("d").offset(k - 1).limit(1).first()[0]
+    dfd.unpersist()
+    bb = max(1, math.ceil(math.sqrt(n / float(_BRP_TAU))))
+    lw = 2.0 * s90 / bb if s90 > 0.0 else 1.0
+    buckets = []
+    for t in range(_BRP_TABLES):
+        parts = [
+            F.floor(_dot(planes[t * _BRP_AND + a]) / F.lit(lw)).cast("string")
+            for a in range(_BRP_AND)
+        ]
+        buckets.append(F.concat_ws("|", F.lit(str(t)), *parts))
     # bucket join on (id, bucket) ONLY — the 64-dim vectors stay out of the
     # self-join shuffle and the pair dedup, and the projection pass runs
     # once (persisted) instead of once per join side; vectors re-attach

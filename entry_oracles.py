@@ -435,24 +435,67 @@ def _hyperplanes(num_planes: int = 8, dim: int = 64, salt: str = "") -> list[lis
     return planes
 
 
-_BRP_BUCKET_LEN = 0.25
+# r14 density-scaled AND-composed BRP (replaces the fixed
+# _BRP_BUCKET_LEN=0.25 OR-of-3 design whose candidate stage measured
+# SUPERLINEAR in scale_check r13: with a fixed bucket length on dense
+# i.i.d. data, bucket occupancy grows with n and candidates ~ n^2/#buckets).
+# The fix makes #buckets grow with n: each of _BRP_TABLES tables keys on
+# the AND of _BRP_AND projections, bucket length L = 2*s90/B with s90 the
+# ceil(0.9n)-th smallest |projection| (an ORDER STATISTIC — an element of
+# the bit-identical cross-engine dot multiset, no interpolation) and
+# B = ceil(sqrt(n/_BRP_TAU)) cells per axis, so expected per-bucket
+# occupancy stays ~_BRP_TAU and candidates ~ T*n*tau = LINEAR in n.
+# Measured on sf0.1 flipped-copy corpora (DuckDB design sweep, r14):
+# candidates 363k/596k/1.56M at 1x/2x/4x (old design: 396k/1.6M/6.3M)
+# with 1x recall 0.264 vs the old 0.248 — recall parity at 1x, linear
+# growth. Recall-vs-n decays on THIS synthetic because its truth is
+# inherently quadratic (threshold 1.13 vs random-pair median 1.41); on
+# real near-dup data (d << L) per-pair recall stays high.
+_BRP_TABLES = 6
 
 
-_BRP_TABLES = 3
+_BRP_AND = 2        # projections AND-composed per table key
+
+
+_BRP_TAU = 80       # expected per-bucket occupancy target
 
 
 _BRP_DIST_THRESHOLD = 1.13
 
 
 def _emb_brp_oracle() -> str:
-    planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
+    planes = _hyperplanes(_BRP_TABLES * _BRP_AND, 64, salt="brp:")
+    p0 = planes[0]
     items = ", ".join(
-        f"concat_ws('|', '{j}', CAST(floor(list_dot_product(v, {plane}) / {_BRP_BUCKET_LEN}) AS VARCHAR))"
-        for j, plane in enumerate(planes)
+        "concat_ws('|', '{t}', {parts})".format(
+            t=t,
+            parts=", ".join(
+                f"CAST(floor(list_dot_product(v, {planes[t * _BRP_AND + a]}) / L) AS VARCHAR)"
+                for a in range(_BRP_AND)
+            ),
+        )
+        for t in range(_BRP_TABLES)
     )
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b AS (SELECT vec_id, v, unnest([{items}]) AS bkt FROM e),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        dd AS (
+            SELECT abs(list_dot_product(v, {p0})) AS d,
+                   row_number() OVER (
+                       ORDER BY abs(list_dot_product(v, {p0}))
+                   ) AS rn
+            FROM e
+        ),
+        lw AS (
+            SELECT CASE WHEN s90 > 0.0
+                        THEN 2.0 * s90 / CAST(greatest(
+                                 1, CAST(ceil(sqrt(n / {float(_BRP_TAU)})) AS BIGINT)
+                             ) AS DOUBLE)
+                        ELSE 1.0 END AS L
+            FROM (SELECT dd.d AS s90 FROM dd, st
+                  WHERE dd.rn = (9 * st.n + 9) // 10), st
+        ),
+        b AS (SELECT vec_id, unnest([{items}]) AS bkt FROM e, lw),
         cand AS (
             SELECT a.vec_id AS pk1, b2.vec_id AS pk2
             FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id

@@ -91,14 +91,58 @@ def brp_similarity_join(
     df_b: DataFrame | None,
     id_col: str,
     features_col: str = "features",
-    bucket_length: float = 2.0,
+    bucket_length: float | None = None,
     num_hash_tables: int = 3,
     dist_threshold: float = 15.0,
     seed: int = 12345,
 ) -> DataFrame:
     """Euclidean LSH join (BucketedRandomProjectionLSHExample.scala:106-116:
-    bucketLength 2.0, 3 tables, threshold 15). One job — no per-state-pair
-    driver loop."""
+    3 tables, threshold 15). One job — no per-state-pair driver loop.
+
+    bucket_length=None (default, r14) DENSITY-SCALES the bucket length
+    from the data instead of using the reference's fixed bucketLength=2.0
+    (pass 2.0 for reference-exact parity): with a fixed length on dense
+    i.i.d. data, occupied-bucket count is data-spread-bound while
+    occupancy grows ∝ n, so the candidate stage goes ~n²/#buckets —
+    measured superlinear in scale_check r13. The scaled form projects
+    df_a onto one deterministic ±1 plane, takes s90 = the ceil(0.9n)-th
+    smallest |projection| (an order statistic — no interpolation) and
+    sets L = 2·s90 / ceil(sqrt(n/80)), so #buckets grows ~sqrt(n) per
+    table and expected occupancy stays bounded (~80 rows); at 100 TB
+    swap the exact order statistic for an approx-quantile cut. Same
+    lever as the registered native twin (q_emb_brp_euclidean_join,
+    which additionally AND-composes 2 projections per table — stock
+    BucketedRandomProjectionLSH cannot compose, so this wrapper scales
+    L only)."""
+    if bucket_length is None:
+        import hashlib
+        import math
+
+        from pyspark.ml.functions import vector_to_array
+
+        arr = vector_to_array(F.col(features_col))
+        dim = int(df_a.select(F.size(arr).alias("k")).first()["k"])
+        plane = [
+            1.0 if hashlib.md5(f"brp-twin:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        dot = F.aggregate(
+            F.zip_with(arr, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        n = df_a.count()
+        k = (9 * n + 9) // 10
+        s90 = (
+            df_a.select(F.abs(dot).alias("d"))
+            .orderBy("d")
+            .offset(k - 1)
+            .limit(1)
+            .first()[0]
+        )
+        bb = max(1, math.ceil(math.sqrt(n / 80.0)))
+        bucket_length = 2.0 * s90 / bb if s90 and s90 > 0.0 else 2.0
     brp = (
         BucketedRandomProjectionLSH()
         .setInputCol(features_col)

@@ -32,7 +32,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from entry_oracles import _BRP_DIST_THRESHOLD, _BRP_TABLES, _BRP_BUCKET_LEN, _hyperplanes
+from entry_oracles import _BRP_DIST_THRESHOLD, _hyperplanes
+
+# the r13 design this A/B regresses against: fixed bucket length,
+# OR-of-3 single-projection tables (measured superlinear in scale_check)
+_OLD_BUCKET_LEN = 0.25
+_OLD_TABLES = 3
 from pyspark.sql import functions as F
 from scabillmatch_spark.functions import similarity as SIM
 from scabillmatch_spark.io.sources import TESTDATA_TABLES, read_table
@@ -41,7 +46,7 @@ from scabillmatch_spark.session import get_spark
 
 
 def q_brp_old(spark, sf_dir):
-    planes = _hyperplanes(_BRP_TABLES, 64, salt="brp:")
+    planes = _hyperplanes(_OLD_TABLES, 64, salt="brp:")
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -56,7 +61,7 @@ def q_brp_old(spark, sf_dir):
         )
         buckets.append(
             F.concat_ws(
-                "|", F.lit(str(j)), F.floor(dot / _BRP_BUCKET_LEN).cast("string")
+                "|", F.lit(str(j)), F.floor(dot / _OLD_BUCKET_LEN).cast("string")
             )
         )
     hashed = emb.select(
@@ -112,8 +117,15 @@ def main() -> None:
         spark.catalog.clearCache()
         rows[name] = sorted(map(tuple, build().collect()))
     va, vb = rows.values()
-    assert va == vb, "arms disagree on values"
-    print(f"# arms value-identical: {len(va)} pairs", file=sys.stderr)
+    if "--near-dup" in sys.argv:
+        # sizing-only arms must be value-identical
+        assert va == vb, "arms disagree on values"
+        print(f"# arms value-identical: {len(va)} pairs", file=sys.stderr)
+    else:
+        # r14: arm A is the OLD DESIGN (fixed L, OR-of-3) and arm B the
+        # density-scaled AND-composed registered query — outputs
+        # intentionally differ; report sizes instead of asserting identity
+        print(f"# arm outputs: A={len(va)} B={len(vb)} pairs", file=sys.stderr)
 
     results: dict[str, list[float]] = {n: [] for n in arms}
     for trial in range(3):
