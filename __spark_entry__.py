@@ -41,6 +41,8 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _customer_rfm_oracle, _doc_bm25_search_oracle, _doc_dsir_select_oracle,
     _doc_keyness_g2_oracle, _events_value_ks_oracle, _events_burstiness_oracle,
     _doc_chi2_lang_source_oracle, _nation_revenue_theil_oracle,
+    _orders_benford_digits_oracle, _events_hourly_acf_oracle,
+    _nation_supplier_hhi_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -1866,7 +1868,9 @@ def q_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_ivf_ann(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer, nprobe cells, exact rescoring) —
     the third ANN tier next to brute force and hyperplane LSH. KMeans isn't
     SQL-reproducible, so the oracled assertion is a recall bound: IVF top-5
@@ -1875,10 +1879,13 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips recall_ok and hash-fails). Measured 0.70 @ sf0.01 / 0.78 @
     sf0.001 with nprobe=4 of 8 cells — the synthetic embeddings are
     near-uniform unit vectors (max cosine ~0.39), IVF's worst case; real
-    clustered embeddings recall far higher at the same probe fraction."""
+    clustered embeddings recall far higher at the same probe fraction.
+    ``emb`` overrides the embeddings frame (columns vec_id, embedding) —
+    the scale_check 1x/2x/4x hook."""
     from scabillmatch_spark.operators import ann
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries_df = emb.filter(F.col("vec_id") < 10)
     k = 5
     ivf = ann.ivf_topk(
@@ -1950,7 +1957,9 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("distance").cast("long").alias("distance"))
 
 
-def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_pq_ann(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """ANN tier 5: product quantization (operators/ann.pq_topk) — vectors
     compressed to m=8 byte codes (16x smaller than float32), queries scored
     by ADC table lookups (8 adds per pair instead of a 64-dim dot product),
@@ -1959,10 +1968,13 @@ def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants in-plan against the brute-force truth and the oracle states
     the constants: recall@10 >= 0.6 (measured 0.82 on this corpus — random
     vectors are PQ's WORST case; structured embeddings quantize far
-    better), exactly k results per query, similarity within [-1, 1]."""
+    better), exactly k results per query, similarity within [-1, 1].
+    ``emb`` overrides the embeddings frame (columns vec_id, embedding) —
+    the scale_check 1x/2x/4x hook."""
     from scabillmatch_spark.operators import ann
 
-    emb = _t(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     k = 10
     pq = ann.pq_topk(emb, queries, "vec_id", "embedding", k=k, shortlist=8).persist()
@@ -2737,15 +2749,20 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_lsh_ann(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucketing (8-bit signature),
     same-bucket candidate join, exact cosine rescoring, top-3 per query.
     The brute-force twin is emb_cosine_topk; this is the 100 TB formulation
-    (bucket equi-join instead of cross join)."""
+    (bucket equi-join instead of cross join). ``emb`` overrides the
+    embeddings frame (columns vec_id, v: array<double>) — the scale_check
+    1x/2x/4x hook."""
     planes = _hyperplanes()
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     bucket = None
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(x) for x in plane])
@@ -5202,6 +5219,81 @@ def q_nation_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "revenue")
     )
     return theil_index(joined, "n_name", "revenue")
+
+
+def q_orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals
+    (operators/analytics.benford_digits): leading-digit distribution of
+    o_totalprice vs the Benford expectation log10(1+1/d) — the forensic
+    data-quality gate (fabricated/truncated numeric columns flunk it;
+    so do uniform synthetics, which is exactly what this corpus's
+    near-uniform dev column shows). Digit from the value's string form
+    (both engines print doubles in shortest round-trip notation;
+    the [1, 10^7) filter pins both inside plain notation — part of the
+    operator contract); expectations computed as ln(1+1/d)/ln(10), not
+    pasted (BM25 convention); round(6), +0.0 fold on dev. ONE 9-row
+    count agg — the cheapest possible scale shape. NOT registered:
+    banked spare (r14); pre-validated in
+    tests/test_analytics.py::test_benford_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import benford_digits
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_digits(orders, "o_totalprice")
+
+
+def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type
+    (operators/analytics.hourly_acf1): the series-rhythm complement of
+    the burstiness row — burstiness scores per-user inter-arrival gaps,
+    this scores whether the AGGREGATE hourly load persists hour-to-hour
+    (smooth daily cycles -> +1, memoryless -> 0). Hour ids are
+    floor(epoch_us/3.6e9) (floor on BOTH engines — Spark casts
+    double->long by truncation but DuckDB by rounding, so a bare cast
+    is a trap); pairs are adjacent observed hours only; the Pearson r
+    rides DECIMAL(19,0)-operand sums (burstiness precedent), one cast
+    per sum, greatest-clamped variances, round(6)+0.0. Plan: one
+    (type, hour) count shuffle, one window over the BOUNDED hourly
+    series, one type agg. NOT registered: banked spare (r14);
+    pre-validated in
+    tests/test_analytics.py::test_hourly_acf_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import hourly_acf1
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    return hourly_acf1(ev)
+
+
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Herfindahl-Hirschman index of supplier revenue
+    (operators/stats.herfindahl_index): the market-concentration screen
+    completing the inequality triptych — gini (rank form), theil
+    (information form), HHI (moment form, Σ share²; antitrust flags
+    > 0.25) — plus top_share, the monopolist spotlight. Per-supplier
+    revenue is the tpch_q1/q10 exact-DECIMAL discounted-price sum
+    (DECIMAL(18,4) operands widened to DECIMAL(38,8), one cast to
+    double per supplier); HHI as Σx²/(Σx)² so shares never materialize.
+    Plan: one (suppkey) agg shuffle -> broadcast supplier/nation dims ->
+    one nation agg; exchanges carry keys + doubles only. NOT
+    registered: banked spare (r14); pre-validated in
+    tests/test_analytics.py::test_hhi_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import herfindahl_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    srev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        srev.join(F.broadcast(sup), srev["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "revenue")
+    )
+    return herfindahl_index(joined, "n_name", "revenue")
 
 
 def q_doc_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3670,3 +3670,114 @@ def _nation_revenue_theil_oracle() -> str:
                            ELSE 0.0 END), 6) + 0.0) AS theil
     FROM j JOIN tot t USING (n_name)
     GROUP BY j.n_name"""
+
+
+def _orders_benford_digits_oracle() -> str:
+    """Oracle for the (unregistered) Benford query: same [1, 10^7)
+    plain-notation window, first char of the double's shortest
+    round-trip string form (identical for identical bits on both
+    engines inside the window), one 9-row count, expectations computed
+    as ln(1+1/d)/ln(10) — never pasted — round(6) with a +0.0 fold on
+    the signed dev."""
+    return """
+        WITH d AS (
+            SELECT substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS digit
+            FROM orders
+            WHERE o_totalprice >= 1 AND o_totalprice < 10000000
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d)
+        SELECT digit,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(CAST(count(*) AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                   AS share,
+               ROUND(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+                   AS benford_p,
+               (ROUND(CAST(count(*) AS DOUBLE) / CAST(nn AS DOUBLE)
+                      - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+                + 0.0) AS dev
+        FROM d, tot
+        GROUP BY digit, nn
+    """
+
+
+def _events_hourly_acf_oracle() -> str:
+    """Oracle for the (unregistered) hourly-acf query: hour ids via
+    floor of the same double division (never a bare int cast — DuckDB
+    CAST(double AS BIGINT) ROUNDS while Spark truncates), adjacent-hour
+    lead pairs, the five Pearson sums on DECIMAL(19,0) operands
+    (burstiness precedent), covariance/variances operand-for-operand
+    with the greatest clamp, round(6)+0.0, same definedness filter."""
+    return """
+        WITH per AS (
+            SELECT event_type,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events
+            GROUP BY event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+        ),
+        pairs AS (
+            SELECT event_type, h, x,
+                   lead(h) OVER (PARTITION BY event_type ORDER BY h) AS h2,
+                   lead(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+            FROM per
+        ),
+        p2 AS (SELECT event_type, x, y FROM pairs WHERE h2 = h + 1),
+        agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+            FROM p2 GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n_pairs,
+                   CAST(n_pairs AS DOUBLE) * sxy - sx * sy AS cov,
+                   greatest(CAST(n_pairs AS DOUBLE) * sxx - sx * sx, 0.0) AS vx,
+                   greatest(CAST(n_pairs AS DOUBLE) * syy - sy * sy, 0.0) AS vy
+            FROM agg
+        )
+        SELECT event_type, n_pairs,
+               (ROUND(cov / (sqrt(vx) * sqrt(vy)), 6) + 0.0) AS acf1
+        FROM m WHERE n_pairs >= 2 AND vx > 0 AND vy > 0
+    """
+
+
+def _nation_supplier_hhi_oracle() -> str:
+    """Oracle for the (unregistered) HHI query: per-supplier revenue via
+    the tpch_q1/q10 exact-DECIMAL discounted-price sum (DECIMAL(18,4)
+    operands widened to DECIMAL(38,8), ONE cast to double per
+    supplier), HHI as sum-of-squares over squared-total so shares never
+    materialize, round(6), zero-total guard."""
+    return """
+        WITH srev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        j AS (
+            SELECT n.n_name, srev.revenue
+            FROM srev
+            JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        ),
+        agg AS (
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n,
+                   SUM(revenue) AS s,
+                   SUM(revenue * revenue) AS s2,
+                   MAX(revenue) AS mx
+            FROM j GROUP BY n_name
+        )
+        SELECT n_name, n,
+               ROUND(s2 / (s * s), 6) AS hhi,
+               ROUND(mx / s, 6) AS top_share
+        FROM agg WHERE s > 0
+    """

@@ -297,3 +297,146 @@ def burstiness_profile(
             F.round((sigma - mean) / (sigma + mean), round_digits) + F.lit(0.0)
         ).alias("burstiness"),
     )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law ->
+    (digit, n, share, benford_p, dev): the classic forensic screen for
+    fabricated or truncated numeric columns (Benford 1938; Nigrini's
+    audit formulation) — naturally-grown multiplicative quantities
+    (prices, populations) put ~30.1% of leading digits at 1, while
+    uniform synthetics sit at ~11.1% each. dev = share - benford_p per
+    digit; a data-quality gate reads max|dev| or its chi-square.
+
+    The leading digit is taken from the VALUE'S STRING FORM
+    (substr(cast, 1, 1)) — both engines print doubles in shortest
+    round-trip (Ryu) notation, identical for identical bits, so the
+    first character is the first significant digit wherever plain
+    (non-scientific) notation is used. Rows are filtered to
+    [1, 10^7): below 1 the first char is '0' (of "0.x"), and 10^7 is
+    where Spark switches doubles to scientific notation (DuckDB holds
+    to ~10^15) — the filter pins both engines inside the plain-notation
+    window and is part of the operator contract, documented over
+    derived-from-log10 alternatives whose floor(log10(x)) boundary
+    cells are libm-dependent.
+
+    Exactness: digit counts and n are integers (the total is a driver
+    scalar — the BM25 N/avgdl precedent, cheaper than a scalar
+    broadcast-attach whose condition-less join plans as a BNLJ); share
+    and the Benford expectation ln(1+1/d)/ln(10) are one double
+    division each (constants computed, not pasted — the BM25
+    convention); round(6) outputs with a +0.0 fold on dev (share can
+    undershoot p by a tiny negative on exact-Benford data). Plan: one
+    map-side-combinable (digit) count — a 9-row aggregate at any corpus
+    size."""
+    d = df.filter(
+        (F.col(value_col) >= 1) & (F.col(value_col) < 10_000_000)
+    ).select(
+        F.substring(F.col(value_col).cast("string"), 1, 1).alias("digit")
+    )
+    per = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nn = per.agg(F.sum("n")).first()[0] or 0
+    if nn == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "digit string, n long, share double, benford_p double, dev double",
+        )
+    benford_p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    share = F.col("n").cast("double") / F.lit(float(nn))
+    return per.select(
+        "digit",
+        "n",
+        F.round(share, round_digits).alias("share"),
+        F.round(benford_p, round_digits).alias("benford_p"),
+        (F.round(share - benford_p, round_digits) + F.lit(0.0)).alias("dev"),
+    )
+
+
+def hourly_acf1(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per type ->
+    (event_type, n_pairs, acf1): the rhythm detector — acf1 -> +1 for
+    smooth daily-cycle traffic, ~0 for memoryless arrivals, negative for
+    alternating load — the series-level complement of burstiness_profile
+    (which scores per-user inter-arrival gaps; this scores the
+    aggregate's hour-to-hour persistence).
+
+    Hours are integer ids floor(epoch_us / 3.6e9) — FLOOR on both
+    engines, never a bare int cast (Spark casts double->long by
+    truncation, DuckDB by rounding; floor is unambiguous, and the
+    quotient can never round ONTO an integer: the smallest nonzero
+    fractional offset 1/3.6e9 ≈ 2.8e-10 exceeds the ulp ≈ 1.2e-10 at
+    hour-id magnitude). No date_trunc/timezone surface. Pairs are
+    ADJACENT
+    observed hours only (next id = id + 1 — a gap in the series
+    contributes no pair rather than a fabricated zero, documented).
+    acf1 is the Pearson r of (x_t, x_{t+1}) in the textbook
+    n·Σxy - Σx·Σy form: counts are exact integers, the five sums ride
+    DECIMAL(19,0) operands (the burstiness precedent — products widen
+    to DECIMAL(38,0) exactly on both engines), ONE cast to double per
+    sum, covariance/variances mirrored operand-for-operand with the
+    greatest(·, 0) clamp under the sqrt, round(6) + 0.0 fold. Types
+    with < 2 pairs or a constant series (zero variance) are filtered —
+    r is undefined there, and a silent 0/0 would NaN-poison the row.
+
+    Plan: one (type, hour) count shuffle (map-side combinable), one
+    type-partitioned window over the BOUNDED hourly series (rows ~
+    corpus-span-in-hours, not event count), one type agg."""
+    from pyspark.sql import Window
+
+    hours = events.select(
+        F.col(type_col).alias("event_type"),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)).alias("h"),
+    )
+    per = hours.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    pairs = (
+        per.select(
+            "event_type",
+            "h",
+            "x",
+            F.lead("h").over(w).alias("h2"),
+            F.lead("x").over(w).alias("y"),
+        )
+        .filter(F.col("h2") == F.col("h") + 1)
+        .select("event_type", "x", "y")
+    )
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y").cast("decimal(19,0)")
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(dx).cast("double").alias("__sx"),
+        F.sum(dy).cast("double").alias("__sy"),
+        F.sum(dx * dy).cast("double").alias("__sxy"),
+        F.sum(dx * dx).cast("double").alias("__sxx"),
+        F.sum(dy * dy).cast("double").alias("__syy"),
+    )
+    n_d = F.col("n_pairs").cast("double")
+    cov = n_d * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = F.greatest(
+        n_d * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
+    )
+    vy = F.greatest(
+        n_d * F.col("__syy") - F.col("__sy") * F.col("__sy"), F.lit(0.0)
+    )
+    denom = F.sqrt(vx) * F.sqrt(vy)
+    return (
+        agg.filter((F.col("n_pairs") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "n_pairs",
+            (F.round(cov / denom, round_digits) + F.lit(0.0)).alias("acf1"),
+        )
+    )

@@ -243,6 +243,46 @@ def gini(
     )
 
 
+def herfindahl_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Herfindahl-Hirschman concentration index ->
+    (group_col, n, hhi, top_share): HHI = Σ share_i² over the group's
+    members, the antitrust-standard market-concentration screen (1/n =
+    perfectly fragmented, 1.0 = monopoly; regulators flag > 0.25) —
+    the squared-share complement of the gini (rank-based) and theil
+    (information-theoretic) rows, and the only one of the three that is
+    a plain moment (no window, no log). top_share = the largest single
+    share, the monopolist spotlight.
+
+    Exactness: computed as Σx² / (Σx)² — shares never materialize, so
+    there is no per-member division to mirror; both sums are
+    group-bounded doubles (zipf round(6) precedent), the division and
+    round(6) once at the end. Negative values are the caller's problem
+    (shares lose meaning); zero-total groups are filtered (share
+    undefined — the pareto guard precedent). Plan: ONE group agg —
+    exchanges carry (group, two doubles); the cheapest row in the
+    inequality family."""
+    x = F.col(value_col).cast("double")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__s2"),
+        F.max(x).alias("__mx"),
+    )
+    return agg.filter(F.col("__s") > 0).select(
+        group_col,
+        "n",
+        F.round(F.col("__s2") / (F.col("__s") * F.col("__s")), round_digits).alias(
+            "hhi"
+        ),
+        F.round(F.col("__mx") / F.col("__s"), round_digits).alias("top_share"),
+    )
+
+
 def pareto_classes(
     df,
     key_col: str,
@@ -305,6 +345,7 @@ def ks_two_sample(
     value_col: str = "value",
     type_col: str = "event_type",
     round_digits: int = 6,
+    bins: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance between the ``value_col``
     distributions of two event types -> ONE row (n_a, n_b, ks_d,
@@ -327,10 +368,20 @@ def ks_two_sample(
     frame when either sample is empty (the pareto guard precedent — D
     is undefined, and a silent 0/0 would NaN-poison the max).
 
-    Scale caveat: the cumulative window is UNPARTITIONED over the
-    pooled distinct values — the bounded-scale audit form (rfm/pareto
-    precedent); at 100 TB bin the ECDF on approx-quantile cuts first,
-    same downstream max."""
+    Scale path (``bins``): with bins=None (default — the exact,
+    oracle-mirrored form) the cumulative window is UNPARTITIONED over
+    the pooled distinct values, the bounded-scale audit form
+    (rfm/pareto precedent). bins=N is the 100 TB form: the ECDF is
+    evaluated only at N-1 approx-quantile cuts of the pooled sample
+    (one approxQuantile pass + one combine-heavy (bin) count shuffle;
+    the cumulative window then runs over <= N rows, never the distinct
+    values). The binned D is a LOWER bound on the exact D that
+    evaluates the sup on a sub-grid: D_binned <= D_exact, and since the
+    pooled ECDF moves at most 1/min(na,nb) per sample between adjacent
+    cuts of the pooled distribution, the gap shrinks as bins grow
+    (property-tested binned-vs-exact in tests/test_analytics.py).
+    at_value for the binned form is the CUT value attaining the rounded
+    max (a real data boundary, same tie-break)."""
     from pyspark.sql import Window
 
     s = events.filter(
@@ -347,10 +398,42 @@ def ks_two_sample(
         return events.sparkSession.createDataFrame(
             [], "n_a long, n_b long, ks_d double, at_value double"
         )
-    per = s.groupBy("v").agg(
-        F.sum("ia").cast("long").alias("ca"),
-        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
-    )
+    if bins is not None:
+        # approx-quantile cuts of the pooled sample; dedup (heavy ties
+        # collapse cuts) and keep them sorted — Bucketizer-style split
+        # points, but assignment stays a Column expression (count of
+        # cuts <= v), so the hot path needs no ml stage
+        probs = [i / bins for i in range(1, bins)]
+        cuts = sorted(set(s.approxQuantile("v", probs, 0.001)))
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        # bin i = number of cuts < v  (v == cut lands in the bin the cut
+        # CLOSES, so each bin's upper boundary is inclusive and the ECDF
+        # evaluated at a cut counts every sample <= it)
+        s = s.withColumn(
+            "__bin",
+            F.aggregate(
+                cut_arr,
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("v") > c, 1).otherwise(0),
+            ),
+        )
+        per = s.groupBy("__bin").agg(
+            F.sum("ia").cast("long").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+        )
+        # at_value = the bin's closing cut; the last (open-ended) bin
+        # carries ECDF 1.0 on both sides (|diff| = 0), so its sentinel
+        # never wins the max
+        bin_val = F.when(
+            F.col("__bin") < len(cuts),
+            F.element_at(cut_arr, F.col("__bin") + 1),
+        ).otherwise(F.lit(float("inf")))
+        per = per.select(bin_val.alias("v"), "ca", "cb")
+    else:
+        per = s.groupBy("v").agg(
+            F.sum("ia").cast("long").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+        )
     w = Window.orderBy(F.asc("v")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -520,6 +520,63 @@ def ann_times(spark, sf_dir: str) -> tuple[dict, dict]:
     return nd_res, brp_res
 
 
+def ann_search_times(spark, sf_dir: str) -> tuple[dict, dict, dict]:
+    """1x/2x/4x slopes for the three top-k SEARCH ANN tiers (r13 verdict
+    Next-round #6 — the pair-join tiers are covered by ann_times; these
+    measure IVF's nprobe-vs-n, PQ's shortlist-vs-n and the hyperplane
+    cascade's bucket-occupancy-vs-n shapes). All three run 10 fixed probe
+    queries over the flipped-copy corpus, so expected work is ~linear in
+    n: IVF scans nprobe/n_cells of the corpus per query (plus the KMeans
+    fit, itself ~linear per iteration), PQ scans n ADC codes + a fixed
+    shortlist re-rank, the cascade joins each query against its
+    ~n/2^8-occupancy bucket. IVF/PQ include their in-plan brute-force
+    truth sides (linear: 10 broadcast queries x n). clearCache before
+    every pass (internal persists), interleaved min-of-3."""
+    import __spark_entry__ as entrymod
+
+    embs = {c: emb_copies(spark, sf_dir, c) for c in (1, 2, 4)}
+    wide = {
+        c: embs[c].select("vec_id", F.col("v").alias("embedding"))
+        for c in (1, 2, 4)
+    }
+
+    runs = {
+        "lsh": lambda c: entrymod.q_emb_lsh_ann(
+            spark, sf_dir, emb=embs[c]
+        ).count(),
+        "ivf": lambda c: entrymod.q_emb_ivf_ann(
+            spark, sf_dir, emb=wide[c]
+        ).count(),
+        "pq": lambda c: entrymod.q_emb_pq_ann(
+            spark, sf_dir, emb=wide[c]
+        ).count(),
+    }
+    for c in (1, 2, 4):  # untimed codegen/fit warmup per point
+        for fn in runs.values():
+            spark.catalog.clearCache()
+            fn(c)
+    trials: dict[str, dict[int, list]] = {
+        name: {c: [] for c in (1, 2, 4)} for name in runs
+    }
+    for _ in range(3):
+        for name, fn in runs.items():
+            for c in (1, 2, 4):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(c)
+                trials[name][c].append(round(time.perf_counter() - t0, 2))
+    res = {
+        name: {c: min(trials[name][c]) for c in (1, 2, 4)} for name in runs
+    }
+    for name in runs:
+        print(
+            f"# ann_search {name}: "
+            + " ".join(f"{c}x={res[name][c]}s{trials[name][c]}" for c in (1, 2, 4)),
+            file=sys.stderr,
+        )
+    return res["lsh"], res["ivf"], res["pq"]
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("scale_check")
@@ -572,6 +629,7 @@ def main() -> None:
     win_res, pmi_res, jsd_res, mkv_res = session4_times(spark, docs, sf_dir)
     bfs_res, w_res, cc_res = graph_times(spark, sf_dir)
     nd_res, brp_res = ann_times(spark, sf_dir)
+    lsh_res, ivf_res, pq_res = ann_search_times(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -594,6 +652,9 @@ def main() -> None:
                 "graph_cc": cc_res,
                 "ann_near_dup": nd_res,
                 "ann_brp": brp_res,
+                "ann_lsh": lsh_res,
+                "ann_ivf": ivf_res,
+                "ann_pq": pq_res,
             }
         )
     )

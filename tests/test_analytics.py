@@ -1057,6 +1057,180 @@ def test_ks_two_sample_mirror_and_guards(spark):
     assert [f.name for f in empty.schema.fields] == ["n_a", "n_b", "ks_d", "at_value"]
 
 
+def test_benford_query_matches_oracle(spark):
+    """Banked-row pre-validation (r14): the unregistered
+    q_orders_benford_digits matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 14)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_orders_benford_digits,
+        entrymod._orders_benford_digits_oracle(),
+    )
+
+
+def test_benford_python_mirror(spark):
+    """benford_digits vs an exact Python mirror on hand values, covering
+    the [1, 10^7) window filter, multi-digit leading-char extraction,
+    and the computed (never pasted) Benford expectations."""
+    import math
+
+    from scabillmatch_spark.operators.analytics import benford_digits
+
+    vals = [1.5, 19.0, 123.4, 0.5, 2.0, 25000000.0, 9999999.9, 3.0, 1013.7]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {r.digit: (r.n, r.share, r.benford_p, r.dev)
+           for r in benford_digits(df, "value").collect()}
+    kept = [v for v in vals if 1 <= v < 10_000_000]
+    from collections import Counter
+
+    exp = Counter(str(v)[0] for v in kept)
+    assert {d: t[0] for d, t in got.items()} == dict(exp)
+    for d, (n, share, p, dev) in got.items():
+        assert abs(share - n / len(kept)) < 1e-6
+        assert abs(p - math.log10(1 + 1 / int(d))) < 1e-6
+        assert abs(dev - (share - p)) < 2e-6  # dev re-rounds share - p
+        # signed-zero fold: a 0.0 dev must be POSITIVE zero
+        if dev == 0.0:
+            assert math.copysign(1, dev) == 1.0
+
+
+def test_hourly_acf_query_matches_oracle(spark):
+    """Banked-row pre-validation (r14): the unregistered
+    q_events_hourly_acf matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 14)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_hourly_acf,
+        entrymod._events_hourly_acf_oracle(),
+    )
+
+
+def test_hourly_acf_python_mirror(spark):
+    """hourly_acf1 vs an exact Python mirror: adjacent-hour pairing
+    (a gap contributes no pair), the Pearson form, and the
+    constant-series / <2-pairs definedness filters."""
+    import datetime as dt
+    import math
+
+    from scabillmatch_spark.operators.analytics import hourly_acf1
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    rows = []
+    # 'up': counts 1,2,3,4 over hours 0-3 -> strongly positive acf1
+    for h in range(4):
+        for i in range(h + 1):
+            rows.append(("up", at(h, i)))
+    # 'gap': hours 0,1 then 5,6 -> pairs (h0,h1),(h5,h6) only
+    for h in (0, 1, 5, 6):
+        for i in range({0: 1, 1: 3, 5: 3, 6: 1}[h]):
+            rows.append(("gap", at(h, i)))
+    # 'flat': constant series -> zero variance -> filtered out
+    for h in range(3):
+        rows.append(("flat", at(h)))
+    # 'one': single hour -> no pair -> filtered out
+    rows.append(("one", at(0)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r.event_type: (r.n_pairs, r.acf1) for r in hourly_acf1(df).collect()}
+    assert set(got) == {"up", "gap"}
+
+    def pearson(pairs):
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] * p[0] for p in pairs)
+        syy = sum(p[1] * p[1] for p in pairs)
+        return (n * sxy - sx * sy) / math.sqrt(
+            max(n * sxx - sx * sx, 0) * max(n * syy - sy * sy, 0)
+        )
+
+    assert got["up"][0] == 3
+    assert abs(got["up"][1] - round(pearson([(1, 2), (2, 3), (3, 4)]), 6)) < 1e-9
+    assert got["gap"][0] == 2
+    assert abs(got["gap"][1] - round(pearson([(1, 3), (3, 1)]), 6)) < 1e-9
+
+
+def test_hhi_query_matches_oracle(spark):
+    """Banked-row pre-validation (r14): the unregistered
+    q_nation_supplier_hhi matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 14)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_nation_supplier_hhi,
+        entrymod._nation_supplier_hhi_oracle(),
+    )
+
+
+def test_hhi_python_mirror(spark):
+    """herfindahl_index vs an exact Python mirror: monopoly -> 1.0,
+    perfectly even -> 1/n, the top_share spotlight, and the zero-total
+    guard."""
+    from scabillmatch_spark.operators.stats import herfindahl_index
+
+    rows = [
+        ("mono", "a", 100.0),
+        ("mono", "b", 0.0),
+        ("even", "a", 5.0),
+        ("even", "b", 5.0),
+        ("even", "c", 5.0),
+        ("even", "d", 5.0),
+        ("skew", "a", 8.0),
+        ("skew", "b", 2.0),
+        ("zero", "a", 0.0),
+        ("zero", "b", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, m string, v double")
+    got = {r.g: (r.n, r.hhi, r.top_share)
+           for r in herfindahl_index(df, "g", "v").collect()}
+    assert set(got) == {"mono", "even", "skew"}  # zero-total filtered
+    assert got["mono"] == (2, 1.0, 1.0)
+    assert got["even"] == (4, 0.25, 0.25)
+    # skew: shares 0.8/0.2 -> hhi 0.68, top 0.8
+    assert got["skew"] == (2, 0.68, 0.8)
+
+
+def test_ks_binned_approximates_exact(spark):
+    """The bins= scale path (r13 verdict #7): the binned-ECDF D is a
+    LOWER bound on the exact D (the sup is evaluated on a sub-grid of
+    approx-quantile cuts) and converges to it as bins grow. On two
+    clearly-drifted synthetic distributions (deterministic hash-derived
+    uniforms, one shifted) the binned form at 64 bins must land within
+    0.05 of the exact D; the tiny hand case from the mirror test must be
+    EXACT at bins >= the pooled distinct count (every value becomes a
+    cut)."""
+    from scabillmatch_spark.operators.stats import ks_two_sample
+
+    # deterministic drifted samples: 400 'a' uniforms on [0,1),
+    # 300 'b' uniforms on [0.25, 1.25) — exact D ~ 0.25
+    rows = [("a", (i * 2654435761 % 1000) / 1000.0) for i in range(400)]
+    rows += [("b", 0.25 + (i * 40503 % 1000) / 1000.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    exact = ks_two_sample(df, "a", "b").collect()[0]
+    binned = ks_two_sample(df, "a", "b", bins=64).collect()[0]
+    assert binned.ks_d <= exact.ks_d + 1e-9
+    assert exact.ks_d - binned.ks_d <= 0.05, (exact.ks_d, binned.ks_d)
+    # schema parity with the exact form
+    assert (binned.n_a, binned.n_b) == (exact.n_a, exact.n_b) == (400, 300)
+
+    small = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0)],
+        "event_type string, value double",
+    )
+    e = ks_two_sample(small, "a", "b").collect()[0]
+    b = ks_two_sample(small, "a", "b", bins=16).collect()[0]
+    assert (b.ks_d, b.at_value) == (e.ks_d, e.at_value) == (0.5, 3.0)
+
+
 def test_burstiness_query_matches_oracle(spark):
     """Banked-row pre-validation (r13): the unregistered
     q_events_burstiness matches its DuckDB oracle typed-exact at

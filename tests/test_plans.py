@@ -165,6 +165,11 @@ _BANKED_PREVALIDATED = [
     "q_events_burstiness",
     "q_doc_chi2_lang_source",
     "q_nation_revenue_theil",
+    # r14 additions (spares #15-#17): Benford first-digit screen,
+    # hourly lag-1 autocorrelation, Herfindahl-Hirschman concentration
+    "q_orders_benford_digits",
+    "q_events_hourly_acf",
+    "q_nation_supplier_hhi",
 ]
 
 
