@@ -42,7 +42,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _doc_keyness_g2_oracle, _events_value_ks_oracle, _events_burstiness_oracle,
     _doc_chi2_lang_source_oracle, _nation_revenue_theil_oracle,
     _orders_benford_digits_oracle, _events_hourly_acf_oracle,
-    _nation_supplier_hhi_oracle,
+    _nation_supplier_hhi_oracle, _events_mannwhitney_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5219,6 +5219,26 @@ def q_nation_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "revenue")
     )
     return theil_index(joined, "n_name", "revenue")
+
+
+def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U / Wilcoxon rank-sum
+    (operators/stats.mann_whitney_u) between the click and purchase
+    value distributions — the location-shift complement of the KS row
+    (same slices, same per-value-count machinery: KS asks "are the
+    distributions different anywhere", MWU asks "does one stochastically
+    dominate", P(A>B) = u_a/(n_a·n_b)). u_a is EXACT (dyadic-rational
+    pair counting, partial sums << 2^53 — no rounding, no DECIMAL
+    ceremony); z is the tie-corrected normal score, round(6)+0.0, no
+    continuity correction (a convention both mirrors state). Sample
+    sizes are driver scalars; the unpartitioned distinct-value window
+    carries the ks/rfm bounded-scale caveat. NOT registered: banked
+    spare (r14); pre-validated in
+    tests/test_analytics.py::test_mannwhitney_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return mann_whitney_u(ev, "click", "purchase")
 
 
 def q_orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3781,3 +3781,62 @@ def _nation_supplier_hhi_oracle() -> str:
                ROUND(mx / s, 6) AS top_share
         FROM agg WHERE s > 0
     """
+
+
+def _events_mannwhitney_oracle() -> str:
+    """Oracle for the (unregistered) Mann-Whitney query: same NULL/type
+    filter and per-value counts as the KS oracle, U in the
+    pair-counting form (exact dyadic doubles — no rounding on u_a),
+    tie-corrected z mirrored operand-for-operand ((na*nb/12) *
+    ((n+1) - tt/(n*(n-1))), greatest clamp, sqrt, round(6)+0.0), the
+    sigma>0 definedness filter."""
+    return """
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+              AND value IS NOT NULL
+        ),
+        tot AS (
+            SELECT CAST(SUM(ia) AS BIGINT) AS na,
+                   CAST(COUNT(*) - SUM(ia) AS BIGINT) AS nb
+            FROM s
+        ),
+        per AS (
+            SELECT v,
+                   CAST(SUM(ia) AS BIGINT) AS ca,
+                   CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+            FROM s GROUP BY v
+        ),
+        ec AS (
+            SELECT v, ca, cb,
+                   SUM(cb) OVER (ORDER BY v ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - cb AS cb_below,
+                   ca + cb AS t
+            FROM per
+        ),
+        agg AS (
+            SELECT SUM(CAST(ca AS DOUBLE) * CAST(cb_below AS DOUBLE)
+                       + CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / 2.0) AS u,
+                   SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       - CAST(t AS DOUBLE)) AS tt
+            FROM ec
+        ),
+        m AS (
+            SELECT u,
+                   CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS mu,
+                   sqrt(greatest(
+                       CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                       * (CAST(na + nb + 1 AS DOUBLE)
+                          - tt / (CAST(na + nb AS DOUBLE)
+                                  * CAST(na + nb - 1 AS DOUBLE))),
+                       0.0)) AS sigma,
+                   na, nb
+            FROM agg, tot
+        )
+        SELECT na AS n_a, nb AS n_b, u AS u_a,
+               (ROUND((u - mu) / sigma, 6) + 0.0) AS z
+        FROM m WHERE sigma > 0
+    """

@@ -461,6 +461,101 @@ def ks_two_sample(
     )
 
 
+def mann_whitney_u(
+    events,
+    type_a: str,
+    type_b: str,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    ``value_col`` distributions of two event types -> ONE row (n_a, n_b,
+    u_a, z): the location-shift complement of the KS row (KS is
+    sensitive to ANY distribution difference; MWU targets stochastic
+    dominance — P(A > B) = u_a/(n_a·n_b)).
+
+    U is computed in the pair-counting form from per-value integer
+    counts: U_a = Σ_v ca_v·(cum cb strictly below v) + ca_v·cb_v/2
+    (ties count half). Every term is an exact dyadic rational (integer
+    products plus integer halves) with partial sums far below 2^53, so
+    the double sum is EXACT and order-free — u_a needs no rounding and
+    no DECIMAL ceremony. The normal z uses the tie-corrected variance
+    sigma² = n_a·n_b/12 · ((n+1) - Σ(t³-t)/(n(n-1))) over tie-group
+    sizes t (same exact-integer class; t³ < 2^53 at any realistic tie
+    mass, and Σ(t³-t) is an exact-integer double sum for n < ~2 000 000
+    — the bounded-scale audit form), one sqrt, no continuity correction
+    (documented; mirrors must agree on the convention, not on a
+    textbook). round(6)+0.0 on z only.
+
+    Guards: either sample empty -> empty typed frame (KS/pareto
+    precedent); sigma == 0 (every value tied across both samples) ->
+    empty frame too — z is undefined and U carries no information.
+    NULL values filtered like the KS row (window NULL placement differs
+    between engines). Scale shape: one (v) count shuffle, one
+    cumulative window over the pooled DISTINCT values (unpartitioned —
+    the bounded-scale ks/rfm caveat; bin on approx-quantile cuts at
+    100 TB), one final agg."""
+    from pyspark.sql import Window
+
+    s = events.filter(
+        F.col(type_col).isin([type_a, type_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("v"),
+        (F.col(type_col) == type_a).cast("long").alias("ia"),
+    )
+    trow = s.agg(F.sum("ia"), F.count(F.lit(1))).first()
+    na = int(trow[0] or 0)
+    nb = int(trow[1] or 0) - na
+    if na == 0 or nb == 0:
+        return events.sparkSession.createDataFrame(
+            [], "n_a long, n_b long, u_a double, z double"
+        )
+    per = s.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ec = per.select(
+        "v",
+        "ca",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb")).alias("cb_below"),
+        (F.col("ca") + F.col("cb")).alias("t"),
+    )
+    term = F.col("ca").cast("double") * F.col("cb_below").cast("double") + (
+        F.col("ca").cast("double") * F.col("cb").cast("double") / F.lit(2.0)
+    )
+    ties = F.col("t").cast("double") * F.col("t").cast("double") * F.col(
+        "t"
+    ).cast("double") - F.col("t").cast("double")
+    agg = ec.agg(
+        F.sum(term).alias("__u"),
+        F.sum(ties).alias("__tt"),
+    )
+    n = na + nb
+    mu = F.lit(float(na) * float(nb) / 2.0)
+    var = (
+        F.lit(float(na) * float(nb) / 12.0)
+        * (F.lit(float(n + 1)) - F.col("__tt") / F.lit(float(n) * float(n - 1)))
+    )
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        agg.filter(sigma > 0)
+        .select(
+            F.lit(na).cast("long").alias("n_a"),
+            F.lit(nb).cast("long").alias("n_b"),
+            F.col("__u").alias("u_a"),
+            (F.round((F.col("__u") - mu) / sigma, round_digits) + F.lit(0.0)).alias(
+                "z"
+            ),
+        )
+    )
+
+
 def chi2_independence(
     df,
     col_a: str,

@@ -1057,6 +1057,52 @@ def test_ks_two_sample_mirror_and_guards(spark):
     assert [f.name for f in empty.schema.fields] == ["n_a", "n_b", "ks_d", "at_value"]
 
 
+def test_mannwhitney_query_matches_oracle(spark):
+    """Banked-row pre-validation (r14): the unregistered
+    q_events_mannwhitney matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 14)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_mannwhitney,
+        entrymod._events_mannwhitney_oracle(),
+    )
+
+
+def test_mannwhitney_python_mirror(spark):
+    """mann_whitney_u vs a brute-force pair-counting Python mirror
+    (including a cross-sample tie for the half-count), the scipy-free
+    tie-corrected z formula, and both guards (empty sample, all-tied
+    zero-sigma)."""
+    import math
+
+    from scabillmatch_spark.operators.stats import mann_whitney_u
+
+    a = [1.0, 2.0, 3.0, 5.0]
+    b = [2.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = mann_whitney_u(df, "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    u = sum(1.0 if x > y else 0.5 if x == y else 0.0 for x in a for y in b)
+    na, nb = len(a), len(b)
+    n = na + nb
+    from collections import Counter
+
+    tt = sum(t**3 - t for t in Counter(a + b).values())
+    sigma = math.sqrt(na * nb / 12.0 * ((n + 1) - tt / (n * (n - 1))))
+    assert (r.n_a, r.n_b, r.u_a) == (na, nb, u)
+    assert abs(r.z - (u - na * nb / 2.0) / sigma) < 1e-6
+    # guards
+    assert mann_whitney_u(df.filter("event_type = 'a'"), "a", "b").count() == 0
+    tied = spark.createDataFrame(
+        [("a", 7.0), ("a", 7.0), ("b", 7.0)], "event_type string, value double"
+    )
+    assert mann_whitney_u(tied, "a", "b").count() == 0  # sigma == 0
+
+
 def test_benford_query_matches_oracle(spark):
     """Banked-row pre-validation (r14): the unregistered
     q_orders_benford_digits matches its DuckDB oracle typed-exact at

@@ -170,6 +170,7 @@ _BANKED_PREVALIDATED = [
     "q_orders_benford_digits",
     "q_events_hourly_acf",
     "q_nation_supplier_hhi",
+    "q_events_mannwhitney",
 ]
 
 
