@@ -43,6 +43,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _doc_chi2_lang_source_oracle, _nation_revenue_theil_oracle,
     _orders_benford_digits_oracle, _events_hourly_acf_oracle,
     _nation_supplier_hhi_oracle, _events_mannwhitney_oracle,
+    _customer_order_spearman_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5219,6 +5220,31 @@ def q_nation_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "revenue")
     )
     return theil_index(joined, "n_name", "revenue")
+
+
+def q_customer_order_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/stats.spearman_corr) between
+    per-customer order COUNT and total revenue — "do frequent customers
+    spend more", answered monotonically: the rank-based complement of
+    the raw Pearson row (A9), with textbook AVERAGE-rank tie treatment
+    (order counts are small integers — heavily tied — exactly the case
+    where the rank-then-id shortcut distorts rho). Ranks are exact
+    dyadic half-integers (MWU exactness class); rho round(6)+0.0;
+    zero-variance/NULL guards; the unpartitioned rank windows carry the
+    gini/rfm bounded-scale caveat. NOT registered: banked spare (r14);
+    pre-validated in
+    tests/test_analytics.py::test_spearman_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import spearman_corr
+
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+    return spearman_corr(per, "n_orders", "revenue")
 
 
 def q_events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3840,3 +3840,45 @@ def _events_mannwhitney_oracle() -> str:
                (ROUND((u - mu) / sigma, 6) + 0.0) AS z
         FROM m WHERE sigma > 0
     """
+
+
+def _customer_order_spearman_oracle() -> str:
+    """Oracle for the (unregistered) Spearman query: same per-customer
+    (count, rounded-revenue) base, average ranks as
+    rank() + (tie-count - 1)/2 via the same two window functions, the
+    five Pearson sums over exact dyadic half-integer ranks, the
+    variance clamp and definedness filter, round(6)+0.0."""
+    return """
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   round(SUM(o_totalprice), 6) AS y
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT (CAST(rank() OVER (ORDER BY x ASC) AS DOUBLE)
+                    + (CAST(COUNT(*) OVER (PARTITION BY x) AS DOUBLE) - 1.0)
+                      / 2.0) AS rx,
+                   (CAST(rank() OVER (ORDER BY y ASC) AS DOUBLE)
+                    + (CAST(COUNT(*) OVER (PARTITION BY y) AS DOUBLE) - 1.0)
+                      / 2.0) AS ry
+            FROM per
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(rx) AS sx, SUM(ry) AS sy,
+                   SUM(rx * ry) AS sxy,
+                   SUM(rx * rx) AS sxx,
+                   SUM(ry * ry) AS syy
+            FROM r
+        ),
+        m AS (
+            SELECT n,
+                   CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+                   greatest(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) AS vx,
+                   greatest(CAST(n AS DOUBLE) * syy - sy * sy, 0.0) AS vy
+            FROM agg
+        )
+        SELECT n, (ROUND(cov / (sqrt(vx) * sqrt(vy)), 6) + 0.0) AS rho
+        FROM m WHERE n >= 2 AND vx > 0 AND vy > 0
+    """

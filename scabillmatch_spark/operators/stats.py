@@ -461,6 +461,80 @@ def ks_two_sample(
     )
 
 
+def spearman_corr(
+    df,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two columns -> ONE row
+    (n, rho): Pearson's r over AVERAGE ranks — the monotone-association
+    complement of the raw Pearson row (A9), robust to outliers and to
+    any monotone rescaling; average ranks (not row_number) are what
+    makes tied values contribute correctly (the textbook tie treatment,
+    NOT the rank-then-id shortcut used where ranks are mere tie-breaks).
+
+    avg rank = rank() + (t - 1)/2 with rank() the min-rank and t the
+    tie-group size — two window functions per variable, no join. Every
+    rank is an exact dyadic half-integer <= n, so all five Pearson sums
+    are exact dyadic doubles with partial sums << 2^53 (the
+    Mann-Whitney exactness class — no DECIMAL ceremony); the n·Σ
+    products can exceed 2^53 but multiply IDENTICAL exact operands on
+    both engines, so rounding is identical (cross-engine equality is
+    what the gate needs, and rho gets round(6)+0.0 regardless).
+
+    Guards: zero variance on either side (all values tied) -> empty
+    typed frame — rho is undefined (the acf/pareto definedness
+    convention). NULLs in either column are filtered (rank placement of
+    NULL differs between engines). Scale caveat: the rank windows are
+    UNPARTITIONED over the input rows — the gini/rfm bounded-scale
+    audit form; at 100 TB rank on approx-quantile bucket boundaries
+    first."""
+    from pyspark.sql import Window
+
+    s = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def avg_rank(col):
+        wo = Window.orderBy(F.asc(col))
+        wt = Window.partitionBy(col)
+        return F.rank().over(wo).cast("double") + (
+            F.count(F.lit(1)).over(wt).cast("double") - F.lit(1.0)
+        ) / F.lit(2.0)
+
+    ranked = s.select(
+        avg_rank("__x").alias("rx"),
+        avg_rank("__y").alias("ry"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("__sx"),
+        F.sum("ry").alias("__sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("__sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("__sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("__syy"),
+    )
+    n_d = F.col("n").cast("double")
+    cov = n_d * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = F.greatest(
+        n_d * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
+    )
+    vy = F.greatest(
+        n_d * F.col("__syy") - F.col("__sy") * F.col("__sy"), F.lit(0.0)
+    )
+    return (
+        agg.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            "n",
+            (
+                F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), round_digits)
+                + F.lit(0.0)
+            ).alias("rho"),
+        )
+    )
+
+
 def mann_whitney_u(
     events,
     type_a: str,

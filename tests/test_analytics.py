@@ -1057,6 +1057,64 @@ def test_ks_two_sample_mirror_and_guards(spark):
     assert [f.name for f in empty.schema.fields] == ["n_a", "n_b", "ks_d", "at_value"]
 
 
+def test_spearman_query_matches_oracle(spark):
+    """Banked-row pre-validation (r14): the unregistered
+    q_customer_order_spearman matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 14)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_customer_order_spearman,
+        entrymod._customer_order_spearman_oracle(),
+    )
+
+
+def test_spearman_python_mirror(spark):
+    """spearman_corr vs scipy-free Python average-rank mirror: ties on
+    BOTH sides (the case the rank-then-id shortcut distorts), a perfect
+    monotone pair (rho = 1), and the zero-variance guard."""
+    import math
+
+    from scabillmatch_spark.operators.stats import spearman_corr
+
+    def mirror(xs, ys):
+        def avg_ranks(vs):
+            sv = sorted(vs)
+            return [
+                (sv.index(v) + 1 + (sv.index(v) + sv.count(v))) / 2.0
+                for v in vs
+            ]
+
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    xs = [1.0, 2.0, 2.0, 3.0, 3.0, 5.0]
+    ys = [10.0, 30.0, 20.0, 20.0, 40.0, 50.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = spearman_corr(df, "x", "y").collect()
+    assert len(out) == 1
+    assert out[0].n == 6
+    assert abs(out[0].rho - round(mirror(xs, ys), 6)) < 1e-9
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 8)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0].rho == 1.0
+
+    flat = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], "x double, y double"
+    )
+    assert spearman_corr(flat, "x", "y").count() == 0  # zero x-variance
+
+
 def test_mannwhitney_query_matches_oracle(spark):
     """Banked-row pre-validation (r14): the unregistered
     q_events_mannwhitney matches its DuckDB oracle typed-exact at

@@ -171,6 +171,7 @@ _BANKED_PREVALIDATED = [
     "q_events_hourly_acf",
     "q_nation_supplier_hhi",
     "q_events_mannwhitney",
+    "q_customer_order_spearman",
 ]
 
 
