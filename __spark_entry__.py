@@ -2838,7 +2838,11 @@ def q_emb_brp_euclidean_join(
         emb = _t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-    emb = blocking.ensure_parallelism(emb)
+    # NULL vectors are filtered in BOTH engines before anything touches
+    # the projection: a NULL dot would crash the s90 scalar on the Spark
+    # side (NoneType compare) while DuckDB's NULLS-LAST row_number would
+    # pick a real value — the KS NULL-ordering divergence class
+    emb = blocking.ensure_parallelism(emb.filter(F.col("v").isNotNull()))
 
     def _dot(plane):
         p = F.array(*[F.lit(x) for x in plane])
@@ -2853,6 +2857,13 @@ def q_emb_brp_euclidean_join(
     # 64-dim projection
     dfd = emb.select(F.abs(_dot(planes[0])).alias("d")).persist()
     n = dfd.count()
+    if n == 0:
+        # empty corpus: the pre-r14 design returned an empty join
+        # naturally; the scalar path must not offset(-1) into an
+        # AnalysisException (empty typed frame, pareto-guard precedent —
+        # the oracle's lw CTE yields no row, so both sides are empty)
+        dfd.unpersist()
+        return spark.createDataFrame([], "pk1 long, pk2 long, dist double")
     k = (9 * n + 9) // 10  # ceil(0.9n), integer-exact both engines
     s90 = dfd.orderBy("d").offset(k - 1).limit(1).first()[0]
     dfd.unpersist()

@@ -477,7 +477,8 @@ def _emb_brp_oracle() -> str:
         for t in range(_BRP_TABLES)
     )
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
         st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
         dd AS (
             SELECT abs(list_dot_product(v, {p0})) AS d,

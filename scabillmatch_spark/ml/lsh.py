@@ -132,17 +132,20 @@ def brp_similarity_join(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        n = df_a.count()
-        k = (9 * n + 9) // 10
-        s90 = (
-            df_a.select(F.abs(dot).alias("d"))
-            .orderBy("d")
-            .offset(k - 1)
-            .limit(1)
-            .first()[0]
-        )
-        bb = max(1, math.ceil(math.sqrt(n / 80.0)))
-        bucket_length = 2.0 * s90 / bb if s90 and s90 > 0.0 else 2.0
+        # persist the narrow projection column across the two driver
+        # scalars — without it each action recomputes df_a's full
+        # lineage (the entry twin's dfd pattern)
+        dfd = df_a.select(F.abs(dot).alias("d")).persist()
+        n = dfd.count()
+        if n == 0:
+            dfd.unpersist()
+            bucket_length = 2.0  # degenerate input; join below is empty
+        else:
+            k = (9 * n + 9) // 10
+            s90 = dfd.orderBy("d").offset(k - 1).limit(1).first()[0]
+            dfd.unpersist()
+            bb = max(1, math.ceil(math.sqrt(n / 80.0)))
+            bucket_length = 2.0 * s90 / bb if s90 and s90 > 0.0 else 2.0
     brp = (
         BucketedRandomProjectionLSH()
         .setInputCol(features_col)

@@ -338,9 +338,17 @@ def benford_digits(
     ).select(
         F.substring(F.col(value_col).cast("string"), 1, 1).alias("digit")
     )
-    per = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # the 9-row digit frame is persisted across the two actions (the nn
+    # driver scalar and the caller's collect) — without it the full
+    # input scan + aggregation runs twice
+    per = (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
     nn = per.agg(F.sum("n")).first()[0] or 0
     if nn == 0:
+        per.unpersist()
         return df.sparkSession.createDataFrame(
             [],
             "digit string, n long, share double, benford_p double, dev double",
@@ -423,13 +431,10 @@ def hourly_acf1(
         F.sum(dx * dx).cast("double").alias("__sxx"),
         F.sum(dy * dy).cast("double").alias("__syy"),
     )
-    n_d = F.col("n_pairs").cast("double")
-    cov = n_d * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    vx = F.greatest(
-        n_d * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
-    )
-    vy = F.greatest(
-        n_d * F.col("__syy") - F.col("__sy") * F.col("__sy"), F.lit(0.0)
+    from scabillmatch_spark.operators.stats import _pearson_parts
+
+    cov, vx, vy = _pearson_parts(
+        "n_pairs", "__sx", "__sy", "__sxy", "__sxx", "__syy"
     )
     denom = F.sqrt(vx) * F.sqrt(vy)
     return (

@@ -384,21 +384,19 @@ def ks_two_sample(
     max (a real data boundary, same tie-break)."""
     from pyspark.sql import Window
 
-    s = events.filter(
-        F.col(type_col).isin([type_a, type_b])
-        & F.col(value_col).isNotNull()
-    ).select(
-        F.col(value_col).alias("v"),
-        (F.col(type_col) == type_a).cast("long").alias("ia"),
+    s, per, na, nb = _two_sample_value_counts(
+        events, type_a, type_b, value_col, type_col
     )
-    trow = s.agg(F.sum("ia"), F.count(F.lit(1))).first()
-    na = int(trow[0] or 0)
-    nb = int(trow[1] or 0) - na
     if na == 0 or nb == 0:
         return events.sparkSession.createDataFrame(
             [], "n_a long, n_b long, ks_d double, at_value double"
         )
     if bins is not None:
+        if bins < 2:
+            # bins=1 would leave only the +inf sentinel ECDF point and
+            # silently report D=0 for ANY drift — a gate that always
+            # passes; fail fast instead
+            raise ValueError(f"ks_two_sample: bins must be >= 2, got {bins}")
         # approx-quantile cuts of the pooled sample; dedup (heavy ties
         # collapse cuts) and keep them sorted — Bucketizer-style split
         # points, but assignment stays a Column expression (count of
@@ -429,11 +427,6 @@ def ks_two_sample(
             F.element_at(cut_arr, F.col("__bin") + 1),
         ).otherwise(F.lit(float("inf")))
         per = per.select(bin_val.alias("v"), "ca", "cb")
-    else:
-        per = s.groupBy("v").agg(
-            F.sum("ia").cast("long").alias("ca"),
-            (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
-        )
     w = Window.orderBy(F.asc("v")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -459,6 +452,43 @@ def ks_two_sample(
         .orderBy(F.desc("ks_d"), F.asc("at_value"))
         .limit(1)
     )
+
+
+def _two_sample_value_counts(events, type_a, type_b, value_col, type_col):
+    """Shared head of the two-sample family (KS, Mann-Whitney): the
+    NULL-safe two-type filter, per-value integer (ca, cb) counts, and
+    the (na, nb) driver scalars — factored so an exactness fix (like
+    the r14 NULL filter, which had to be applied to both consumers
+    separately) lands once. Returns (value_stream, per_value_counts,
+    na, nb) — the raw (v, ia) stream is what KS's bins= path feeds to
+    approxQuantile (sample quantiles, not distinct-value quantiles)."""
+    s = events.filter(
+        F.col(type_col).isin([type_a, type_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("v"),
+        (F.col(type_col) == type_a).cast("long").alias("ia"),
+    )
+    trow = s.agg(F.sum("ia"), F.count(F.lit(1))).first()
+    na = int(trow[0] or 0)
+    nb = int(trow[1] or 0) - na
+    per = s.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
+    )
+    return s, per, na, nb
+
+
+def _pearson_parts(n_col, sx, sy, sxy, sxx, syy):
+    """Shared Pearson tail (spearman_corr, analytics.hourly_acf1):
+    (cov, vx, vy) Column expressions in the exact operand order both
+    DuckDB mirrors state — n·Σxy - Σx·Σy and greatest-clamped
+    variances. One definition so the mirrors cannot drift per copy."""
+    n_d = F.col(n_col).cast("double")
+    cov = n_d * F.col(sxy) - F.col(sx) * F.col(sy)
+    vx = F.greatest(n_d * F.col(sxx) - F.col(sx) * F.col(sx), F.lit(0.0))
+    vy = F.greatest(n_d * F.col(syy) - F.col(sy) * F.col(sy), F.lit(0.0))
+    return cov, vx, vy
 
 
 def spearman_corr(
@@ -515,14 +545,7 @@ def spearman_corr(
         F.sum(F.col("rx") * F.col("rx")).alias("__sxx"),
         F.sum(F.col("ry") * F.col("ry")).alias("__syy"),
     )
-    n_d = F.col("n").cast("double")
-    cov = n_d * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    vx = F.greatest(
-        n_d * F.col("__sxx") - F.col("__sx") * F.col("__sx"), F.lit(0.0)
-    )
-    vy = F.greatest(
-        n_d * F.col("__syy") - F.col("__sy") * F.col("__sy"), F.lit(0.0)
-    )
+    cov, vx, vy = _pearson_parts("n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
     return (
         agg.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
         .select(
@@ -572,24 +595,13 @@ def mann_whitney_u(
     100 TB), one final agg."""
     from pyspark.sql import Window
 
-    s = events.filter(
-        F.col(type_col).isin([type_a, type_b])
-        & F.col(value_col).isNotNull()
-    ).select(
-        F.col(value_col).alias("v"),
-        (F.col(type_col) == type_a).cast("long").alias("ia"),
+    _, per, na, nb = _two_sample_value_counts(
+        events, type_a, type_b, value_col, type_col
     )
-    trow = s.agg(F.sum("ia"), F.count(F.lit(1))).first()
-    na = int(trow[0] or 0)
-    nb = int(trow[1] or 0) - na
     if na == 0 or nb == 0:
         return events.sparkSession.createDataFrame(
             [], "n_a long, n_b long, u_a double, z double"
         )
-    per = s.groupBy("v").agg(
-        F.sum("ia").cast("long").alias("ca"),
-        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("cb"),
-    )
     w = Window.orderBy(F.asc("v")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

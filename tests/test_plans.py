@@ -165,8 +165,12 @@ _BANKED_PREVALIDATED = [
     "q_events_burstiness",
     "q_doc_chi2_lang_source",
     "q_nation_revenue_theil",
-    # r14 additions (spares #15-#17): Benford first-digit screen,
-    # hourly lag-1 autocorrelation, Herfindahl-Hirschman concentration
+    # r14 additions (spares #15-#19): Benford first-digit screen,
+    # hourly lag-1 autocorrelation, Herfindahl-Hirschman concentration,
+    # Mann-Whitney U, Spearman rank correlation. NOTE: rows stay listed
+    # after registration (media_wav/bm25/lm/dsir above are registered) —
+    # the list is a plan gate over the functions, not the banked-queue
+    # ledger (that lives in PLANS.md).
     "q_orders_benford_digits",
     "q_events_hourly_acf",
     "q_nation_supplier_hhi",

