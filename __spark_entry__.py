@@ -43,7 +43,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _doc_chi2_lang_source_oracle, _nation_revenue_theil_oracle,
     _orders_benford_digits_oracle, _events_hourly_acf_oracle,
     _nation_supplier_hhi_oracle, _events_mannwhitney_oracle,
-    _customer_order_spearman_oracle,
+    _customer_order_spearman_oracle, _doc_cms_heavy_hitters_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5231,6 +5231,27 @@ def q_nation_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "revenue")
     )
     return theil_index(joined, "n_name", "revenue")
+
+
+def q_doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters (operators/textstats.cms_heavy_hitters;
+    Cormode & Muthukrishnan 2005): depth=4 × width=256 counter sketch
+    over the corpus token stream, audited against exact counts for the
+    top 15 terms — the FREQUENCY sketch completing the approximate-
+    profiling family (approx_sketch_stats covers HLL distincts + GK
+    quantiles, both bound-checked because Spark's sketches aren't
+    DuckDB-reproducible; THIS sketch is built from the house md5->int60
+    hash, so both engines materialize the identical counter table and
+    the row is fully value-oracled). The CMS one-sided guarantee ships
+    as data: overestimate = cnt_est - cnt_exact >= 0 by theorem —
+    collisions only ever ADD. All-integer row; counter table is
+    depth×width forever (the sketch's point). NOT registered: banked
+    spare (r14); pre-validated in
+    tests/test_analytics.py::test_cms_query_matches_oracle."""
+    from scabillmatch_spark.operators.textstats import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return cms_heavy_hitters(docs)
 
 
 def q_customer_order_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3883,3 +3883,42 @@ def _customer_order_spearman_oracle() -> str:
         SELECT n, (ROUND(cov / (sqrt(vx) * sqrt(vy)), 6) + 0.0) AS rho
         FROM m WHERE n >= 2 AND vx > 0 AND vy > 0
     """
+
+
+def _doc_cms_heavy_hitters_oracle() -> str:
+    """Oracle for the (unregistered) Count-Min query: identical
+    md5->int60 row hashes ('cms<j>:<term>', house primitive), identical
+    4x256 counter table via one GROUP BY, exact top-15 term counts with
+    the (cnt DESC, term) tie rule, estimate = min over the 4 matching
+    counters — every value an exact integer, so the whole row
+    hash-compares with no rounding at all."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKLIST}) AS term FROM documents
+        ),
+        hashed AS (
+            SELECT term, j,
+                   CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR)
+                                             || ':' || term), 1, 15))
+                        AS UBIGINT)::BIGINT % 256 AS bucket
+            FROM toks, (SELECT unnest([0, 1, 2, 3]) AS j)
+        ),
+        counters AS (
+            SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+            FROM hashed GROUP BY j, bucket
+        ),
+        top AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt_exact
+            FROM toks GROUP BY term
+            ORDER BY cnt_exact DESC, term ASC LIMIT 15
+        )
+        SELECT t.term, t.cnt_exact,
+               min(c.c) AS cnt_est,
+               min(c.c) - t.cnt_exact AS overestimate
+        FROM top t
+        JOIN counters c
+          ON c.bucket = CAST(('0x' || substr(md5('cms' || CAST(c.j AS VARCHAR)
+                                                  || ':' || t.term), 1, 15))
+                             AS UBIGINT)::BIGINT % 256
+        GROUP BY t.term, t.cnt_exact
+    """

@@ -170,3 +170,73 @@ def gopher_rules(
         n_stop.alias("n_stop_distinct"),
         gopher_pass.alias("gopher_pass"),
     ]
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 15,
+) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    2005) over the corpus token stream, audited against exact counts ->
+    (term, cnt_exact, cnt_est, overestimate) for the ``top_k`` most
+    frequent terms: the FREQUENCY sketch completing the approximate-
+    profiling family (HLL counts distincts, GK sketches quantiles, CMS
+    answers "how often does item x occur" in depth×width counters
+    regardless of vocabulary size).
+
+    Unlike the HLL/GK row (bound-checked — Spark's sketches aren't
+    reproducible in DuckDB), this CMS is built from the house
+    md5->int60 hash, so BOTH engines materialize the IDENTICAL counter
+    table and identical estimates — the row is fully value-oracled, and
+    the sketch's one-sided guarantee (cnt_est >= cnt_exact, ALWAYS —
+    collisions only ever add) ships as an exact integer column, not a
+    tolerance. overestimate = cnt_est - cnt_exact is >= 0 by theorem;
+    a single negative cell means the sketch is broken.
+
+    Plan: one token explode -> posexplode of the depth hash ids ->
+    ONE (row, bucket) count whose post-combine size is depth×width
+    FOREVER (the sketch's point); exact top-k term counts are one
+    map-side-combinable term count + TakeOrderedAndProject; estimates
+    attach by joining the top-k frame to the broadcast counter table
+    once per sketch row (depth bounded joins of a top_k-row frame
+    against depth×width counters). Exchanges carry (term/int, long)."""
+    toks = docs.select(F.explode(TX.tokens(F.col(text_col))).alias("term"))
+
+    def bucket(j: int, col) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), col)), 1, 15), 16, 10
+        ).cast("long")
+        return (h % F.lit(width)).cast("long")
+
+    rows = toks.select(
+        F.posexplode(
+            F.array(*[bucket(j, F.col("term")) for j in range(depth)])
+        ).alias("j", "bucket")
+    )
+    counters = rows.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_exact"))
+        .orderBy(F.desc("cnt_exact"), F.asc("term"))
+        .limit(top_k)
+    )
+    est = top
+    for j in range(depth):
+        cj = counters.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"__b{j}"), F.col("c").alias(f"__c{j}")
+        )
+        est = est.join(
+            F.broadcast(cj), bucket(j, F.col("term")) == F.col(f"__b{j}")
+        )
+    cnt_est = F.least(*[F.col(f"__c{j}") for j in range(depth)])
+    return est.select(
+        "term",
+        "cnt_exact",
+        cnt_est.alias("cnt_est"),
+        (cnt_est - F.col("cnt_exact")).alias("overestimate"),
+    )

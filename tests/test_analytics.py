@@ -1057,6 +1057,54 @@ def test_ks_two_sample_mirror_and_guards(spark):
     assert [f.name for f in empty.schema.fields] == ["n_a", "n_b", "ks_d", "at_value"]
 
 
+def test_cms_query_matches_oracle(spark):
+    """Banked-row pre-validation (r14): the unregistered
+    q_doc_cms_heavy_hitters matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 14)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_doc_cms_heavy_hitters,
+        entrymod._doc_cms_heavy_hitters_oracle(),
+    )
+
+
+def test_cms_python_mirror(spark):
+    """cms_heavy_hitters vs a Python Count-Min mirror: identical
+    md5-derived counters, est = min over rows, the one-sided guarantee
+    (est >= exact for EVERY term, including forced collisions at
+    width=4), and exact top-k ordering."""
+    import hashlib
+    from collections import Counter
+
+    from scabillmatch_spark.operators.textstats import cms_heavy_hitters
+
+    rows = [("alpha alpha alpha beta beta gamma delta epsilon",),
+            ("alpha beta gamma gamma zeta eta theta iota",)]
+    df = spark.createDataFrame(rows, "text string")
+    # width=4 forces collisions; the guarantee must still hold
+    got = {r.term: (r.cnt_exact, r.cnt_est, r.overestimate)
+           for r in cms_heavy_hitters(df, depth=4, width=4, top_k=10).collect()}
+
+    toks = " ".join(t[0] for t in rows).split()
+    exact = Counter(toks)
+
+    def bucket(j, term):
+        h = int(hashlib.md5(f"cms{j}:{term}".encode()).hexdigest()[:15], 16)
+        return h % 4
+
+    counters = Counter()
+    for t, c in exact.items():
+        for j in range(4):
+            counters[(j, bucket(j, t))] += c
+    for term, (ce, est, over) in got.items():
+        assert ce == exact[term]
+        assert est == min(counters[(j, bucket(j, term))] for j in range(4))
+        assert over == est - ce and over >= 0
+    assert len(got) == len(exact) <= 10
+
+
 def test_spearman_query_matches_oracle(spark):
     """Banked-row pre-validation (r14): the unregistered
     q_customer_order_spearman matches its DuckDB oracle typed-exact at

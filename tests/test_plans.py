@@ -176,6 +176,9 @@ _BANKED_PREVALIDATED = [
     "q_nation_supplier_hhi",
     "q_events_mannwhitney",
     "q_customer_order_spearman",
+    # r14 spare #20: Count-Min Sketch heavy hitters (fully value-oracled
+    # frequency sketch — md5-derived hashes, identical counters both engines)
+    "q_doc_cms_heavy_hitters",
 ]
 
 
