@@ -68,3 +68,31 @@ def test_ivf_probes_fewer_candidates(spark, emb):
     assert len(cells) == 8
     total = sum(c["count"] for c in cells)
     assert total == emb.count()
+
+def test_brp_query_empty_and_null_guards(spark):
+    """r14 self-review pins: the density-scaled BRP scalar path must not
+    offset(-1) on an empty corpus (empty typed frame instead) and must
+    FILTER NULL vectors in both engines (Spark window-sorts NULLs FIRST
+    vs DuckDB LAST — an unfiltered NULL could shift the s90 order
+    statistic differently per engine, or TypeError the s90 compare)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    empty = spark.createDataFrame([], "vec_id long, v array<double>")
+    out = entrymod.q_emb_brp_euclidean_join(spark, sf, emb=empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["pk1", "pk2", "dist"]
+
+    base = entrymod._t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with_null = base.union(
+        spark.createDataFrame([(999_999, None)], "vec_id long, v array<double>")
+    )
+    got = sorted(
+        map(tuple, entrymod.q_emb_brp_euclidean_join(spark, sf, emb=with_null).collect())
+    )
+    want = sorted(
+        map(tuple, entrymod.q_emb_brp_euclidean_join(spark, sf, emb=base).collect())
+    )
+    assert got == want  # the NULL row must change nothing
