@@ -96,7 +96,17 @@ def pq_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = _with_vec(emb, vec_col).select(F.col(id_col).alias("__id"), "__v")
+    # persisted across the m KMeans fits + the dim probe + the encode —
+    # each fit is an action over base's full lineage, so without the
+    # cache a caller frame with expensive upstream transforms is
+    # recomputed m+2 times. Measured NEUTRAL at bench scale (17.2 vs
+    # 17.5 s — the sequential per-fit orchestration dominates, PLANS.md
+    # r14); kept as the lineage guard, not claimed as a perf win.
+    base = (
+        _with_vec(emb, vec_col)
+        .select(F.col(id_col).alias("__id"), "__v")
+        .persist()
+    )
     dim = len(base.select("__v").first()["__v"])
     if dim % m:
         # trailing dim % m dimensions would silently drop out of the codes
