@@ -5411,87 +5411,29 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # registry entries. Order is therefore deliberate, not alphabetical —
-    # the round-14 rotation (precomputed in PLANS.md "r14 rotation" at the
-    # r13 close and executed verbatim):
-    #   1. the 31 entries whose latest driver row is r11 — two rounds
+    # the round-15 rotation (precomputed in PLANS.md "r15 rotation" at the
+    # r14 close and executed verbatim):
+    #   1. the 33 entries whose latest driver row is r12 — two rounds
     #      stale, at the staleness contract's max, the oldest debt leads
-    #      (ml_minhash_reference_join .. tpch_q8_market_share);
-    #   2. the two queries new this round (doc_lm_perplexity — bigram-LM
-    #      perplexity filter, CCNet shape; doc_dsir_select — DSIR
-    #      importance selection; both pre-validated typed-exact at 2 sfs
-    #      in r12 and chaos-re-passed after the r13 oracle split);
-    #   3. the first 17 of the 50 r12-green entries fill the window
-    #      (tpch_q9_product_profit .. tpch_q13_order_distribution);
-    #   4. with 133 registered queries and a 50-row window the cycle is
-    #      ~2.7 rounds: the 33 remaining r12-green entries directly past
+    #      (tpch_q16_supplier_cnt .. events_stream_stateful);
+    #   2. the two queries new this round (doc_substring_dup — Lee-et-al
+    #      exact-substring dedup, the third dedup granularity;
+    #      emb_semantic_dedup — SemDeDup-shaped CC over the near-dup pair
+    #      relation; both pre-validated typed-exact at 2 sfs in r12 and
+    #      chaos-re-passed at the r14 final HEAD);
+    #   3. the first 15 of the 50 r13-green entries fill the window
+    #      (doc_5gram_wordcount .. window_topn_orders_per_customer);
+    #   4. with 135 registered queries and a 50-row window the cycle is
+    #      ~2.7 rounds: the 35 remaining r13-green entries directly past
     #      the boundary reach 2 rounds stale next cycle and MUST LEAD the
-    #      r15 window, topped up from the 50 r13-green rows (freshest,
+    #      r16 window, topped up from the 50 r14-green rows (freshest,
     #      last). Every entry is still re-verified at sf0.01 on every
     #      pytest run by tests/test_oracle.py's mirror of the gate.
     return {
-        # -- r14 window: the 31 entries whose latest driver row is r11
+        # -- r15 window: the 33 entries whose latest driver row is r12
         #    — two rounds stale, the staleness contract's max; the
-        #    oldest debt leads (the exact r14 rotation precomputed in
-        #    PLANS.md at r13 close)
-        "ml_minhash_reference_join": q_ml_minhash_reference_join,
-        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "media_image_metadata": q_media_image_metadata,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "events_stream_static_join": q_events_stream_static_join,
-        "events_stream_interval_join": q_events_stream_interval_join,
-        "doc_label_propagation": q_doc_label_propagation,
-        "io_xml_roundtrip": q_io_xml_roundtrip,
-        "graph_open_triangles": q_graph_open_triangles,
-        "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
-        "events_sessionization": q_events_sessionization,
-        "orders_scd2_history": q_orders_scd2_history,
-        "doc_chunk_overlap": q_doc_chunk_overlap,
-        "events_stream_session": q_events_stream_session,
-        "scalar_functions": q_scalar_functions,
-        "pearson_corr": q_pearson_corr,
-        "descriptive_stats": q_descriptive_stats,
-        "histogram_events_value": q_histogram_events,
-        "events_json_agg": q_events_json,
-        "semi_anti_join": q_semi_anti_join,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "doc_quality_filter": q_doc_quality_filter,
-        "tpch_q21_sole_returner": q_tpch_q21,
-        "tpch_q22_dormant_customers": q_tpch_q22,
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        # -- new this round (the per-round new-query budget; both
-        #    pre-validated typed-exact vs their oracles at 2 sfs in
-        #    r12, chaos-re-passed after the r13 oracle split)
-        "doc_lm_perplexity": q_doc_lm_perplexity,
-        "doc_dsir_select": q_doc_dsir_select,
-        # -- first 17 of the 50 r12-green entries fill the window
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q11_important_stock": q_tpch_q11,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q20_dominant_supplier": q_tpch_q20,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
-        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "doc_curation_pipeline": q_doc_curation_pipeline,
-        "stream_merge_upsert": q_stream_merge_upsert,
-        "io_dpp_prune": q_io_dpp_prune,
-        "orders_snapshot_diff": q_orders_snapshot_diff,
-        "storage_merge_upsert": q_storage_merge_upsert,
-        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
-        "doc_pair_measures": q_doc_pair_measures,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        # ---- 50-row window boundary (31 r11-stale + 2 new + 17
-        #      r12-green = 50). The 33 r12-green entries below reach
-        #      the staleness contract's two-round max next cycle and
-        #      MUST LEAD the r15 window (r15 new slots per PLANS.md:
-        #      doc_substring_dup + emb_semantic_dedup). ----
+        #    oldest debt leads (the exact r15 rotation precomputed in
+        #    PLANS.md at r14 close)
         "tpch_q16_supplier_cnt": q_tpch_q16,
         "doc_hash_sample": q_doc_hash_sample,
         "events_tumbling_window": q_events_tumbling,
@@ -5525,7 +5467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tumbling": q_events_stream_tumbling,
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_stateful": q_events_stream_stateful,
-        # -- latest driver row is r13 — freshest, rotate back last
+        # -- new this round (the per-round new-query budget; both
+        #    pre-validated typed-exact vs their oracles at 2 sfs in
+        #    r12, chaos-swept 0 red at the r14 final HEAD)
+        "doc_substring_dup": q_doc_substring_dup,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
+        # -- first 15 of the 50 r13-green entries fill the window
         "doc_5gram_wordcount": q_doc_5gram_wordcount,
         "io_sorted_compact": q_io_sorted_compact,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -5541,6 +5488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_case_agg": q_tpch_q12,
         "tpch_q17_correlated_avg": q_tpch_q17,
         "window_topn_orders_per_customer": q_window_topn,
+        # ---- 50-row window boundary (33 r12-stale + 2 new + 15
+        #      r13-green = 50). The 35 r13-green entries below reach
+        #      the staleness contract's two-round max next cycle and
+        #      MUST LEAD the r16 window (r16 new slots per PLANS.md:
+        #      doc_substring_rewrite + doc_phrase_search). ----
         "latest_order_per_customer": q_latest_order_per_customer,
         "set_ops_union_intersect_except": q_set_ops,
         "approx_sketch_stats": q_approx_sketch_stats,
@@ -5576,6 +5528,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_kmeans_blocked_pairs": q_ml_kmeans_blocked_pairs,
         "ml_lda_topics": q_ml_lda_topics,
         "ml_lsa_projection": q_ml_lsa_projection,
+        # -- latest driver row is r14 — freshest, rotate back last
+        "ml_minhash_reference_join": q_ml_minhash_reference_join,
+        "ml_dimsum_lsa_invariants": q_ml_dimsum_lsa_invariants,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "media_image_metadata": q_media_image_metadata,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "events_stream_static_join": q_events_stream_static_join,
+        "events_stream_interval_join": q_events_stream_interval_join,
+        "doc_label_propagation": q_doc_label_propagation,
+        "io_xml_roundtrip": q_io_xml_roundtrip,
+        "graph_open_triangles": q_graph_open_triangles,
+        "emb_arrow_block_cosine": q_emb_arrow_block_cosine,
+        "events_sessionization": q_events_sessionization,
+        "orders_scd2_history": q_orders_scd2_history,
+        "doc_chunk_overlap": q_doc_chunk_overlap,
+        "events_stream_session": q_events_stream_session,
+        "scalar_functions": q_scalar_functions,
+        "pearson_corr": q_pearson_corr,
+        "descriptive_stats": q_descriptive_stats,
+        "histogram_events_value": q_histogram_events,
+        "events_json_agg": q_events_json,
+        "semi_anti_join": q_semi_anti_join,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_quality_filter": q_doc_quality_filter,
+        "tpch_q21_sole_returner": q_tpch_q21,
+        "tpch_q22_dormant_customers": q_tpch_q22,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_dsir_select": q_doc_dsir_select,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q20_dominant_supplier": q_tpch_q20,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_fuzzy_title_join": q_doc_fuzzy_title_join,
+        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
+        "stream_merge_upsert": q_stream_merge_upsert,
+        "io_dpp_prune": q_io_dpp_prune,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
+        "storage_merge_upsert": q_storage_merge_upsert,
+        "emb_vector_sum_by_label": q_emb_vector_sum_by_label,
+        "doc_pair_measures": q_doc_pair_measures,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q13_order_distribution": q_tpch_q13,
     }
 
 

@@ -3063,6 +3063,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_search": _doc_bm25_search_oracle(),
         "doc_lm_perplexity": _doc_lm_perplexity_oracle(),
         "doc_dsir_select": _doc_dsir_select_oracle(),
+        "doc_substring_dup": _doc_substring_dup_oracle(),
+        "emb_semantic_dedup": _emb_semantic_dedup_oracle(),
         "graph_triangle_count": f"""
             WITH {edge_cte},
             tri AS (
