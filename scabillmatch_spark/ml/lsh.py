@@ -91,59 +91,102 @@ def brp_similarity_join(
     df_b: DataFrame | None,
     id_col: str,
     features_col: str = "features",
-    bucket_length: float | None = None,
+    bucket_length: float | str = 2.0,
     num_hash_tables: int = 3,
     dist_threshold: float = 15.0,
     seed: int = 12345,
+    approx_spread: bool = False,
 ) -> DataFrame:
     """Euclidean LSH join (BucketedRandomProjectionLSHExample.scala:106-116:
     3 tables, threshold 15). One job — no per-state-pair driver loop.
 
-    bucket_length=None (default, r14) DENSITY-SCALES the bucket length
-    from the data instead of using the reference's fixed bucketLength=2.0
-    (pass 2.0 for reference-exact parity): with a fixed length on dense
-    i.i.d. data, occupied-bucket count is data-spread-bound while
-    occupancy grows ∝ n, so the candidate stage goes ~n²/#buckets —
-    measured superlinear in scale_check r13. The scaled form projects
-    df_a onto one deterministic ±1 plane, takes s90 = the ceil(0.9n)-th
-    smallest |projection| (an order statistic — no interpolation) and
-    sets L = 2·s90 / ceil(sqrt(n/80)), so #buckets grows ~sqrt(n) per
-    table and expected occupancy stays bounded (~80 rows); at 100 TB
-    swap the exact order statistic for an approx-quantile cut. Same
-    lever as the registered native twin (q_emb_brp_euclidean_join,
-    which additionally AND-composes 2 projections per table — stock
+    bucket_length=2.0 (the default) is reference-exact parity
+    (BucketedRandomProjectionLSHExample.scala pins setBucketLength(2.0)).
+    Pass bucket_length="auto" (or None) to DENSITY-SCALE the length from
+    the data instead: with a fixed length on dense i.i.d. data,
+    occupied-bucket count is data-spread-bound while occupancy grows
+    ∝ n, so the candidate stage goes ~n²/#buckets — measured superlinear
+    in scale_check r13. The scaled form projects the join input (the
+    UNION of df_a and df_b when df_b is given — a df_a-only spread would
+    let B-side occupancy regrow the superlinearity this targets) onto
+    one deterministic ±1 plane, takes s90 = the ceil(0.9n)-th smallest
+    |projection| (an order statistic — no interpolation) and sets
+    L = 2·s90 / ceil(sqrt(n/80)), so #buckets grows ~sqrt(n) per table
+    and expected occupancy stays bounded (~80 rows); at 100 TB pass
+    approx_spread=True — it swaps the exact order statistic's global
+    sort (O(n log n) shuffle for one scalar) for a single-pass
+    approxQuantile (Greenwald-Khanna, relativeError 0.01). The exact
+    sort stays the default because interpolation-free order statistics
+    are what the cross-engine oracle gate needs. Same lever as
+    the registered native twin (q_emb_brp_euclidean_join, which
+    additionally AND-composes 2 projections per table — stock
     BucketedRandomProjectionLSH cannot compose, so this wrapper scales
-    L only)."""
-    if bucket_length is None:
+    L only). NULL feature rows are dropped from the spread probe (Spark
+    sorts NULLs first, which would shift the order statistic); they
+    still flow to the LSH fit/join below, where Spark ML rejects them
+    with its own typed error."""
+    if bucket_length is None or bucket_length == "auto":
         import hashlib
         import math
 
         from pyspark.ml.functions import vector_to_array
 
         arr = vector_to_array(F.col(features_col))
-        dim = int(df_a.select(F.size(arr).alias("k")).first()["k"])
-        plane = [
-            1.0 if hashlib.md5(f"brp-twin:{i}".encode()).digest()[0] % 2 == 0
-            else -1.0
-            for i in range(dim)
-        ]
-        dot = F.aggregate(
-            F.zip_with(arr, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # persist the narrow projection column across the two driver
-        # scalars — without it each action recomputes df_a's full
-        # lineage (the entry twin's dfd pattern)
-        dfd = df_a.select(F.abs(dot).alias("d")).persist()
-        n = dfd.count()
+        # spread over BOTH sides of the join — L derived from df_a alone
+        # lets a larger/denser df_b regrow per-bucket occupancy
+        base = df_a.select(F.col(features_col))
+        if df_b is not None:
+            base = base.unionByName(df_b.select(F.col(features_col)))
+        base = base.filter(F.col(features_col).isNotNull())
+        # persist the narrow projection column across the driver
+        # scalars — without it each action recomputes the full input
+        # lineage (the entry twin's dfd pattern). Count FIRST: an empty
+        # input must short-circuit before the dim probe (first() -> None).
+        dfd_src = base.persist()
+        n = dfd_src.count()
         if n == 0:
-            dfd.unpersist()
-            bucket_length = 2.0  # degenerate input; join below is empty
+            # short-circuit: Spark ML's LSH.fit itself dies on an empty
+            # frame (getNumFeatures head-of-empty-array), so return the
+            # join's empty typed result instead of a crash
+            dfd_src.unpersist()
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            idt = df_a.schema[id_col].dataType
+            return df_a.sparkSession.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("pk1", idt),
+                        StructField("pk2", idt),
+                        StructField("dist", DoubleType()),
+                        StructField("similarity", DoubleType()),
+                    ]
+                ),
+            )
         else:
-            k = (9 * n + 9) // 10
-            s90 = dfd.orderBy("d").offset(k - 1).limit(1).first()[0]
-            dfd.unpersist()
+            dim = int(dfd_src.select(F.size(arr).alias("k")).first()["k"])
+            plane = [
+                1.0
+                if hashlib.md5(f"brp-twin:{i}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for i in range(dim)
+            ]
+            dot = F.aggregate(
+                F.zip_with(
+                    arr, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            dfd = dfd_src.select(F.abs(dot).alias("d"))
+            if approx_spread:
+                # single-pass GK sketch — no global sort; fine whenever
+                # the caller is not chasing cross-engine bit-exactness
+                s90 = dfd.approxQuantile("d", [0.9], 0.01)[0]
+            else:
+                k = (9 * n + 9) // 10
+                s90 = dfd.orderBy("d").offset(k - 1).limit(1).first()[0]
+            dfd_src.unpersist()
             bb = max(1, math.ceil(math.sqrt(n / 80.0)))
             bucket_length = 2.0 * s90 / bb if s90 and s90 > 0.0 else 2.0
     brp = (

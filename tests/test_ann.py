@@ -96,3 +96,104 @@ def test_brp_query_empty_and_null_guards(spark):
         map(tuple, entrymod.q_emb_brp_euclidean_join(spark, sf, emb=base).collect())
     )
     assert got == want  # the NULL row must change nothing
+
+
+def test_kmeans_fit_driver_deterministic_and_sane():
+    """The r15 sample-cap lever's fit is pure numpy: bit-identical across
+    calls for the same (sample, seed), correct centroid count, and
+    k > n degrades to n distinct centroids instead of raising."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = np.concatenate([rng.normal(0, 0.1, (50, 4)), rng.normal(5, 0.1, (50, 4))])
+    a = ann._kmeans_fit_driver(X, 2, iters=10, seed=42)
+    b = ann._kmeans_fit_driver(X, 2, iters=10, seed=42)
+    assert a == b
+    assert len(a) == 2
+    # the two planted clusters are recovered (centroid near 0 and near 5)
+    means = sorted(sum(c) / len(c) for c in a)
+    assert abs(means[0]) < 1.0 and abs(means[1] - 5.0) < 1.0
+    small = ann._kmeans_fit_driver(X[:3], 8, iters=5, seed=1)
+    assert len(small) == 3
+
+
+def test_md5_rank_sample_deterministic(spark, emb):
+    """Sample selection is a pure function of ids — invariant to
+    partitioning and row order (the property that makes the fit
+    reproducible on any cluster layout)."""
+    s1 = {r.vec_id for r in ann._md5_rank_sample(emb, "vec_id", 20).collect()}
+    s2 = {
+        r.vec_id
+        for r in ann._md5_rank_sample(
+            emb.repartition(7, "vec_id"), "vec_id", 20
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) == 20
+
+
+def test_pq_sampled_fit_recall_and_k(spark, emb):
+    """fit_sample (the default) must hold the registered invariants:
+    k rows per query and recall@10 >= 0.6 vs brute force."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 10
+    pq = ann.pq_topk(emb, queries, "vec_id", "embedding", k=k, shortlist=8)
+    rows = pq.collect()
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {k}
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.brute_force_topk(emb, queries, "vec_id", "embedding", k).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_ivf_spark_fit_path_still_works(spark, emb):
+    """fit_sample=None keeps the reference-style full-corpus Spark KMeans
+    fit; both paths must produce full-coverage assignments."""
+    assigned, cents = ann.ivf_index(emb, "vec_id", "embedding", n_cells=4, fit_sample=None)
+    assert assigned.count() == emb.count()
+    assert cents.count() == 4
+
+
+def test_brp_wrapper_auto_and_guards(spark):
+    """r14 ADVICE closes: the public wrapper defaults to the
+    reference-parity bucket_length=2.0; 'auto' opts into density scaling;
+    the auto path survives an empty df_a and NULL feature rows (both
+    previously raised at the dim probe / shifted the s90 order
+    statistic); approx_spread swaps the global sort for approxQuantile."""
+    from pyspark.ml.linalg import Vectors
+
+    from scabillmatch_spark.ml.lsh import brp_similarity_join
+
+    import inspect
+
+    assert inspect.signature(brp_similarity_join).parameters["bucket_length"].default == 2.0
+
+    rows = [(i, Vectors.dense([float(i), float(i)])) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "features"])
+    for kw in (
+        {"bucket_length": "auto"},
+        {"bucket_length": "auto", "approx_spread": True},
+    ):
+        out = brp_similarity_join(df, None, "id", dist_threshold=2.0, **kw)
+        got = out.collect()
+        assert len(got) > 0
+        assert all(abs(r.pk1 - r.pk2) <= 1 for r in got)  # dist-verified join
+
+    empty = spark.createDataFrame([], df.schema)
+    assert (
+        brp_similarity_join(empty, None, "id", bucket_length="auto").count() == 0
+    )
+
+    # a NULL feature row must not shift the auto bucket length: the join
+    # over the non-null rows is unchanged (Spark ML itself rejects NULLs
+    # at fit time, so drop it before the join)
+    with_null = df.union(
+        spark.createDataFrame([(999, None)], df.schema)
+    ).filter(F.col("features").isNotNull())
+    a = {(r.pk1, r.pk2) for r in brp_similarity_join(df, None, "id", bucket_length="auto", dist_threshold=2.0).collect()}
+    b = {(r.pk1, r.pk2) for r in brp_similarity_join(with_null, None, "id", bucket_length="auto", dist_threshold=2.0).collect()}
+    assert a == b
