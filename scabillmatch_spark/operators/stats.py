@@ -507,7 +507,7 @@ def spearman_corr(
     avg rank = rank() + (t - 1)/2 with rank() the min-rank and t the
     tie-group size — two window functions per variable, no join. Every
     rank is an exact dyadic half-integer <= n, so all five Pearson sums
-    are exact dyadic doubles with partial sums << 2^53 (the
+    are exact dyadic doubles while their partial sums stay << 2^53 (the
     Mann-Whitney exactness class — no DECIMAL ceremony); the n·Σ
     products can exceed 2^53 but multiply IDENTICAL exact operands on
     both engines, so rounding is identical (cross-engine equality is
@@ -516,10 +516,18 @@ def spearman_corr(
     Guards: zero variance on either side (all values tied) -> empty
     typed frame — rho is undefined (the acf/pareto definedness
     convention). NULLs in either column are filtered (rank placement of
-    NULL differs between engines). Scale caveat: the rank windows are
-    UNPARTITIONED over the input rows — the gini/rfm bounded-scale
-    audit form; at 100 TB rank on approx-quantile bucket boundaries
-    first."""
+    NULL differs between engines). BOUNDED-SCALE form, two binding
+    limits (r14 ADVICE): (1) the rank windows are UNPARTITIONED over
+    the input rows — the gini/rfm audit-form constraint, binding first
+    in practice; (2) the exactness claim itself expires near n ~ 3e5:
+    Σ(rx·ry) grows ~n³/3 and leaves the exact-dyadic double envelope at
+    2^53, after which Spark's partition-order-dependent partial-sum
+    rounding can diverge from DuckDB's single-threaded sum and flake a
+    cross-engine gate. DECIMAL operands only buy ~4x (n·Σ then
+    overflows the 38-digit multiply width both engines cap at), so the
+    honest contract is n <= ~1e5: plenty for the screen's audit use; at
+    100 TB rank on approx-quantile bucket boundaries first, which
+    re-bounds both limits at once."""
     from pyspark.sql import Window
 
     s = df.filter(

@@ -1552,3 +1552,50 @@ def test_theil_index_python_mirror(spark):
     }
     assert got["even"][1] == 0.0 and math.copysign(1, got["even"][1]) == 1.0
     assert got["whale"][1] > 1.0
+
+
+def test_rfm_approx_cuts_scale_path(spark):
+    """The r15 scale path (KS bins= precedent): approx_cuts=True scores
+    via approx-quantile cut literals — no global window. Pins: valid
+    score range, per-key monotonicity, and +/-1 agreement with exact
+    ntile on keys untied in the per-user frame (tie groups land whole
+    in one bucket by design, so only untied keys are +/-1-comparable)."""
+    from scabillmatch_spark.operators.analytics import rfm_scores
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = rfm_scores(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    approx = rfm_scores(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", approx_cuts=True
+    ).collect()
+    assert len(exact) == len(approx) > 0
+    ea = {r.o_custkey: r for r in exact}
+    ap = {r.o_custkey: r for r in approx}
+    assert set(ea) == set(ap)
+    for r in approx:
+        for s in (r.r_score, r.f_score, r.m_score):
+            assert 1 <= s <= 4
+    # monotonicity: strictly smaller recency never gets a worse bucket
+    by_rec = sorted(approx, key=lambda r: r.recency_days)
+    for a, b in zip(by_rec, by_rec[1:]):
+        if a.recency_days < b.recency_days:
+            assert a.r_score <= b.r_score
+    by_mon = sorted(approx, key=lambda r: -r.monetary)
+    for a, b in zip(by_mon, by_mon[1:]):
+        if a.monetary > b.monetary:
+            assert a.m_score <= b.m_score
+    # +/-1 vs exact ntile on untied keys per dimension
+    from collections import Counter
+
+    for key, a_field in (
+        ("recency_days", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        counts = Counter(getattr(r, key) for r in exact)
+        untied = [u for u, r in ea.items() if counts[getattr(r, key)] == 1]
+        assert untied, f"no untied {key} values to compare"
+        for u in untied:
+            d = abs(getattr(ea[u], a_field) - getattr(ap[u], a_field))
+            assert d <= 1, f"{key} user {u}: exact={getattr(ea[u], a_field)} approx={getattr(ap[u], a_field)}"
