@@ -44,6 +44,8 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _orders_benford_digits_oracle, _events_hourly_acf_oracle,
     _nation_supplier_hhi_oracle, _events_mannwhitney_oracle,
     _customer_order_spearman_oracle, _doc_cms_heavy_hitters_oracle,
+    _events_kruskal_wallis_oracle, _events_cusum_drift_oracle,
+    _nation_revenue_atkinson_oracle, _events_hour_uniformity_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5406,6 +5408,87 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "event_id", "ts")
     return burstiness_profile(ev)
+
+
+def q_events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types on value
+    (operators/stats.kruskal_wallis): the k-sample generalization of the
+    Mann-Whitney row — one omnibus rank test instead of k² pairwise
+    U's. Average ranks from per-value integer counts (exact dyadic
+    halves, the spearman/MWU class), R_g² on identical exact operands,
+    tie-corrected by the MWU integer tie mass; h/h_tie_corrected get
+    round(6)+0.0. One (v,g) count shuffle + one cumulative window over
+    pooled distinct values (bounded-scale audit form). NOT registered:
+    banked spare (r15); pre-validated in
+    tests/test_analytics.py::test_kruskal_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return kruskal_wallis(ev, value_col="value", group_col="event_type")
+
+
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift CUSUM over the (ts, event_id)-ordered value stream
+    (operators/analytics.cusum_drift): S_i = Σ(x_j − mean) prefix sums
+    whose excursion range measures drift and whose first rounded-|S|
+    max locates the change point — the sequential complement of the
+    KS/MWU screens. mean from a DECIMAL(38,6) order-free sum; prefix
+    sums bit-identical because BOTH engines sum in the pinned total
+    order (order-dependence as contract, not hazard); round-before-rank
+    on at_pos. NOT registered: banked spare (r15); pre-validated in
+    tests/test_analytics.py::test_cusum_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import cusum_drift
+
+    ev = _t(spark, sf_dir, "events").select("value", "ts", "event_id")
+    return cusum_drift(ev)
+
+
+def q_nation_revenue_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Atkinson(ε=1) inequality of supplier revenue
+    (operators/stats.atkinson_index): 1 − geomean/mean — the normative
+    member completing the inequality quartet with gini/theil/HHI (same
+    supplier-revenue frame as the HHI row: tpch exact-DECIMAL
+    discounted-price sum, ONE cast to double per supplier, broadcast
+    dims). Positive-support form (x <= 0 excluded and counted —
+    documented deviation from the degenerate textbook A=1-on-any-zero).
+    Σ ln x rides the zipf round(6) precedent. NOT registered: banked
+    spare (r15); pre-validated in
+    tests/test_analytics.py::test_atkinson_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import atkinson_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(38,8)")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(disc_price).cast("double").alias("revenue")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        srev.join(F.broadcast(sup), srev["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "revenue")
+    )
+    return atkinson_index(joined, "n_name", "revenue")
+
+
+def q_events_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day uniformity G-test over events
+    (operators/analytics.hour_uniformity_g): goodness-of-fit of the
+    event stream against the uniform 24-hour law — the fixed-law
+    complement of the two-corpus keyness G2 row. Hour ids via
+    floor(epoch_us/3.6e9) % 24 (the hourly_acf FLOOR convention — bare
+    double->int casts truncate on Spark, round on DuckDB); unobserved
+    hours contribute 0 (no grid); dof fixed at 23 by convention. One
+    <= 24-row count agg at any corpus size. NOT registered: banked
+    spare (r15); pre-validated in
+    tests/test_analytics.py::test_hour_uniformity_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import hour_uniformity_g
+
+    ev = _t(spark, sf_dir, "events").select("ts")
+    return hour_uniformity_g(ev)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

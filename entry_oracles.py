@@ -3924,3 +3924,166 @@ def _doc_cms_heavy_hitters_oracle() -> str:
                              AS UBIGINT)::BIGINT % 256
         GROUP BY t.term, t.cnt_exact
     """
+
+
+def _events_kruskal_wallis_oracle() -> str:
+    """Oracle for the (unregistered) Kruskal-Wallis query: per-value
+    integer counts, average ranks as cum_below + (cv+1)/2 (exact dyadic
+    halves — the MWU/spearman class), R_g sums of exact products, the
+    MWU integer tie mass, H and the tie-corrected H mirrored
+    operand-for-operand with round(6)+0.0, the k>=2 / n>=2 / C<>0
+    definedness filters matching the Spark guards."""
+    return """
+        WITH s AS (
+            SELECT value AS v, event_type AS g FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        pvg AS (
+            SELECT v, g, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v, g
+        ),
+        pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM pvg GROUP BY v),
+        pr AS (
+            SELECT v, cv,
+                   CAST(sum(cv) OVER (ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - cv AS DOUBLE)
+                   + (CAST(cv AS DOUBLE) + 1.0) / 2.0 AS rv
+            FROM pv
+        ),
+        pg AS (
+            SELECT g, sum(CAST(c AS DOUBLE) * rv) AS rg,
+                   CAST(sum(c) AS BIGINT) AS ng
+            FROM pvg JOIN pr USING (v) GROUP BY g
+        ),
+        tt AS (
+            SELECT sum(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)
+                       * CAST(cv AS DOUBLE) - CAST(cv AS DOUBLE)) AS t
+            FROM pv
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(ng) AS BIGINT) AS n,
+                   sum(rg * rg / CAST(ng AS DOUBLE)) AS srr
+            FROM pg
+        )
+        SELECT k, n,
+               (ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                      * srr - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
+                + 0.0) AS h,
+               (ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                       * srr - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                      / (1.0 - t / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+                      6)
+                + 0.0) AS h_tie_corrected
+        FROM tot, tt
+        WHERE k >= 2 AND n >= 2
+          AND (1.0 - t / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) <> 0.0
+    """
+
+
+def _events_cusum_drift_oracle() -> str:
+    """Oracle for the (unregistered) CUSUM query: mean from the
+    DECIMAL(38,6) order-free sum cast to double once; prefix terms
+    QUANTIZED to DECIMAL(38,6) so the running sums are exact decimal
+    arithmetic (associative — immune to either engine's window
+    summation order, e.g. DuckDB segment trees); round-before-rank on
+    at_pos; round(6)+0.0 on the signed outputs."""
+    return """
+        WITH s AS (
+            SELECT CAST(value AS DOUBLE) AS x, ts, event_id FROM events
+            WHERE value IS NOT NULL
+        ),
+        h AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx
+            FROM s
+        ),
+        cs AS (
+            SELECT row_number() OVER (ORDER BY ts ASC, event_id ASC) AS pos,
+                   CAST(sum(CAST(x - (SELECT sx / n FROM h) AS DECIMAL(38,6)))
+                       OVER (ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE) AS cusum
+            FROM s
+        ),
+        agg AS (
+            SELECT max(cusum) AS mx, min(cusum) AS mn,
+                   max(ROUND(abs(cusum), 6)) AS ma
+            FROM cs
+        )
+        SELECT (SELECT n FROM h) AS n,
+               (ROUND((SELECT sx / n FROM h), 6) + 0.0) AS mean,
+               (ROUND(mx, 6) + 0.0) AS s_max,
+               (ROUND(mn, 6) + 0.0) AS s_min,
+               (ROUND(mx - mn, 6) + 0.0) AS s_range,
+               (SELECT CAST(min(pos) AS BIGINT) FROM cs
+                WHERE ROUND(abs(cusum), 6) = (SELECT ma FROM agg)) AS at_pos
+        FROM agg
+        WHERE (SELECT n FROM h) > 0
+    """
+
+
+def _nation_revenue_atkinson_oracle() -> str:
+    """Oracle for the (unregistered) Atkinson query: the HHI oracle's
+    exact-DECIMAL per-supplier revenue CTE verbatim, positive-support
+    filter, 1 - exp(mean-ln)/mean mirrored operand-for-operand
+    (ln sums ride the zipf round(6) precedent), round(6)+0.0."""
+    return """
+        WITH srev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                        AS DECIMAL(38,8))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        j AS (
+            SELECT n.n_name, srev.revenue
+            FROM srev
+            JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        ),
+        pos AS (
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(sum(revenue) AS DOUBLE) AS sx,
+                   sum(ln(revenue)) AS sl
+            FROM j WHERE revenue > 0 GROUP BY n_name
+        ),
+        neg AS (
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_excluded
+            FROM j WHERE NOT (revenue > 0) GROUP BY n_name
+        )
+        SELECT p.n_name, p.n_pos,
+               COALESCE(neg.n_excluded, CAST(0 AS BIGINT)) AS n_excluded,
+               (ROUND(1.0 - exp(p.sl / CAST(p.n_pos AS DOUBLE))
+                            / (p.sx / CAST(p.n_pos AS DOUBLE)), 6)
+                + 0.0) AS atkinson
+        FROM pos p LEFT JOIN neg USING (n_name)
+    """
+
+
+def _events_hour_uniformity_oracle() -> str:
+    """Oracle for the (unregistered) hour-uniformity G-test: hour-of-day
+    ids via the hourly_acf FLOOR-never-cast convention, observed-cells
+    G sum (0·ln0 cells absent by construction), the fixed dof=23
+    stated as a literal, round(6)+0.0."""
+    return """
+        WITH per AS (
+            SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS h,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24
+        ),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM per)
+        SELECT (SELECT n FROM tot) AS n,
+               CAST(count(*) AS BIGINT) AS n_hours_observed,
+               (ROUND(2.0 * sum(CAST(o AS DOUBLE)
+                    * ln(CAST(o AS DOUBLE)
+                         / (CAST((SELECT n FROM tot) AS DOUBLE) / 24.0))), 6)
+                + 0.0) AS g2,
+               CAST(23 AS BIGINT) AS dof
+        FROM per
+        WHERE (SELECT n FROM tot) > 0
+    """

@@ -412,6 +412,154 @@ def benford_digits(
     )
 
 
+def cusum_drift(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mean-shift CUSUM screen over the time-ordered value stream ->
+    ONE row (n, mean, s_max, s_min, s_range, at_pos): S_i =
+    Σ_{j<=i}(x_j − mean) along the (ts, id) total order; a stable mean
+    keeps S near 0, a sustained level shift sends it on a one-way
+    excursion — s_range is the drift magnitude and at_pos (1-based
+    position of the first rounded-|S| maximum) locates the change
+    point. The sequential complement of the KS/MWU two-sample rows
+    (those need a hypothesized split; CUSUM finds one).
+
+    Exactness: mean = DECIMAL(38,6) order-free sum / n (descriptive-
+    stats precedent) cast to double once; each x_i − mean is an
+    identical double on both engines and is then QUANTIZED to
+    DECIMAL(38,6) before the prefix sum, so S_i is exact decimal
+    arithmetic — bit-identical regardless of either engine's window
+    summation internals (DuckDB may evaluate running frames via
+    segment trees, i.e. a different double-addition order; decimal
+    addition is associative so the hazard vanishes). The 1e-6
+    term quantization is part of the operator contract. at_pos via
+    round-before-rank: |S| rounded 6 first, first position wins ties.
+    s_max/s_min/s_range get round(6)+0.0 (S can land at tiny
+    negative-zero on exactly-balanced streams). NULL values filtered;
+    empty input -> empty typed frame. Scale: ONE unpartitioned ordered
+    window (the rfm/ks bounded-scale audit form — partition by day and
+    chain at 100 TB); two driver scalars (n+mean, then the max) in the
+    benford driver-scalar convention."""
+    from pyspark.sql import Window
+
+    s = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+    )
+    head = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).alias("sx"),
+    ).first()
+    n = int(head["n"] or 0)
+    if n == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "n long, mean double, s_max double, s_min double,"
+            " s_range double, at_pos long",
+        )
+    mean = float(head["sx"]) / n
+    w = Window.orderBy(F.asc("__ts"), F.asc("__id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = s.select(
+        F.row_number()
+        .over(Window.orderBy(F.asc("__ts"), F.asc("__id")))
+        .alias("pos"),
+        F.sum((F.col("x") - F.lit(mean)).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cusum"),
+    )
+    agg = cs.agg(
+        F.max("cusum").alias("mx"),
+        F.min("cusum").alias("mn"),
+        F.max(F.round(F.abs(F.col("cusum")), round_digits)).alias("ma"),
+    ).first()
+    at_pos = (
+        cs.filter(
+            F.round(F.abs(F.col("cusum")), round_digits)
+            == F.lit(float(agg["ma"]))
+        )
+        .agg(F.min("pos").cast("long").alias("p"))
+        .first()["p"]
+    )
+    return events.sparkSession.createDataFrame(
+        [(n, mean, float(agg["mx"]), float(agg["mn"]), int(at_pos))],
+        "n long, __mean double, __mx double, __mn double, __p long",
+    ).select(
+        "n",
+        (F.round("__mean", round_digits) + F.lit(0.0)).alias("mean"),
+        (F.round("__mx", round_digits) + F.lit(0.0)).alias("s_max"),
+        (F.round("__mn", round_digits) + F.lit(0.0)).alias("s_min"),
+        (F.round(F.col("__mx") - F.col("__mn"), round_digits) + F.lit(0.0)).alias(
+            "s_range"
+        ),
+        F.col("__p").alias("at_pos"),
+    )
+
+
+def hour_uniformity_g(
+    events: DataFrame,
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hour-of-day uniformity G-test -> ONE row (n, n_hours_observed,
+    g2, dof): are events uniformly spread over the 24 UTC hours?
+    G = 2·Σ_h o_h·ln(o_h/e) with e = n/24 — the goodness-of-fit
+    complement of the keyness G2 row (that one compares two corpora;
+    this one compares a stream to a fixed uniform law). Unobserved
+    hours contribute 0 (the 0·ln 0 convention shared with theil/JS),
+    so no 24-row grid is materialized; dof is the FIXED 23 of the
+    uniform-law test, not hours_observed − 1 (stated convention, both
+    mirrors share it).
+
+    Hour ids are floor(epoch_us / 3.6e9) % 24 — FLOOR on both engines
+    (the hourly_acf precedent: bare double->int casts truncate on
+    Spark and round on DuckDB), epoch microseconds from the
+    read_table-normalized UTC instant. Exactness: integer counts, one
+    double division and ln per observed hour, a <= 24-term double sum
+    (far inside the chi2 ~100-term round(6) precedent), round(6)+0.0.
+    Plan: one map-side-combinable 24-row count agg at any corpus
+    size."""
+    per = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            (F.floor(F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)) % 24).alias(
+                "h"
+            )
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    tot = per.agg(F.sum("o").cast("long").alias("n")).first()["n"] or 0
+    if tot == 0:
+        return events.sparkSession.createDataFrame(
+            [], "n long, n_hours_observed long, g2 double, dof long"
+        )
+    e = float(tot) / 24.0
+    return per.agg(
+        F.lit(int(tot)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_hours_observed"),
+        (
+            F.round(
+                F.lit(2.0)
+                * F.sum(
+                    F.col("o").cast("double")
+                    * F.log(F.col("o").cast("double") / F.lit(e))
+                ),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("g2"),
+        F.lit(23).cast("long").alias("dof"),
+    )
+
+
 def hourly_acf1(
     events: DataFrame,
     type_col: str = "event_type",

@@ -725,6 +725,177 @@ def chi2_independence(
     )
 
 
+def kruskal_wallis(
+    events,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test (one-way ANOVA on ranks) across the groups
+    of ``group_col`` -> ONE row (k, n, h, h_tie_corrected): the
+    k-sample generalization of the Mann-Whitney row — does at least one
+    group's ``value_col`` distribution stochastically dominate? —
+    H = 12/(n(n+1))·Σ_g R_g²/n_g − 3(n+1) over average-rank sums R_g,
+    tie-corrected by C = 1 − Σ(t³−t)/(n³−n).
+
+    Exactness (the spearman/MWU class): per-value integer counts; the
+    average rank of a pooled distinct value v is cum_below(v) +
+    (c_v+1)/2 — an exact dyadic half-integer; R_g = Σ c_{g,v}·r_v sums
+    exact dyadic terms with partial sums << 2^53, so R_g is exact and
+    order-free. R_g² multiplies IDENTICAL exact operands on both
+    engines; Σ_g over k (handfuls of) groups rides the chi2 ~100-term
+    round(6) precedent; h and h_tie_corrected get round(6)+0.0.
+    Σ(t³−t) is the MWU exact-integer tie mass.
+
+    Guards: NULL values/groups filtered (engine NULL-order divergence);
+    k < 2 -> empty typed frame (H undefined); C == 0 (every pooled
+    value identical — one tie group of size n) -> empty frame (the
+    MWU zero-sigma convention). Scale shape: one (v, g) count shuffle,
+    one (v) rollup, one cumulative window over pooled DISTINCT values
+    (unpartitioned — the ks/MWU bounded-scale caveat), one broadcast
+    (v)-join of per-value ranks onto per-(v,g) counts, one final agg."""
+    from pyspark.sql import Window
+
+    s = events.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
+    pvg = s.groupBy("v", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pv = pvg.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    w = Window.orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pv = pv.select(
+        "v",
+        "cv",
+        (
+            (F.sum("cv").over(w) - F.col("cv")).cast("double")
+            + (F.col("cv").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("rv"),
+    )
+    per_g = (
+        pvg.join(F.broadcast(pv), "v")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("c").cast("double") * F.col("rv")).alias("rg"),
+            F.sum("c").cast("long").alias("ng"),
+        )
+    )
+    ties = pv.agg(
+        F.sum(
+            F.col("cv").cast("double") * F.col("cv").cast("double")
+            * F.col("cv").cast("double")
+            - F.col("cv").cast("double")
+        ).alias("tt")
+    ).first()["tt"]
+    rows = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(
+            F.col("rg") * F.col("rg") / F.col("ng").cast("double")
+        ).alias("srr"),
+    ).first()
+    k, n = int(rows["k"] or 0), int(rows["n"] or 0)
+    empty_schema = "k long, n long, h double, h_tie_corrected double"
+    if k < 2 or n < 2:
+        return events.sparkSession.createDataFrame([], empty_schema)
+    c_corr = 1.0 - float(ties) / (float(n) ** 3 - float(n))
+    if c_corr == 0.0:
+        return events.sparkSession.createDataFrame([], empty_schema)
+    # h from the exact srr scalar — one python float expression chain,
+    # mirrored term-for-term by the oracle's SQL arithmetic
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(k, n, float(rows["srr"]), float(ties))],
+        "k long, n long, __srr double, __tt double",
+    ).select(
+        "k",
+        "n",
+        (
+            F.round(
+                F.lit(12.0) / (F.lit(float(n)) * (F.lit(float(n)) + F.lit(1.0)))
+                * F.col("__srr")
+                - F.lit(3.0) * (F.lit(float(n)) + F.lit(1.0)),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("h"),
+        (
+            F.round(
+                (
+                    F.lit(12.0)
+                    / (F.lit(float(n)) * (F.lit(float(n)) + F.lit(1.0)))
+                    * F.col("__srr")
+                    - F.lit(3.0) * (F.lit(float(n)) + F.lit(1.0))
+                )
+                / (
+                    F.lit(1.0)
+                    - F.col("__tt")
+                    / (
+                        F.lit(float(n)) * F.lit(float(n)) * F.lit(float(n))
+                        - F.lit(float(n))
+                    )
+                ),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("h_tie_corrected"),
+    )
+
+
+def atkinson_index(
+    df,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Atkinson inequality index at ε=1 -> (group_col, n_pos,
+    atkinson): A = 1 − geomean(x)/mean(x), the welfare-theoretic member
+    completing the inequality quartet — gini (rank form), theil
+    (information form), HHI (moment form), Atkinson (normative form
+    with an explicit inequality-aversion parameter; ε=1 weights
+    transfers at the bottom of the distribution most). POSITIVE-SUPPORT
+    form: x <= 0 rows are EXCLUDED and counted in n_excluded (the
+    textbook A=1-whenever-any-zero convention makes the index a
+    constant on any corpus with one zero — useless as a screen;
+    documented deviation, the mirrors share it).
+
+    Exactness: mean from the UNCAST input sum cast to double once (the
+    theil operand convention); Σ ln x is an order-free-enough double
+    sum under the zipf vocab-wide-ln round(6) precedent, and
+    exp((Σln x)/n) amplifies a sum ulp only multiplicatively (~1e-12
+    relative) — round(6)+0.0 on the index. Plan: one group agg —
+    exchanges carry (group, double) only."""
+    vals = df.select(group_col, F.col(value_col).alias("__xr"))
+    pos = vals.filter(F.col("__xr") > 0)
+    agg = pos.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("__xr").cast("double").alias("__sx"),
+        F.sum(F.log(F.col("__xr").cast("double"))).alias("__sl"),
+    )
+    neg = vals.filter(~(F.col("__xr") > 0)).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_excluded")
+    )
+    nn = F.col("n_pos").cast("double")
+    return (
+        agg.join(F.broadcast(neg), group_col, "left")
+        .select(
+            group_col,
+            "n_pos",
+            F.coalesce(F.col("n_excluded"), F.lit(0).cast("long")).alias(
+                "n_excluded"
+            ),
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.exp(F.col("__sl") / nn) / (F.col("__sx") / nn),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("atkinson"),
+        )
+    )
+
+
 def theil_index(
     df,
     group_col: str,

@@ -1599,3 +1599,92 @@ def test_rfm_approx_cuts_scale_path(spark):
         for u in untied:
             d = abs(getattr(ea[u], a_field) - getattr(ap[u], a_field))
             assert d <= 1, f"{key} user {u}: exact={getattr(ea[u], a_field)} approx={getattr(ap[u], a_field)}"
+
+
+def test_kruskal_query_matches_oracle(spark):
+    """Banked-row pre-validation (r15): the unregistered
+    q_events_kruskal_wallis matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 15)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_kruskal_wallis,
+        entrymod._events_kruskal_wallis_oracle(),
+    )
+
+
+def test_cusum_query_matches_oracle(spark):
+    """Banked-row pre-validation (r15): the unregistered
+    q_events_cusum_drift matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 15)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_cusum_drift,
+        entrymod._events_cusum_drift_oracle(),
+    )
+
+
+def test_atkinson_query_matches_oracle(spark):
+    """Banked-row pre-validation (r15): the unregistered
+    q_nation_revenue_atkinson matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 15)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_nation_revenue_atkinson,
+        entrymod._nation_revenue_atkinson_oracle(),
+    )
+
+
+def test_hour_uniformity_query_matches_oracle(spark):
+    """Banked-row pre-validation (r15): the unregistered
+    q_events_hour_uniformity matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 15)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_hour_uniformity,
+        entrymod._events_hour_uniformity_oracle(),
+    )
+
+
+def test_kruskal_guards(spark):
+    """k < 2 and all-tied inputs return empty typed frames (H undefined)."""
+    from scabillmatch_spark.operators.stats import kruskal_wallis
+
+    one_group = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a")], "value double, event_type string"
+    )
+    assert kruskal_wallis(one_group).count() == 0
+    all_tied = spark.createDataFrame(
+        [(5.0, "a"), (5.0, "b"), (5.0, "b")], "value double, event_type string"
+    )
+    assert all_tied.count() == 3
+    assert kruskal_wallis(all_tied).count() == 0
+    empty = spark.createDataFrame([], "value double, event_type string")
+    assert kruskal_wallis(empty).count() == 0
+
+
+def test_cusum_locates_planted_shift(spark):
+    """A level shift planted mid-stream must put at_pos at the shift
+    boundary region and s_range near n/2 * shift/2."""
+    from scabillmatch_spark.operators.analytics import cusum_drift
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (float(0 if i < 50 else 10), base + datetime.timedelta(seconds=i), i)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "value double, ts timestamp, event_id long")
+    out = cusum_drift(df).collect()[0]
+    assert out.n == 100 and abs(out.mean - 5.0) < 1e-9
+    # S descends to its extreme exactly at the change point (pos 50)
+    assert out.at_pos == 50
+    assert abs(out.s_range - 250.0) < 1e-6
+    assert cusum_drift(df.filter("value IS NULL")).count() == 0

@@ -179,6 +179,14 @@ _BANKED_PREVALIDATED = [
     # r14 spare #20: Count-Min Sketch heavy hitters (fully value-oracled
     # frequency sketch — md5-derived hashes, identical counters both engines)
     "q_doc_cms_heavy_hitters",
+    # r15 additions (spares #21-#24): Kruskal-Wallis H (k-sample rank
+    # omnibus), CUSUM mean-shift drift (decimal-quantized prefix sums),
+    # Atkinson inequality index (normative member of the quartet),
+    # hour-of-day uniformity G-test (fixed-law goodness of fit)
+    "q_events_kruskal_wallis",
+    "q_events_cusum_drift",
+    "q_nation_revenue_atkinson",
+    "q_events_hour_uniformity",
 ]
 
 
