@@ -798,7 +798,10 @@ def kruskal_wallis(
     empty_schema = "k long, n long, h double, h_tie_corrected double"
     if k < 2 or n < 2:
         return events.sparkSession.createDataFrame([], empty_schema)
-    c_corr = 1.0 - float(ties) / (float(n) ** 3 - float(n))
+    # repeated multiplication, NOT **3: pow() may differ from n*n*n by an
+    # ulp past 2^53, and this guard must agree bit-for-bit with the
+    # oracle's n*n*n - n denominator on the all-tied (C == 0) edge
+    c_corr = 1.0 - float(ties) / (float(n) * float(n) * float(n) - float(n))
     if c_corr == 0.0:
         return events.sparkSession.createDataFrame([], empty_schema)
     # h from the exact srr scalar — one python float expression chain,
