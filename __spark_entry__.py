@@ -2818,9 +2818,10 @@ def q_emb_brp_euclidean_join(
     are driver scalars (the g2/weighted-pagerank precedent); the exact
     order-statistic sort is one narrow double column — at 100 TB swap in
     an approx-quantile cut (rfm/pareto caveat class). The ml-wrapper
-    twin (ml.lsh.brp_similarity_join) gains the same density-scaled
-    bucket length as its bucket_length=None default; recall-tested in
-    tests/test_ann.py.
+    twin (ml.lsh.brp_similarity_join) offers the same density scaling
+    OPT-IN via bucket_length='auto' (+ approx_spread=True for the GK
+    spread); its default is the reference-parity 2.0 (r15 ADVICE
+    close); recall-tested in tests/test_ann.py.
 
     r13 sizing retained (interleaved min-of-3 A/B, tools_brp_ab.py:
     2.86 s -> 1.34 s at sf0.1, values identical): the bucket frame is

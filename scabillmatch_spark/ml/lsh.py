@@ -121,10 +121,14 @@ def brp_similarity_join(
     the registered native twin (q_emb_brp_euclidean_join, which
     additionally AND-composes 2 projections per table — stock
     BucketedRandomProjectionLSH cannot compose, so this wrapper scales
-    L only). NULL feature rows are dropped from the spread probe (Spark
-    sorts NULLs first, which would shift the order statistic); they
-    still flow to the LSH fit/join below, where Spark ML rejects them
-    with its own typed error."""
+    L only). NULL feature rows are DROPPED from both join sides (the
+    registered twin's guard): a NULL vector can never satisfy a
+    distance threshold, Spark ML's LSH.fit rejects it with an opaque
+    error, and left in the auto path's spread probe it would shift the
+    s90 order statistic (Spark sorts NULLs first)."""
+    df_a = df_a.filter(F.col(features_col).isNotNull())
+    if df_b is not None:
+        df_b = df_b.filter(F.col(features_col).isNotNull())
     if bucket_length is None or bucket_length == "auto":
         import hashlib
         import math
@@ -159,7 +163,6 @@ def brp_similarity_join(
                         StructField("pk1", idt),
                         StructField("pk2", idt),
                         StructField("dist", DoubleType()),
-                        StructField("similarity", DoubleType()),
                     ]
                 ),
             )

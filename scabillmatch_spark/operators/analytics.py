@@ -198,8 +198,13 @@ def rfm_scores(
     bucketing), and (b) boundary users within the sketch's rel_err rank
     band. The property test pins: valid score range, monotone
     non-decreasing score in each key, and +/-1 agreement with exact
-    ntile on keys untied in the frame.
-    """
+    ntile on keys untied in the frame. The per-user frame is PERSISTED
+    across the approxQuantile probe and the caller's action (it is far
+    smaller than the orders scan + rollup it saves repeating — house
+    persist rule); the returned plan references it, so the cache entry
+    lives until the caller's action + LRU (the winnow/cooccur internal-
+    persist family; callers running repeated timed trials should
+    clearCache between them, tests/verify gotchas doc)."""
     from pyspark.sql import Window
 
     per = orders.groupBy(F.col(user_col).alias("__u")).agg(
@@ -217,6 +222,7 @@ def rfm_scores(
         "monetary",
     )
     if approx_cuts:
+        per = per.persist()
         probs = [i / buckets for i in range(1, buckets)]
         cuts = per.select(
             F.col("recency_days").cast("double").alias("__r"),
@@ -466,6 +472,11 @@ def cusum_drift(
     w = Window.orderBy(F.asc("__ts"), F.asc("__id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # persisted across the max/min agg and the at_pos locate: the (pos,
+    # cusum) frame is two narrow columns, far smaller than the O(n log n)
+    # global window sort it would otherwise repeat (house persist rule);
+    # the returned frame is a local 1-row createDataFrame, so the cache
+    # is fully released before return — no caller-visible leak
     cs = s.select(
         F.row_number()
         .over(Window.orderBy(F.asc("__ts"), F.asc("__id")))
@@ -474,7 +485,7 @@ def cusum_drift(
         .over(w)
         .cast("double")
         .alias("cusum"),
-    )
+    ).persist()
     agg = cs.agg(
         F.max("cusum").alias("mx"),
         F.min("cusum").alias("mn"),
@@ -488,6 +499,7 @@ def cusum_drift(
         .agg(F.min("pos").cast("long").alias("p"))
         .first()["p"]
     )
+    cs.unpersist()
     return events.sparkSession.createDataFrame(
         [(n, mean, float(agg["mx"]), float(agg["mn"]), int(at_pos))],
         "n long, __mean double, __mx double, __mn double, __p long",
@@ -525,8 +537,10 @@ def hour_uniformity_g(
     double division and ln per observed hour, a <= 24-term double sum
     (far inside the chi2 ~100-term round(6) precedent), round(6)+0.0.
     Plan: one map-side-combinable 24-row count agg at any corpus
-    size."""
-    per = (
+    size — collected once and rebuilt locally (the benford census
+    pattern), so the input scan runs exactly once and nothing stays
+    cached."""
+    rows = (
         events.filter(F.col(ts_col).isNotNull())
         .select(
             (F.floor(F.unix_micros(F.col(ts_col)) / F.lit(3_600_000_000)) % 24).alias(
@@ -535,12 +549,16 @@ def hour_uniformity_g(
         )
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .collect()
     )
-    tot = per.agg(F.sum("o").cast("long").alias("n")).first()["n"] or 0
+    tot = sum(r["o"] for r in rows)
     if tot == 0:
         return events.sparkSession.createDataFrame(
             [], "n long, n_hours_observed long, g2 double, dof long"
         )
+    per = events.sparkSession.createDataFrame(
+        [(r["h"], r["o"]) for r in rows], "h long, o long"
+    )
     e = float(tot) / 24.0
     return per.agg(
         F.lit(int(tot)).cast("long").alias("n"),

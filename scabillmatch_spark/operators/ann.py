@@ -75,17 +75,20 @@ def _kmeans_fit_driver(
             cents.append(X[i])
             d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
         C = np.stack(cents)
-        D = None
         for _ in range(iters):
             D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
             assign = D.argmin(axis=1)
             newC = C.copy()
+            # empty clusters reseed to DISTINCT farthest points — a shared
+            # argmax would give simultaneously-empty clusters the same
+            # centroid forever, silently shrinking effective k
+            far_order = iter(np.argsort(-D[np.arange(n), assign]))
             for j in range(k):
                 pts = X[assign == j]
                 if len(pts):
                     newC[j] = pts.mean(axis=0)
                 else:
-                    newC[j] = X[int(D[np.arange(n), assign].argmax())]
+                    newC[j] = X[int(next(far_order))]
             if np.array_equal(newC, C):
                 break
             C = newC
@@ -145,10 +148,16 @@ def ivf_index(
         base = _with_vec(emb, vec_col).select(
             F.col(id_col).alias("__id"), "__v", unit.alias("__u")
         )
+        # zero-norm vectors are excluded from the FIT sample (their unit
+        # vector is undefined and the __u division would raise under
+        # Spark 4 ANSI); they still get assigned below — _argmin_cell_unit
+        # never materializes a unit vector, so |v| = 0 rows land in cell 0
         sample = [
             r["__u"]
             for r in _md5_rank_sample(
-                base.filter(F.col("__v").isNotNull()), "__id", fit_sample
+                base.filter(F.col("__v").isNotNull() & (norm > 0)),
+                "__id",
+                fit_sample,
             ).select("__u").collect()
         ]
         cents = _kmeans_fit_driver(sample, n_cells, iters=10, seed=seed)

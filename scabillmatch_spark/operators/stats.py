@@ -750,7 +750,8 @@ def kruskal_wallis(
     Guards: NULL values/groups filtered (engine NULL-order divergence);
     k < 2 -> empty typed frame (H undefined); C == 0 (every pooled
     value identical — one tie group of size n) -> empty frame (the
-    MWU zero-sigma convention). Scale shape: one (v, g) count shuffle,
+    MWU zero-sigma convention). Scale shape: ONE (v, g) count shuffle
+    (persisted across the two scalar actions, released before return),
     one (v) rollup, one cumulative window over pooled DISTINCT values
     (unpartitioned — the ks/MWU bounded-scale caveat), one broadcast
     (v)-join of per-value ranks onto per-(v,g) counts, one final agg."""
@@ -759,7 +760,15 @@ def kruskal_wallis(
     s = events.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
-    pvg = s.groupBy("v", "g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # persisted across the tie-mass agg and the k/n/srr agg (two driver
+    # actions): the (v, g, c) census is tiny next to the input scan +
+    # count shuffle it saves repeating (house persist rule); released
+    # before return — the result is a local 1-row frame, no leak
+    pvg = (
+        s.groupBy("v", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
     pv = pvg.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
     w = Window.orderBy(F.asc("v")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -794,6 +803,7 @@ def kruskal_wallis(
             F.col("rg") * F.col("rg") / F.col("ng").cast("double")
         ).alias("srr"),
     ).first()
+    pvg.unpersist()
     k, n = int(rows["k"] or 0), int(rows["n"] or 0)
     empty_schema = "k long, n long, h double, h_tie_corrected double"
     if k < 2 or n < 2:

@@ -1561,8 +1561,9 @@ def test_rfm_approx_cuts_scale_path(spark):
     ntile on keys untied in the per-user frame (tie groups land whole
     in one bucket by design, so only untied keys are +/-1-comparable)."""
     from scabillmatch_spark.operators.analytics import rfm_scores
+    from scabillmatch_spark.io.sources import read_table
 
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
     exact = rfm_scores(
         orders, "o_custkey", "o_orderdate", "o_totalprice"
     ).collect()

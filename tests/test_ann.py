@@ -188,12 +188,37 @@ def test_brp_wrapper_auto_and_guards(spark):
         brp_similarity_join(empty, None, "id", bucket_length="auto").count() == 0
     )
 
-    # a NULL feature row must not shift the auto bucket length: the join
-    # over the non-null rows is unchanged (Spark ML itself rejects NULLs
-    # at fit time, so drop it before the join)
-    with_null = df.union(
-        spark.createDataFrame([(999, None)], df.schema)
-    ).filter(F.col("features").isNotNull())
+    # a NULL feature row must change nothing: the wrapper drops NULL
+    # features from both join sides (r15 — a NULL can never match, and
+    # unfiltered it would shift the auto path's s90 spread statistic).
+    # The NULL row is passed IN here, not pre-filtered — the wrapper owns
+    # the guard.
+    with_null = df.union(spark.createDataFrame([(999, None)], df.schema))
     a = {(r.pk1, r.pk2) for r in brp_similarity_join(df, None, "id", bucket_length="auto", dist_threshold=2.0).collect()}
     b = {(r.pk1, r.pk2) for r in brp_similarity_join(with_null, None, "id", bucket_length="auto", dist_threshold=2.0).collect()}
     assert a == b
+
+
+def test_ivf_zero_vector_tolerated(spark):
+    """A zero-norm vector must not crash the sampled fit (excluded from
+    the fit sample — its unit vector is undefined and the division
+    raises under ANSI) and must still receive a cell assignment."""
+    rows = [(i, [float(i % 7 + 1), float(i % 3)]) for i in range(30)]
+    rows.append((99, [0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = ann.ivf_index(df, "vec_id", "embedding", n_cells=4)
+    got = {r["__id"]: r["cell"] for r in assigned.collect()}
+    assert len(got) == 31
+    assert got[99] == 0  # documented: |v| = 0 lands in cell 0
+
+
+def test_kmeans_driver_distinct_empty_reseeds():
+    """Simultaneously-empty clusters must reseed to DISTINCT points —
+    a shared argmax would collapse them into duplicate centroids."""
+    import numpy as np
+
+    # 3 distinct points, k=3: any empty-cluster reseed path must still
+    # end with 3 distinct centroids
+    X = np.array([[0.0], [10.0], [20.0]] * 5)
+    C = ann._kmeans_fit_driver(X, 3, iters=10, seed=5)
+    assert len({tuple(c) for c in C}) == 3
