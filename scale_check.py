@@ -264,13 +264,18 @@ def text_scoring_times(spark, docs: dict) -> tuple[dict, dict, dict]:
 
 def curation2_times(spark, docs: dict) -> tuple[dict, dict, dict]:
     """Substring-rewrite / phrase-search / MinHash-audit on the 1x/2x/4x
-    copies (r12 banked ops). Phrase terms are per-copy-prefixed and one
-    search runs per copy (a single-copy phrase would stop matching past
-    copy 1 and measure a no-op); total phrase work across the loop is
-    then ∝ corpus. Duplicate spans and banded audit collisions are
-    per-copy-internal (disjoint vocab), so both should track the corpus
-    near-linearly — super-linear audit growth flags the unigram-set
-    collision bug class (the 3.2M-pair measurement that rejected it)."""
+    copies (r12 banked ops). Phrase: ONE search of the copy-a phrase per
+    point (r15 fix) — the dominant cost is the tokenize+posexplode+
+    filter scan, which is ∝ corpus regardless of how many copies still
+    match, while the true-match set stays constant (copy-a docs exist at
+    every level), so the slope isolates the operator. The previous form
+    ran c searches at copy level c: c scans × c·n positions = a c²
+    HOOK-SHAPED cost that r15's full record misread as operator
+    superlinearity (1/2.13/4.64). Duplicate spans and banded audit
+    collisions are per-copy-internal (disjoint vocab), so both should
+    track the corpus near-linearly — super-linear audit growth flags
+    the unigram-set collision bug class (the 3.2M-pair measurement that
+    rejected it)."""
     from scabillmatch_spark.operators.dedup import minhash_estimate_audit
     from scabillmatch_spark.operators.retrieval import phrase_search
     from scabillmatch_spark.operators.substring import strip_duplicate_spans
@@ -283,9 +288,7 @@ def curation2_times(spark, docs: dict) -> tuple[dict, dict, dict]:
         ).collect()
 
     def phrase_run(c):
-        for i in range(c):
-            tag = "q" + chr(97 + i)
-            phrase_search(docs[c], [tag + "table", tag + "scan"]).count()
+        phrase_search(docs[c], ["qatable", "qascan"]).count()
 
     def audit_run(c):
         sets = docs[c].select(
