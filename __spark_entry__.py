@@ -46,6 +46,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _customer_order_spearman_oracle, _doc_cms_heavy_hitters_oracle,
     _events_kruskal_wallis_oracle, _events_cusum_drift_oracle,
     _nation_revenue_atkinson_oracle, _events_hour_uniformity_oracle,
+    _events_runs_test_oracle, _events_grubbs_test_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5473,6 +5474,38 @@ def q_nation_revenue_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "revenue")
     )
     return atkinson_index(joined, "n_name", "revenue")
+
+
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of value randomness over the
+    (ts, event_id)-ordered stream (operators/analytics.runs_test):
+    too few above/below-median runs = trending, too many = oscillating
+    — the independence screen complementing the CUSUM row (which sizes
+    a mean shift this test would first detect as non-randomness).
+    Lower-median split as an ORDER STATISTIC (s90 convention),
+    median-equal values excluded (stated tie convention), integer runs
+    from lag comparisons, z mirrored operand-for-operand with
+    round(6)+0.0. NOT registered: banked spare (r15); pre-validated in
+    tests/test_analytics.py::test_runs_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import runs_test
+
+    ev = _t(spark, sf_dir, "events").select("value", "ts", "event_id")
+    return runs_test(ev)
+
+
+def q_events_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs maximum-outlier test on event values
+    (operators/analytics.grubbs_test): G = max|x−mean|/sd — scores THE
+    single most extreme point against the normal-theory envelope,
+    complementing the MAD row's robust-fence sweep. DECIMAL(38,6)-
+    quantized moment sums (order-free), round-before-rank argmax id,
+    n<3 / zero-variance guards. One moment agg + one min-id agg, no
+    windows. NOT registered: banked spare (r15); pre-validated in
+    tests/test_analytics.py::test_grubbs_query_matches_oracle."""
+    from scabillmatch_spark.operators.analytics import grubbs_test
+
+    ev = _t(spark, sf_dir, "events").select("value", "event_id")
+    return grubbs_test(ev)
 
 
 def q_events_hour_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4087,3 +4087,98 @@ def _events_hour_uniformity_oracle() -> str:
         FROM per
         WHERE (SELECT n FROM tot) > 0
     """
+
+
+def _events_runs_test_oracle() -> str:
+    """Oracle for the (unregistered) runs-test query: lower median as
+    the ceil(n/2)-th smallest value (order statistic via row ordering
+    — the s90 convention), median-equal rows excluded, runs counted by
+    lag breaks along (ts, event_id), z mirrored operand-for-operand
+    ((r − (2·n1·n2/(n1+n2) + 1)) / sqrt(...)), round(6)+0.0, the
+    empty-class and zero-variance guards as WHERE filters."""
+    return """
+        WITH s AS (
+            SELECT CAST(value AS DOUBLE) AS x, ts, event_id FROM events
+            WHERE value IS NOT NULL
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        med AS (
+            SELECT x AS m FROM (
+                SELECT x, row_number() OVER (ORDER BY x ASC, event_id ASC) AS rn
+                FROM s
+            ) WHERE rn = (SELECT (n + 1) // 2 FROM tot)
+        ),
+        cls AS (
+            SELECT CASE WHEN x > (SELECT m FROM med) THEN 1 ELSE 0 END AS c,
+                   ts, event_id
+            FROM s WHERE x <> (SELECT m FROM med)
+        ),
+        runs AS (
+            SELECT c,
+                   CASE WHEN lag(c) OVER (ORDER BY ts ASC, event_id ASC)
+                             IS DISTINCT FROM c
+                        THEN 1 ELSE 0 END AS brk
+            FROM cls
+        ),
+        agg AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(c) AS BIGINT) AS n2,
+                   CAST(sum(brk) AS BIGINT) AS r
+            FROM runs
+        )
+        SELECT n1 AS n_above, n2 AS n_below, r AS runs,
+               (ROUND((CAST(r AS DOUBLE)
+                       - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+                      / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                   - 1.0))),
+                      6)
+                + 0.0) AS z
+        FROM agg
+        WHERE n1 >= 1 AND n2 >= 1 AND (2 * n1 * n2 - n1 - n2) > 0
+    """
+
+
+def _events_grubbs_test_oracle() -> str:
+    """Oracle for the (unregistered) Grubbs query: DECIMAL(38,6)-
+    quantized moment sums cast to double once (x squared BEFORE the
+    quantization so both engines square the identical double),
+    mean/var/sd/g mirrored operand-for-operand, round-before-rank on
+    the argmax id, n>=3 and var>0 guards."""
+    return """
+        WITH s AS (
+            SELECT CAST(value AS DOUBLE) AS x, event_id FROM events
+            WHERE value IS NOT NULL
+        ),
+        h AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+            FROM s
+        ),
+        m AS (
+            SELECT n, sx / n AS mean,
+                   (sxx - sx * sx / n) / (n - 1) AS var
+            FROM h
+        ),
+        g AS (
+            SELECT max(ROUND(abs(x - (SELECT mean FROM m))
+                             / sqrt((SELECT var FROM m)), 6)) AS gm
+            FROM s
+        )
+        SELECT (SELECT n FROM m) AS n,
+               (ROUND((SELECT mean FROM m), 6) + 0.0) AS mean,
+               ROUND(sqrt((SELECT var FROM m)), 6) AS sd,
+               (SELECT gm FROM g) AS g,
+               (SELECT CAST(min(event_id) AS BIGINT) FROM s
+                WHERE ROUND(abs(x - (SELECT mean FROM m))
+                            / sqrt((SELECT var FROM m)), 6)
+                      = (SELECT gm FROM g)) AS at_id
+        FROM m
+        WHERE n >= 3 AND var > 0.0
+    """

@@ -515,6 +515,179 @@ def cusum_drift(
     )
 
 
+def runs_test(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test of randomness around the median ->
+    ONE row (n_above, n_below, runs, z): along the (ts, id) total
+    order, classify each value as above/below the lower median and
+    count maximal same-class runs R; too few runs = trending/clustered,
+    too many = oscillating — the randomness complement of the CUSUM
+    row (CUSUM sizes a mean shift; runs tests the independence
+    assumption itself). z = (R − μ)/σ with μ = 2·n1·n2/(n1+n2) + 1 and
+    σ² = 2·n1·n2·(2·n1·n2 − n1 − n2)/((n1+n2)²·(n1+n2−1)).
+
+    Conventions (mirrors share them): the split point is the LOWER
+    median — the ceil(n/2)-th smallest value, an ORDER STATISTIC (the
+    s90 convention: an element of the value multiset, bit-identical
+    cross-engine — never an interpolated quantile); values EQUAL to
+    the median are EXCLUDED (the textbook tie treatment — a tie's
+    class is undefined). Exactness: R and n1/n2 are integers from lag
+    comparisons along the pinned order; μ/σ/z are double expressions
+    of exact integers mirrored operand-for-operand; z gets
+    round(6)+0.0. Guards: n == 0, either class empty, or σ == 0 ->
+    empty typed frame. Scale: one TakeOrdered median probe (driver
+    scalar), one ordered lag window (unpartitioned — the cusum
+    bounded-scale audit form), one final agg."""
+    from pyspark.sql import Window
+
+    s = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+    )
+    n = s.count()
+    empty_schema = "n_above long, n_below long, runs long, z double"
+    if n == 0:
+        return events.sparkSession.createDataFrame([], empty_schema)
+    k = (n + 1) // 2
+    med = float(
+        s.orderBy(F.asc("x"), F.asc("__id")).offset(k - 1).limit(1).first()["x"]
+    )
+    cls = s.filter(F.col("x") != F.lit(med)).select(
+        (F.col("x") > F.lit(med)).cast("int").alias("c"), "__ts", "__id"
+    )
+    w = Window.orderBy(F.asc("__ts"), F.asc("__id"))
+    agg = cls.select(
+        "c",
+        F.when(
+            F.lag("c").over(w).isNull() | (F.lag("c").over(w) != F.col("c")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).agg(
+        F.sum("c").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("c")).cast("long").alias("n2"),
+        F.sum("brk").cast("long").alias("r"),
+    ).first()
+    n1, n2, r = (int(agg["n1"] or 0), int(agg["n2"] or 0), int(agg["r"] or 0))
+    # second guard: σ² numerator 2·n1·n2 − n1 − n2 vanishes at
+    # n1 = n2 = 1 — and a double division by 0.0 RAISES under Spark 4
+    # ANSI (r15 review lesson), so the guard must run driver-side
+    if n1 == 0 or n2 == 0 or (2 * n1 * n2 - n1 - n2) == 0:
+        return events.sparkSession.createDataFrame([], empty_schema)
+    return events.sparkSession.createDataFrame(
+        [(n1, n2, r)], "n_above long, n_below long, runs long"
+    ).select(
+        "n_above",
+        "n_below",
+        "runs",
+        (
+            F.round(
+                (
+                    F.col("runs").cast("double")
+                    - (
+                        F.lit(2.0)
+                        * F.lit(float(n1))
+                        * F.lit(float(n2))
+                        / (F.lit(float(n1)) + F.lit(float(n2)))
+                        + F.lit(1.0)
+                    )
+                )
+                / F.sqrt(
+                    F.lit(2.0)
+                    * F.lit(float(n1))
+                    * F.lit(float(n2))
+                    * (
+                        F.lit(2.0) * F.lit(float(n1)) * F.lit(float(n2))
+                        - F.lit(float(n1))
+                        - F.lit(float(n2))
+                    )
+                    / (
+                        (F.lit(float(n1)) + F.lit(float(n2)))
+                        * (F.lit(float(n1)) + F.lit(float(n2)))
+                        * (F.lit(float(n1)) + F.lit(float(n2)) - F.lit(1.0))
+                    )
+                ),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def grubbs_test(
+    events: DataFrame,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Grubbs maximum-outlier test -> ONE row (n, mean, sd, g, at_id):
+    G = max|x − mean|/sd, the single-most-extreme-point screen
+    complementing the MAD row (MAD flags every point beyond a robust
+    fence; Grubbs scores THE extreme one against the normal-theory
+    envelope). at_id = the id attaining the rounded max (round-before-
+    rank, smallest id on ties).
+
+    Exactness: Σx and Σx² ride DECIMAL(38,6)-QUANTIZED sums (the
+    cusum/descriptive-stats precedent — order-free by associativity;
+    x² is quantized AFTER squaring so both engines square the identical
+    double first); mean/sd/g are then double expressions of identical
+    operands, round(6)+0.0 (sd/g nonneg but mean can be tiny-negative).
+    sd uses the n−1 sample form. Guards: n < 3 (Grubbs undefined) or
+    sd == 0 (all values equal) -> empty typed frame. Scale: ONE
+    map-side-combinable moment agg + one filtered min-id agg (benford
+    driver-scalar convention), no windows."""
+    s = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("x"),
+        F.col(id_col).alias("__id"),
+    )
+    head = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).alias("sxx"),
+    ).first()
+    n = int(head["n"] or 0)
+    empty_schema = "n long, mean double, sd double, g double, at_id long"
+    if n < 3:
+        return events.sparkSession.createDataFrame([], empty_schema)
+    sx, sxx = float(head["sx"]), float(head["sxx"])
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - 1)
+    if var <= 0.0:
+        return events.sparkSession.createDataFrame([], empty_schema)
+    import math
+
+    sd = math.sqrt(var)
+    gmax = s.agg(
+        F.max(F.round(F.abs(F.col("x") - F.lit(mean)) / F.lit(sd), round_digits))
+        .alias("g")
+    ).first()["g"]
+    at_id = (
+        s.filter(
+            F.round(F.abs(F.col("x") - F.lit(mean)) / F.lit(sd), round_digits)
+            == F.lit(float(gmax))
+        )
+        .agg(F.min("__id").cast("long").alias("i"))
+        .first()["i"]
+    )
+    return events.sparkSession.createDataFrame(
+        [(n, mean, sd, float(gmax), int(at_id))],
+        "n long, __mean double, __sd double, __g double, __i long",
+    ).select(
+        "n",
+        (F.round("__mean", round_digits) + F.lit(0.0)).alias("mean"),
+        F.round("__sd", round_digits).alias("sd"),
+        F.col("__g").alias("g"),
+        F.col("__i").alias("at_id"),
+    )
+
+
 def hour_uniformity_g(
     events: DataFrame,
     ts_col: str = "ts",

@@ -1689,3 +1689,74 @@ def test_cusum_locates_planted_shift(spark):
     assert out.at_pos == 50
     assert abs(out.s_range - 250.0) < 1e-6
     assert cusum_drift(df.filter("value IS NULL")).count() == 0
+
+
+def test_runs_query_matches_oracle(spark):
+    """Banked-row pre-validation (r15): the unregistered
+    q_events_runs_test matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 15)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_runs_test,
+        entrymod._events_runs_test_oracle(),
+    )
+
+
+def test_grubbs_query_matches_oracle(spark):
+    """Banked-row pre-validation (r15): the unregistered
+    q_events_grubbs_test matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 15)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_grubbs_test,
+        entrymod._events_grubbs_test_oracle(),
+    )
+
+
+def test_runs_test_mirrors_and_guards(spark):
+    """Python mirror on a crafted stream + the degenerate guards."""
+    from scabillmatch_spark.operators.analytics import runs_test
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    # values 1..8 in a perfectly alternating above/below pattern around
+    # the lower median (=4): 1,8,2,7,3,6,4(excl),5 -> classes 0,1,0,1,0,1,1
+    vals = [1.0, 8.0, 2.0, 7.0, 3.0, 6.0, 4.0, 5.0]
+    rows = [
+        (v, base + datetime.timedelta(seconds=i), i) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "value double, ts timestamp, event_id long")
+    out = runs_test(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # median (lower) of 8 values = 4th smallest = 4.0, excluded; 7 left:
+    # classes in ts order: 0,1,0,1,0,1,1 -> 6 runs, n_above=4, n_below=3
+    assert (r.n_above, r.n_below, r.runs) == (4, 3, 6)
+    # guards: empty, one-class, n1=n2=1
+    assert runs_test(df.filter("value IS NULL")).count() == 0
+    one_cls = spark.createDataFrame(
+        [(1.0, base, 0), (5.0, base + datetime.timedelta(seconds=1), 1)],
+        "value double, ts timestamp, event_id long",
+    )
+    # 2 values: median=1.0 (excluded), only 5.0 left -> one class -> empty
+    assert runs_test(one_cls).count() == 0
+
+
+def test_grubbs_locates_planted_outlier(spark):
+    """A single planted outlier must be the argmax with a large G."""
+    from scabillmatch_spark.operators.analytics import grubbs_test
+
+    rows = [(float(i % 5), i) for i in range(50)]
+    rows.append((1000.0, 999))
+    df = spark.createDataFrame(rows, "value double, event_id long")
+    out = grubbs_test(df).collect()
+    assert len(out) == 1
+    assert out[0].at_id == 999 and out[0].g > 5.0
+    # all-equal -> zero variance -> empty; n<3 -> empty
+    allsame = spark.createDataFrame([(2.0, i) for i in range(9)], "value double, event_id long")
+    assert grubbs_test(allsame).count() == 0
+    assert grubbs_test(df.limit(2)).count() == 0

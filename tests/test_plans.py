@@ -187,6 +187,10 @@ _BANKED_PREVALIDATED = [
     "q_events_cusum_drift",
     "q_nation_revenue_atkinson",
     "q_events_hour_uniformity",
+    # r15 additions (spares #25-#26): Wald-Wolfowitz runs test
+    # (randomness around the lower median), Grubbs maximum-outlier test
+    "q_events_runs_test",
+    "q_events_grubbs_test",
 ]
 
 
