@@ -47,6 +47,7 @@ from entry_oracles import (  # noqa: F401  (re-exported contract surface)
     _events_kruskal_wallis_oracle, _events_cusum_drift_oracle,
     _nation_revenue_atkinson_oracle, _events_hour_uniformity_oracle,
     _events_runs_test_oracle, _events_grubbs_test_oracle,
+    _events_cramer_von_mises_oracle,
     _doc_lang_divergence_oracle, _doc_lm_perplexity_oracle, _doc_minhash_audit_oracle,
     _doc_ngram_novelty_oracle, _doc_phrase_search_oracle, _doc_substring_dup_oracle,
     _doc_substring_rewrite_oracle, _doc_winnow_fingerprints_oracle, _doc_zipf_fit_oracle,
@@ -5474,6 +5475,22 @@ def q_nation_revenue_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "revenue")
     )
     return atkinson_index(joined, "n_name", "revenue")
+
+
+def q_events_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises over the KS row's click/purchase
+    slices (operators/stats.cramer_von_mises): the integral-distance
+    member completing the two-sample triptych — KS (sup gap), MWU
+    (stochastic dominance), CvM (integrated squared gap, sensitive to
+    broad modest drift KS underweights). Shares the KS/MWU per-value
+    count head; exact-integer cumulative counts, identical-operand
+    ECDF divisions, round(6)+0.0. NOT registered: banked spare (r15);
+    pre-validated in
+    tests/test_analytics.py::test_cvm_query_matches_oracle."""
+    from scabillmatch_spark.operators.stats import cramer_von_mises
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return cramer_von_mises(ev, "click", "purchase")
 
 
 def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4182,3 +4182,54 @@ def _events_grubbs_test_oracle() -> str:
         FROM m
         WHERE n >= 3 AND var > 0.0
     """
+
+
+def _events_cramer_von_mises_oracle() -> str:
+    """Oracle for the (unregistered) CvM query: the KS/MWU per-value
+    count head verbatim, cumulative integer counts, identical-operand
+    ECDF divisions, per-point multiplicity weights, the
+    (na·nb)/(na+nb)² prefactor operand-for-operand, round(6)+0.0,
+    empty-sample guard as a WHERE filter."""
+    return """
+        WITH s AS (
+            SELECT value AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+              AND value IS NOT NULL
+        ),
+        tot AS (
+            SELECT CAST(SUM(ia) AS BIGINT) AS na,
+                   CAST(COUNT(*) - SUM(ia) AS BIGINT) AS nb
+            FROM s
+        ),
+        per AS (
+            SELECT v,
+                   CAST(SUM(ia) AS BIGINT) AS ca,
+                   CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+            FROM s GROUP BY v
+        ),
+        ec AS (
+            SELECT CAST(ca + cb AS DOUBLE) AS t,
+                   CAST(SUM(ca) OVER (ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) / CAST((SELECT na FROM tot) AS DOUBLE)
+                   - CAST(SUM(cb) OVER (ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) / CAST((SELECT nb FROM tot) AS DOUBLE)
+                   AS d
+            FROM per
+        )
+        SELECT (SELECT na FROM tot) AS n_a,
+               (SELECT nb FROM tot) AS n_b,
+               (ROUND(CAST((SELECT na FROM tot) AS DOUBLE)
+                      * CAST((SELECT nb FROM tot) AS DOUBLE)
+                      / ((CAST((SELECT na FROM tot) AS DOUBLE)
+                          + CAST((SELECT nb FROM tot) AS DOUBLE))
+                         * (CAST((SELECT na FROM tot) AS DOUBLE)
+                            + CAST((SELECT nb FROM tot) AS DOUBLE)))
+                      * sum(t * d * d), 6)
+                + 0.0) AS t_cvm
+        FROM ec
+        WHERE (SELECT na FROM tot) > 0 AND (SELECT nb FROM tot) > 0
+    """

@@ -1760,3 +1760,44 @@ def test_grubbs_locates_planted_outlier(spark):
     allsame = spark.createDataFrame([(2.0, i) for i in range(9)], "value double, event_id long")
     assert grubbs_test(allsame).count() == 0
     assert grubbs_test(df.limit(2)).count() == 0
+
+
+def test_cvm_query_matches_oracle(spark):
+    """Banked-row pre-validation (r15): the unregistered
+    q_events_cramer_von_mises matches its DuckDB oracle typed-exact at
+    sf0.001 (sf0.01 out-of-band, PLANS.md round 15)."""
+    import __spark_entry__ as entrymod
+
+    _gate_compare(
+        spark,
+        entrymod.q_events_cramer_von_mises,
+        entrymod._events_cramer_von_mises_oracle(),
+    )
+
+
+def test_cvm_mirrors_brute_force(spark):
+    """T matches a brute-force Python ECDF integral on a crafted pair
+    of samples, and identical samples give T = 0."""
+    from scabillmatch_spark.operators.stats import cramer_von_mises
+
+    a = [1.0, 2.0, 2.0, 5.0]
+    b = [2.0, 3.0, 4.0]
+    rows = [(x, "click") for x in a] + [(x, "purchase") for x in b]
+    df = spark.createDataFrame(rows, "value double, event_type string")
+    out = cramer_von_mises(df, "click", "purchase").collect()[0]
+    na, nb = len(a), len(b)
+
+    def ecdf(s, x):
+        return sum(1 for y in s if y <= x) / len(s)
+
+    t_ref = (na * nb) / (na + nb) ** 2 * sum(
+        (ecdf(a, x) - ecdf(b, x)) ** 2 for x in a + b
+    )
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert abs(out.t_cvm - t_ref) < 1e-6
+    same = spark.createDataFrame(
+        [(x, t) for x in a for t in ("click", "purchase")],
+        "value double, event_type string",
+    )
+    assert cramer_von_mises(same, "click", "purchase").collect()[0].t_cvm == 0.0
+    assert cramer_von_mises(df.filter("value > 100"), "click", "purchase").count() == 0

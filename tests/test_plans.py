@@ -191,6 +191,9 @@ _BANKED_PREVALIDATED = [
     # (randomness around the lower median), Grubbs maximum-outlier test
     "q_events_runs_test",
     "q_events_grubbs_test",
+    # r15 spare #27: two-sample Cramér-von Mises (integrated ECDF gap —
+    # completes the KS/MWU two-sample triptych on the same count head)
+    "q_events_cramer_von_mises",
 ]
 
 
