@@ -85,6 +85,13 @@ def main() -> None:
     # and the shared shingle band index (r12 s3): the lsh/delta/ingest
     # dedup family slices it — same order-independence rationale
     entrymod._shingle_bands(spark, sf_dir).count()
+    # and the shared embedding near-dup pair relation (r15 optimization
+    # round): emb_cosine_near_dup and emb_semantic_dedup both consume it —
+    # without the pre-warm, whichever ran FIRST was charged the one-time
+    # cascade build (signature kernel + band join + rescore), measuring
+    # registry order instead of its plan — the same rationale as the
+    # scored/edge/CC pre-warms above. Build cost is its own stderr line.
+    entrymod._emb_pairs_shared(spark, sf_dir).count()
     print(
         f"# warmup_scored_edge_cc_caches: {time.perf_counter()-t0:.1f}s",
         file=sys.stderr,

@@ -94,6 +94,7 @@ def duplicate_ngram_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    token_ids_col: str | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring report -> (id_col, n_dup_windows,
     n_spans, dup_tokens, spans). Only documents containing at least one
@@ -109,15 +110,39 @@ def duplicate_ngram_spans(
     small files (local runs: one 5k-doc parquet file = one task = a
     24 s scan, measured); at real corpus scale input splits already
     provide the parallelism and the knob should stay None — a blanket
-    text repartition at 100 TB would be a full-corpus shuffle."""
-    if num_partitions:
-        docs = docs.repartition(num_partitions, id_col)
+    text repartition at 100 TB would be a full-corpus shuffle.
+
+    ``token_ids_col`` (r15 optimization round): name of a column already
+    holding the ORDERED positional token-id array (ordered_token_ids
+    output). When the caller has a tokenized-corpus projection — the
+    engine's session-shared doc_token_sets cache carries exactly this —
+    passing it skips the per-token md5 pass entirely; the operator then
+    computes only the window-hash fold. Values are identical by
+    construction (same tokenizer, same ids)."""
+    if token_ids_col is None:
+        if num_partitions:
+            docs = docs.repartition(num_partitions, id_col)
+        tids = ordered_token_ids(F.col(text_col))
+    else:
+        tids = F.col(token_ids_col)
     grams = docs.select(
         F.col(id_col),
-        F.posexplode(
-            positional_ngram_ids(ordered_token_ids(F.col(text_col)), n)
-        ).alias("pos", "gram"),
+        F.posexplode(positional_ngram_ids(tids, n)).alias("pos", "gram"),
     )
+    # The gram stream feeds TWO consumers — the census and the witness
+    # semi-join. Left as two references to the same lazy projection,
+    # Catalyst runs the tokenize + md5 + window-hash-fold Generate TWICE
+    # (one per subtree; measured the dominant CPU term of the query).
+    # An explicit repartition keyed on (gram, id) pins ONE exchange above
+    # the heavy projection; both consumers then read it via
+    # ReusedExchange, so the projection runs once (opt guide §2.4 "share
+    # one exchange"). The key includes id_col so a corpus-wide hot gram
+    # (boilerplate in millions of docs) spreads over partitions instead
+    # of hashing to one — per-key multiplicity is then bounded by
+    # within-document repetition (§2.5). Values are unchanged: a
+    # repartition reorders rows only, and census + span-merge are
+    # order-insensitive aggregations.
+    grams = grams.repartition(F.col("gram"), F.col(id_col))
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("nd"))
@@ -163,6 +188,7 @@ def strip_duplicate_spans(
     text_col: str = "text",
     num_partitions: int | None = None,
     checksum_mod: int = 1_000_000_007,
+    token_ids_col: str | None = None,
 ) -> DataFrame:
     """The APPLY step for :func:`duplicate_ngram_spans` (as
     doc_dedup_rewrite applies CC clusters and dedup_paragraphs rewrites
@@ -180,18 +206,34 @@ def strip_duplicate_spans(
     per-doc token-id arrays onto their span arrays followed by narrow
     array expressions (coverage test per position, O(tokens x spans)
     per doc with spans few by construction). Exchanges carry longs and
-    bounded span structs only."""
-    if num_partitions:
-        docs = docs.repartition(num_partitions, id_col)
-    toks = docs.select(
-        F.col(id_col), ordered_token_ids(F.col(text_col)).alias("__tids")
-    )
+    bounded span structs only.
+
+    ``token_ids_col``: see :func:`duplicate_ngram_spans` — a precomputed
+    ordered token-id column skips every md5 tokenize pass here (this
+    operator otherwise pays it twice: census side + apply side)."""
+    if token_ids_col is None:
+        if num_partitions:
+            docs = docs.repartition(num_partitions, id_col)
+        toks = docs.select(
+            F.col(id_col), ordered_token_ids(F.col(text_col)).alias("__tids")
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col), F.col(token_ids_col).alias("__tids")
+        )
     grams = toks.select(
         id_col,
         F.posexplode(positional_ngram_ids(F.col("__tids"), n)).alias(
             "pos", "gram"
         ),
     )
+    # same shared-exchange pin as duplicate_ngram_spans: census + witness
+    # semi-join both read ONE materialized gram stream instead of each
+    # re-running the tokenize + window-hash Generate (guide §2.4; the
+    # third reference — the apply-side token arrays below — re-tokenizes
+    # by design: shuffling every document's token array to avoid it would
+    # move the whole tokenized corpus for one projection's savings)
+    grams = grams.repartition(F.col("gram"), F.col(id_col))
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("nd"))
