@@ -129,20 +129,19 @@ def duplicate_ngram_spans(
         F.col(id_col),
         F.posexplode(positional_ngram_ids(tids, n)).alias("pos", "gram"),
     )
-    # The gram stream feeds TWO consumers — the census and the witness
-    # semi-join. Left as two references to the same lazy projection,
-    # Catalyst runs the tokenize + md5 + window-hash-fold Generate TWICE
-    # (one per subtree; measured the dominant CPU term of the query).
-    # An explicit repartition keyed on (gram, id) pins ONE exchange above
-    # the heavy projection; both consumers then read it via
-    # ReusedExchange, so the projection runs once (opt guide §2.4 "share
-    # one exchange"). The key includes id_col so a corpus-wide hot gram
-    # (boilerplate in millions of docs) spreads over partitions instead
-    # of hashing to one — per-key multiplicity is then bounded by
-    # within-document repetition (§2.5). Values are unchanged: a
-    # repartition reorders rows only, and census + span-merge are
-    # order-insensitive aggregations.
-    grams = grams.repartition(F.col("gram"), F.col(id_col))
+    # The gram stream feeds TWO consumers (census + witness semi-join),
+    # so the window-hash Generate evaluates twice. Three alternatives
+    # were A/B'd in the r15 optimization round (interleaved min-of-4 at
+    # sf0.1, values identical): (a) pinning a shared exchange above the
+    # Generate via repartition(gram, id) — Catalyst pushes the broadcast
+    # LeftSemi BELOW the repartition, so the Generate still ran twice
+    # and the exchange became pure overhead (5.40 s); (b) caching the
+    # gram stream (localCheckpoint) — computes once but pays block
+    # store/read (4.02 s) and at 100 TB would materialize the whole
+    # positional gram stream (~24 B/token) on executor storage;
+    # (c) recompute-twice over the cached token arrays (3.54 s) — the
+    # winner locally AND the scale-honest shape (one extra fold pass
+    # over cached ids beats storing the gram stream). (c) ships.
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("nd"))
@@ -227,13 +226,10 @@ def strip_duplicate_spans(
             "pos", "gram"
         ),
     )
-    # same shared-exchange pin as duplicate_ngram_spans: census + witness
-    # semi-join both read ONE materialized gram stream instead of each
-    # re-running the tokenize + window-hash Generate (guide §2.4; the
-    # third reference — the apply-side token arrays below — re-tokenizes
-    # by design: shuffling every document's token array to avoid it would
-    # move the whole tokenized corpus for one projection's savings)
-    grams = grams.repartition(F.col("gram"), F.col(id_col))
+    # recompute-twice census shape — see the duplicate_ngram_spans note:
+    # the pinned-exchange and cached-stream alternatives both measured
+    # slower (LeftSemi pushes below a repartition; caching pays block
+    # I/O and is storage-hostile at scale)
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("nd"))
