@@ -1404,13 +1404,46 @@ def _doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp
 
 
+_LPA_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round LPA labels over the >=95 similarity graph, computed ONCE
+    per (session, sf_dir) and persisted — the exact sibling of
+    _doc_dup_components: doc_label_propagation reports the labels,
+    graph_cluster_audit joins them against the CC components, and a real
+    pipeline materializes the community table once for the same reason it
+    materializes the cluster table. Before r15 graph_cluster_audit re-ran
+    the identical 4-round loop from scratch (~1.9 s of duplicated
+    iterative work per call at sf0.1)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LPA_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from scabillmatch_spark.operators import graph
+
+    # 8 loop partitions: same frame-volume sizing as _doc_dup_components
+    lpa = graph.label_propagation(
+        _doc_edges(spark, sf_dir), max_iter=4, num_shuffle_partitions=8
+    ).persist()
+    _LPA_CACHE[key] = lpa
+    return lpa
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations) on the undirected similarity graph
     (GraphUtils.scala:24-31)."""
     from scabillmatch_spark.operators import graph
 
     edges = _doc_edges(spark, sf_dir)
-    pr = graph.pagerank(edges, reset_prob=0.15, max_iter=3)
+    # loop-sized shuffles like every other iterative row (r15 optimization
+    # round: 3 iterations < CHECKPOINT_EVERY meant the whole loop was lazy
+    # and its per-round exchanges ran at the 32-partition session default
+    # at the caller's action — the tail cut in graph.pagerank makes the
+    # 8-partition sizing actually bind)
+    pr = graph.pagerank(
+        edges, reset_prob=0.15, max_iter=3, num_shuffle_partitions=8
+    )
     return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
@@ -1595,11 +1628,7 @@ def q_doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same 4 rounds unrolled as DuckDB CTEs (mode = count +
     argmax by cnt DESC, label ASC), pre-validated cell-exact at 2 sfs in
     tests/test_graph.py::test_label_propagation_matches_unrolled_sql_oracle."""
-    from scabillmatch_spark.operators import graph
-
-    return graph.label_propagation(
-        _doc_edges(spark, sf_dir), max_iter=4, num_shuffle_partitions=8
-    )
+    return _lpa_labels(spark, sf_dir)
 
 
 def q_graph_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,12 +1692,12 @@ def q_graph_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session-persisted one every dedup query shares. Registered in the
     r12 window with graph_bfs_paths (pre-validated typed-exact at 2 sfs
     in r11; tests/test_graph.py::test_cluster_audit_query_matches_oracle)."""
-    from scabillmatch_spark.operators import graph
-
     comp = _doc_dup_components(spark, sf_dir)
-    lpa = graph.label_propagation(
-        _doc_edges(spark, sf_dir), max_iter=4, num_shuffle_partitions=8
-    )
+    # session-shared LPA labels (r15 optimization round): this query and
+    # doc_label_propagation consume the IDENTICAL 4-round loop — share one
+    # persisted relation like the CC/edge/scored caches instead of
+    # re-running the iteration per consumer
+    lpa = _lpa_labels(spark, sf_dir)
     return (
         comp.join(lpa, "id")
         .groupBy("component")

@@ -92,6 +92,12 @@ def main() -> None:
     # registry order instead of its plan — the same rationale as the
     # scored/edge/CC pre-warms above. Build cost is its own stderr line.
     entrymod._emb_pairs_shared(spark, sf_dir).count()
+    # and the shared LPA label relation (r15 optimization round):
+    # doc_label_propagation reports it and graph_cluster_audit joins it
+    # against the CC components — same order-independence rationale as the
+    # CC pre-warm right above (the two queries previously each ran the
+    # identical 4-round loop)
+    entrymod._lpa_labels(spark, sf_dir).count()
     print(
         f"# warmup_scored_edge_cc_caches: {time.perf_counter()-t0:.1f}s",
         file=sys.stderr,

@@ -209,7 +209,16 @@ def minhash_dedup_delta(
     ).persist()
     c = corpus_sets.select(
         F.col(id_col).alias("__id"), F.col(set_col).alias("__set")
-    ).persist()
+    )
+    if corpus_banded is None:
+        # two consumers (band projection + rescore join) — persist so the
+        # corpus side is signed once. With a pre-built band index the
+        # candidate join never reads c (see lsh_candidate_pairs_two_sided);
+        # its single remaining consumer is the rescore join, so a persist
+        # would only add a duplicate in-memory copy of every corpus
+        # shingle set plus the materialization pass that fills it
+        # (r15 optimization round).
+        c = c.persist()
     cands = blocking.lsh_candidate_pairs_two_sided(
         d, c, "__id", "__set", num_hashes=num_hashes, num_bands=num_bands,
         min_jaccard=jaccard_threshold, right_banded=corpus_banded,

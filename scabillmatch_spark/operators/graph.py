@@ -99,6 +99,16 @@ def pagerank(
                 ranks = _round_materialize(ranks, i + 1, run_dir)
                 _sweep_round(edges.sparkSession, run_dir, prev_round)
                 prev_round = i + 1
+        if num_shuffle_partitions is not None and max_iter % CHECKPOINT_EVERY:
+            # Loop-sized callers get a tail cut (r15 optimization round):
+            # rounds past the last checkpoint are otherwise lazy, so their
+            # shuffles would execute at the CALLER's action under the
+            # session default — exactly the per-task-overhead class
+            # _loop_partitions exists to size (a 3-iteration call never
+            # checkpoints at all). None (cluster scale) keeps the lazy
+            # tail: there the cluster default is the right width and the
+            # caller decides where to cut.
+            ranks = ranks.localCheckpoint()
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
