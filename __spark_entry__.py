@@ -1415,19 +1415,25 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline materializes the community table once for the same reason it
     materializes the cluster table. Before r15 graph_cluster_audit re-ran
     the identical 4-round loop from scratch (~1.9 s of duplicated
-    iterative work per call at sf0.1)."""
+    iterative work per call at sf0.1).
+
+    Cache contract (r15 ADVICE): entries live for the session — never
+    evicted or unpersisted (one community table per (app, sf_dir), same
+    as _CC_CACHE/_SCORED_CACHE). Consumers receive a cheap select('*')
+    wrapper, not the persisted frame itself, so a consumer-side
+    unpersist() cannot silently drop the shared relation for everyone
+    else."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LPA_CACHE.get(key)
-    if cached is not None:
-        return cached
-    from scabillmatch_spark.operators import graph
+    if cached is None:
+        from scabillmatch_spark.operators import graph
 
-    # 8 loop partitions: same frame-volume sizing as _doc_dup_components
-    lpa = graph.label_propagation(
-        _doc_edges(spark, sf_dir), max_iter=4, num_shuffle_partitions=8
-    ).persist()
-    _LPA_CACHE[key] = lpa
-    return lpa
+        # 8 loop partitions: same frame-volume sizing as _doc_dup_components
+        cached = graph.label_propagation(
+            _doc_edges(spark, sf_dir), max_iter=4, num_shuffle_partitions=8
+        ).persist()
+        _LPA_CACHE[key] = cached
+    return cached.select("*")
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1698,8 +1704,18 @@ def q_graph_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted relation like the CC/edge/scored caches instead of
     # re-running the iteration per consumer
     lpa = _lpa_labels(spark, sf_dir)
+    # r16 optimization round (guide §3.1): both sides are the session's
+    # persisted vertex-bounded frames, yet the join planned SortMergeJoin
+    # at the session default (2 Exchanges + 2 Sorts) — the in-memory
+    # relations carry no pre-materialization size stats. The label side is
+    # two longs per near-dup vertex (16 B/row): broadcast is right up to
+    # ~10^8 vertices, far above what a >=95-threshold similarity graph
+    # holds even on very large corpora; a corpus whose AUDIT table
+    # outgrows broadcast should drop the hint and take the shuffle (noted
+    # here rather than auto-switched — the hint is the measured win at
+    # every bench scale and the fallback is a one-word change).
     return (
-        comp.join(lpa, "id")
+        comp.join(F.broadcast(lpa), "id")
         .groupBy("component")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vertices"),
@@ -3005,16 +3021,21 @@ def _emb_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SCORED_CACHE killed for the text side in r5. Same contract as the
     other shared relations: one persisted build per session, every
     consumer is a filter/graph pass over it, bench pre-warms it so
-    per-query numbers measure the consumers' plans, not build order."""
+    per-query numbers measure the consumers' plans, not build order.
+
+    Cache contract (r15 ADVICE): entries live for the session — never
+    evicted or unpersisted. Consumers receive a cheap select('*')
+    wrapper, not the persisted frame itself, so a consumer-side
+    unpersist() cannot silently drop the shared relation for everyone
+    else."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _EMB_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    pairs = _emb_near_dup_pairs(
-        spark, sf_dir, max(8, spark.sparkContext.defaultParallelism // 4)
-    ).persist()
-    _EMB_PAIRS_CACHE[key] = pairs
-    return pairs
+    if cached is None:
+        cached = _emb_near_dup_pairs(
+            spark, sf_dir, max(8, spark.sparkContext.defaultParallelism // 4)
+        ).persist()
+        _EMB_PAIRS_CACHE[key] = cached
+    return cached.select("*")
 
 
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

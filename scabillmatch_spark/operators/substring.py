@@ -118,10 +118,13 @@ def duplicate_ngram_spans(
     engine's session-shared doc_token_sets cache carries exactly this —
     passing it skips the per-token md5 pass entirely; the operator then
     computes only the window-hash fold. Values are identical by
-    construction (same tokenizer, same ids)."""
+    construction (same tokenizer, same ids). ``num_partitions`` is honored
+    in BOTH branches (r15 ADVICE: it was silently ignored with
+    ``token_ids_col``): the repartition spreads whichever projection feeds
+    the window-hash fold — raw text or precomputed id arrays."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions, id_col)
     if token_ids_col is None:
-        if num_partitions:
-            docs = docs.repartition(num_partitions, id_col)
         tids = ordered_token_ids(F.col(text_col))
     else:
         tids = F.col(token_ids_col)
@@ -209,10 +212,11 @@ def strip_duplicate_spans(
 
     ``token_ids_col``: see :func:`duplicate_ngram_spans` — a precomputed
     ordered token-id column skips every md5 tokenize pass here (this
-    operator otherwise pays it twice: census side + apply side)."""
+    operator otherwise pays it twice: census side + apply side).
+    ``num_partitions`` is honored in both branches (r15 ADVICE)."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions, id_col)
     if token_ids_col is None:
-        if num_partitions:
-            docs = docs.repartition(num_partitions, id_col)
         toks = docs.select(
             F.col(id_col), ordered_token_ids(F.col(text_col)).alias("__tids")
         )

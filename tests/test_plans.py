@@ -211,6 +211,27 @@ def test_banked_row_plan_no_cartesian(spark, fname):
     )
 
 
+def test_pagerank_per_round_plan_no_cartesian(spark):
+    """r15 ADVICE: q_graph_pagerank's eager tail cut collapses its FINAL
+    plan to one scan of the checkpointed result, so the registry-wide gate
+    above no longer inspects the iteration's joins for that row. This
+    re-establishes the coverage on the LAZY shape — num_shuffle_partitions
+    =None skips both the sizing and the tail cut, so the explain covers
+    every round's rank-contribution join and vertex left join."""
+    from scabillmatch_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    plan = _formatted(graph.pagerank(edges, max_iter=3, num_shuffle_partitions=None))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the iteration must actually be visible: 3 rounds x (contrib equi-join
+    # + vertex left join) — if this collapses to a handful of nodes, the
+    # lazy shape stopped covering the loop and the gate is vacuous again
+    assert plan.count("Join") >= 6, plan
+
+
 def test_q19_disjunction_extracts_equi_key(spark):
     """The OR-of-conjunctions predicate must ride a hash join on p_partkey
     as a residual, never degrade to a nested-loop/cartesian join."""

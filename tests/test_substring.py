@@ -74,6 +74,46 @@ def test_shared_license_block_is_found_and_merged(spark):
     assert got[1][1] == 1  # the license block merges into ONE span
 
 
+def test_num_partitions_honored_with_token_ids_col(spark):
+    """r15 ADVICE: num_partitions used to be silently ignored when
+    token_ids_col was passed. Both must now compose — the repartition
+    lands in the plan AND values stay identical to the text path."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.functions.text import ordered_token_ids
+    from scabillmatch_spark.operators.substring import strip_duplicate_spans
+
+    lic = "this block is licensed under the common terms " * 2
+    rows = [
+        (1, lic + "alpha beta gamma delta unique one"),
+        (2, "prefix words here " + lic + "totally different tail two"),
+    ]
+    docs = _docs(spark, rows)
+    toks = docs.select(
+        "doc_id", ordered_token_ids(F.col("text")).alias("tids")
+    )
+    via_ids = duplicate_ngram_spans(
+        toks, n=8, token_ids_col="tids", num_partitions=4
+    )
+    plan = via_ids._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" in plan, plan
+    via_text = duplicate_ngram_spans(_docs(spark, rows), n=8)
+    assert sorted(map(tuple, via_ids.collect())) == sorted(
+        map(tuple, via_text.collect())
+    )
+    # same contract on the apply twin
+    strip_ids = strip_duplicate_spans(
+        toks, n=8, token_ids_col="tids", num_partitions=4
+    )
+    assert "RepartitionByExpression" in (
+        strip_ids._jdf.queryExecution().analyzed().toString()
+    )
+    strip_text = strip_duplicate_spans(_docs(spark, rows), n=8)
+    assert sorted(map(tuple, strip_ids.collect())) == sorted(
+        map(tuple, strip_text.collect())
+    )
+
+
 def test_within_doc_repetition_alone_does_not_count(spark):
     rows = [
         (1, "repeat me now " * 6),  # self-repetition only
