@@ -2637,6 +2637,13 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_retrieval_lm.py::test_perplexity_query_matches_oracle."""
     from scabillmatch_spark.operators.lm import score_perplexity, train_bigram_lm
 
+    # r16 optimization round: training is now ONE corpus pass (the
+    # sentinel-pair single-pass model in operators/lm.py — the old shape
+    # paid three: uni agg, bi agg, eager vocab count). An id-keyed
+    # variant feeding train+score from the session token-id cache was
+    # A/B'd and REJECTED (cached-array readback cost more than the
+    # pipelined tokenize it replaced; numbers in the operator docstring),
+    # so the query keeps raw-text string grams.
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     uni, bi, v = train_bigram_lm(docs)
     scored = score_perplexity(docs, uni, bi, v, add_k=0.5)
@@ -2756,7 +2763,24 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shuffles on term (bounded by vocabulary), never
     materializes a dense vector; the blocked pair condition rides the
-    term join."""
+    term join.
+
+    r16 optimization round (guide §5 caching-when-reused): the self-join
+    lineage replicates the docs->terms subtree across both pair sides,
+    the df table and both norm tables — the before plan held 28 parquet
+    scans of documents, each re-running the regex tokenizer (Catalyst
+    cannot reuse the differently-aliased subtrees). The flat per-call
+    persisted ``terms`` table (doc_id, term, tf) collapses that to ONE
+    tokenize pass; every replica becomes an InMemoryTableScan of a
+    narrow flat frame. A/B (interleaved min-of-3, noop, values asserted
+    identical): 1.99 -> 1.58 s at sf0.1; at scale it converts 28 corpus
+    text scans into one pass + a token-bounded cached projection.
+    (Feeding tok_ids from the session token cache instead was A/B'd and
+    REJECTED: 3.74 s — repeated cached-ARRAY deserialization per replica
+    costs far more than the flat readback, same finding as the lm
+    operator's.) The persist lives until the session ends — one build
+    per CALL, never shared across calls, so every invocation still
+    computes from the parquet inputs."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", TX.tokens("text").alias("toks")
     )
@@ -2765,6 +2789,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     # max-df pruning: drop terms present in >10% of docs (integer-exact
     # predicate 10*df <= N so the oracle agrees bit-for-bit). Without it a

@@ -17,14 +17,16 @@ identical at higher orders.
     ppl(d)     = exp(nll(d))
 
 Scale shape: tokenization and bigram assembly are narrow Column
-expressions pipelined into the scan (no UDFs). Training is two hash
-aggregations — unigram counts (bounded by |vocab|) and bigram counts
-(bounded by observed bigrams; ``min_count`` prunes the long tail exactly
-like production LM pipelines). Scoring joins each document's bigrams to
-the two count tables on their natural keys — Catalyst broadcasts them
-when small and shuffle-joins when not; nothing is ever quadratic and no
-exchange carries document text (bigrams ride as short strings; ids and
-counts otherwise). The final per-doc aggregate is one shuffle on doc id.
+expressions pipelined into the scan (no UDFs). Training is ONE hash
+aggregation over the sentinel-pair stream (r16: unigram counts, bigram
+counts and the vocabulary size all derive from one persisted
+(w1, w2-or-NULL, count) model table, so the corpus is read once;
+``min_count`` prunes the long tail exactly like production LM
+pipelines). Scoring joins each document's bigrams to the two count
+tables on their natural keys — Catalyst broadcasts them when small and
+shuffle-joins when not; nothing is ever quadratic and no exchange
+carries document text (bigrams ride as short strings; ids and counts
+otherwise). The final per-doc aggregate is one shuffle on doc id.
 """
 from __future__ import annotations
 
@@ -32,6 +34,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scabillmatch_spark.functions.text import tokens
+
+
+_PAIR_ARRAY_TYPE = "array<struct<w1:string,w2:string>>"
 
 
 def _bigrams(tok_col: Column) -> Column:
@@ -45,9 +50,25 @@ def _bigrams(tok_col: Column) -> Column:
             F.element_at(tok_col, i + F.lit(1)).alias("w2"),
         ),
     )
-    return F.when(size >= 2, pairs).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
+    return F.when(size >= 2, pairs).otherwise(F.array().cast(_PAIR_ARRAY_TYPE))
+
+
+def _pairs_with_sentinel(tok_col: Column) -> Column:
+    """array<struct<w1,w2>> where EVERY token appears exactly once as w1;
+    w2 is the following token, or NULL for the last token of the document
+    (the sentinel). One explode of this stream carries both count tables:
+    unigram context counts are the w2-marginal, bigram counts are the
+    w2-NOT-NULL rows — so training needs ONE corpus pass, not two."""
+    size = F.size(tok_col)
+    idx = F.sequence(F.lit(1), size)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(tok_col, i).alias("w1"),
+            F.when(i < size, F.element_at(tok_col, i + F.lit(1))).alias("w2"),
+        ),
     )
+    return F.when(size >= 1, pairs).otherwise(F.array().cast(_PAIR_ARRAY_TYPE))
 
 
 def train_bigram_lm(
@@ -62,22 +83,47 @@ def train_bigram_lm(
     vocabulary). ``bigrams``: (w1, w2, c2), rows with c2 < min_count
     dropped (the tail-pruning knob; smoothing covers the pruned mass).
     ``vocab_size`` is the add-k V — a driver scalar, exact.
+
+    r16 optimization round (guide §2.4): training is ONE corpus pass.
+    The old shape tokenized and scanned the corpus three times — unigram
+    aggregation, bigram aggregation, and the eager vocab count — because
+    uni/bi were independent aggregations and V forced one of them to
+    execute at call time. Now a single explode of the sentinel-pair
+    stream (:func:`_pairs_with_sentinel`) is aggregated once into the
+    persisted model table g = (w1, w2-or-NULL, count); unigram counts
+    (sum over w2), bigram counts (w2 NOT NULL) and vocab_size (distinct
+    w1 — every token occurs as w1) all derive from g without touching
+    the corpus again. Counts are identical to the two-aggregation form
+    by construction: every token occurrence contributes exactly one
+    sentinel pair (A/B value-asserted and wall-neutral at sf0.1;
+    corpus passes 3 -> 1 is the 100 TB win).
+
+    Cache note: g (the trained model) stays persisted for the session —
+    it is bounded by the number of OBSERVED bigrams plus vocabulary,
+    never by corpus size, and both returned count tables and any frame
+    scored against them read it. (An id-keyed variant feeding train and
+    score from the session token-id cache was A/B'd and REJECTED:
+    repeated InMemoryTableScan deserialization of the cached token-id
+    arrays cost more than the pipelined parquet-scan tokenize it
+    replaced — 1.56 vs 1.48 s min-of-3 at sf0.1.)
     """
-    toks = corpus.select(tokens(F.col(text_col)).alias("__toks"))
-    uni = (
-        toks.select(F.explode("__toks").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    bi = (
-        toks.select(F.explode(_bigrams(F.col("__toks"))).alias("bg"))
-        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    g = (
+        corpus.select(
+            F.explode(_pairs_with_sentinel(tokens(F.col(text_col)))).alias("p")
+        )
+        .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    # materializes g; distinct w1 = distinct tokens (every token is a w1)
+    vocab_size = g.select("w1").distinct().count()
+    uni = g.groupBy("w1").agg(F.sum("__c").alias("c1"))
+    bi = g.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("__c").alias("c2")
     )
     if min_count > 1:
         bi = bi.filter(F.col("c2") >= min_count)
-    vocab_size = uni.count()
     return uni, bi, vocab_size
 
 

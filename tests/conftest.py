@@ -48,6 +48,8 @@ TOUCHED_SINCE_LAST_ROUND = {
     # (doc_substring_rewrite is banked/unregistered — its substring.py
     # change is covered by tests/test_substring.py's oracle prevalidation)
     "graph_pagerank",                # plan-gate coverage re-added
+    "doc_lm_perplexity",             # single-pass sentinel-pair LM training
+    "tfidf_cosine_pairs",            # per-call persisted flat terms table
 }
 
 

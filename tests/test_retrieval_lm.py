@@ -235,6 +235,49 @@ def test_bm25_property_matches_python(spark, corpus_texts, query):
         assert got[d][1] == pytest.approx(s, abs=1e-10)
 
 
+def test_single_pass_training_equals_two_aggregation_form(spark):
+    """r16 internals pin: train_bigram_lm's single-pass sentinel-pair
+    model must produce EXACTLY the count tables and vocab size of the
+    explicit two-aggregation form it replaced (uni = every token
+    occurrence grouped by token; bi = adjacent pairs grouped by pair;
+    V = distinct tokens) — including the single-token-doc edge (a
+    unigram context with no bigram) and the empty-doc edge."""
+    from pyspark.sql import functions as F
+
+    from scabillmatch_spark.functions.text import tokens
+    from scabillmatch_spark.operators.lm import _bigrams
+
+    rows = [
+        (1, "the fast table scans the fast row"),
+        (2, "the fast fast table"),
+        (3, "lonely"),  # 1 token: uni row, no bi row
+        (4, ",,,"),  # cleans to 0 tokens: contributes nothing
+    ]
+    docs = _tiny_docs(spark, rows)
+    uni, bi, v = train_bigram_lm(docs)
+
+    toks = docs.select(tokens(F.col("text")).alias("__toks"))
+    uni_ref = {
+        (r.w1, r.c1)
+        for r in toks.select(F.explode("__toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .collect()
+    }
+    bi_ref = {
+        (r.w1, r.w2, r.c2)
+        for r in toks.select(F.explode(_bigrams(F.col("__toks"))).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .collect()
+    }
+    assert {(r.w1, r.c1) for r in uni.collect()} == uni_ref
+    assert {(r.w1, r.w2, r.c2) for r in bi.collect()} == bi_ref
+    assert v == len(uni_ref)
+    assert ("lonely", 1) in uni_ref  # the sentinel row carried it
+
+
 @settings(max_examples=8, deadline=None)
 @given(_corpora)
 def test_perplexity_property_matches_python(spark, corpus_texts):
